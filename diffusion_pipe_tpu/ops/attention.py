@@ -1,0 +1,103 @@
+"""Attention dispatcher: Pallas flash kernel on TPU, XLA elsewhere.
+
+Single entry point replacing both of the reference's attention paths
+(torch SDPA everywhere + flash-attn varlen in models/wan/attention.py:19-127).
+Layout is [B, S, H, D] like jax.nn.dot_product_attention; arbitrary sequence
+lengths are padded up to TPU block multiples with the padding masked out,
+which is the dense-TPU analogue of CUDA varlen (cu_seqlens) packing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..common import round_up_to_multiple
+from .flash_attention import LANES, flash_attention
+
+# Below this many query tokens the plain XLA path is at least as fast as the
+# kernel launch + padding overhead.
+_MIN_SEQ_FOR_FLASH = 1024
+
+
+def _use_flash(q, k) -> bool:
+    platform = jax.devices()[0].platform if jax.devices() else "cpu"
+    if platform not in ("tpu", "axon"):
+        return False
+    d = q.shape[-1]
+    if d % LANES != 0:
+        return False
+    return q.shape[1] >= _MIN_SEQ_FOR_FLASH
+
+
+def _xla_attention(q, k, v, kv_mask, scale):
+    """Reference XLA implementation, [B, S, H, D] layout, f32 softmax."""
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if kv_mask is not None:
+        neg = jnp.asarray(-0.7 * jnp.finfo(jnp.float32).max, jnp.float32)
+        logits = jnp.where(
+            (kv_mask > 0)[:, None, None, :], logits, neg
+        )
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v
+    ).astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    force_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+      q: [B, Sq, H, D]; k, v: [B, Skv, H, D].
+      kv_mask: optional [B, Skv], nonzero = valid key/value position
+        (text-padding masking; reference models/qwen_image.py:77-174 and
+        models/wan/attention.py varlen semantics).
+      scale: defaults to D**-0.5.
+      force_flash: override the TPU/size heuristic (for tests).
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    use_flash = _use_flash(q, k) if force_flash is None else force_flash
+    if not use_flash:
+        return _xla_attention(q, k, v, kv_mask, scale)
+
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    # Kernel layout is [B, H, S, D].
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+
+    block_q = min(512, round_up_to_multiple(sq, LANES))
+    block_k = min(512, round_up_to_multiple(skv, LANES))
+    sq_pad = round_up_to_multiple(sq, block_q)
+    skv_pad = round_up_to_multiple(skv, block_k)
+
+    if sq_pad != sq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv or kv_mask is not None:
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, skv), jnp.int32)
+        kv_mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv)))
+    if skv_pad != skv:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
+
+    out = flash_attention(
+        qt, kt, vt, kv_mask, scale, block_q, block_k
+    )
+    if sq_pad != sq:
+        out = out[:, :, :sq, :]
+    return jnp.swapaxes(out, 1, 2)

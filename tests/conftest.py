@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Multi-device (DP/PP/TP) logic is tested on a CPU mesh so the suite runs
+anywhere (SURVEY.md section 4 "Implication for the TPU build"). Pallas
+kernels run under the interpreter (DPIPE_PALLAS_INTERPRET=1) so the real
+kernel code path is exercised without TPU hardware.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("DPIPE_PALLAS_INTERPRET", "1")
+
+import jax  # noqa: E402
+
+# The environment's jax plugin may force its own platform list at import time
+# (observed: jax_platforms == "axon,cpu" regardless of env); override it.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,36 @@
+"""Model plugins: Flax module definitions + per-model pipeline adapters.
+
+The registry maps the reference's `model.type` config strings
+(reference train.py:310-379 dispatch chain) to pipeline classes.
+"""
+
+from typing import Dict, Type
+
+_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(name: str, *aliases: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        for a in aliases:
+            _REGISTRY[a] = cls
+        return cls
+
+    return deco
+
+
+def get_model_class(name: str):
+    # Import plugins lazily so `import diffusion_pipe_tpu.models` stays cheap.
+    from . import flux  # noqa: F401
+
+    try:
+        from . import sdxl  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import wan  # noqa: F401
+    except ImportError:
+        pass
+    if name not in _REGISTRY:
+        raise NotImplementedError(f"model type {name!r} not implemented")
+    return _REGISTRY[name]

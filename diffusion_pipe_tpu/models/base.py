@@ -1,0 +1,76 @@
+"""Per-model pipeline contract (JAX re-design of reference models/base.py).
+
+The reference contract (models/base.py:294-391) is imperative: load torch
+modules, mutate with PEFT, emit nn.Module layer lists. Here a pipeline is a
+thin adapter between the generic trainer and a pure Flax model:
+
+  build_model()                -> nn.Module (flax)
+  init_params(rng, sample)     -> param pytree (random init)
+  load_weights(path)           -> param pytree (converted pretrained weights)
+  prepare_inputs(rng, batch, quantile) -> (model_inputs, target, mask)
+       pure & jit-traceable: noising + target construction on device
+       (reference does this on CPU inside the dataloader,
+        dataset.py:1357-1368 -> model.prepare_inputs)
+  forward(params, model_inputs) -> model output
+  loss_fn(output, target, mask) -> scalar loss (f32)
+
+Everything that tells the data pipeline how to cache (VAE / text encoders)
+lives in the same class, mirroring get_call_vae_fn/get_call_text_encoder_fn
+(reference models/base.py:340-358).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from ..training.losses import loss_config_from_model_config, masked_loss
+
+
+class BasePipeline:
+    name: str = "base"
+    framerate: Optional[float] = None
+    # keys the dataset must provide per example (besides latents/mask)
+    cacheable_text_embeddings: Tuple[str, ...] = ()
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        self.model_config = config["model"]
+        self._loss_kwargs = loss_config_from_model_config(self.model_config)
+
+    # --- model ------------------------------------------------------------
+    def build_model(self):
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array):
+        raise NotImplementedError
+
+    def load_weights(self):
+        """Load + convert pretrained weights to the flax param structure."""
+        raise NotImplementedError
+
+    # --- training ---------------------------------------------------------
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        raise NotImplementedError
+
+    def forward(self, params, model_inputs: Dict[str, Any]):
+        raise NotImplementedError
+
+    def loss_fn(self, output, target, mask):
+        """Default masked loss in f32 (reference models/base.py:364-382)."""
+        return masked_loss(output, target, mask, **self._loss_kwargs)
+
+    # --- caching (used by the data pipeline) -------------------------------
+    def get_call_vae_fn(self):
+        raise NotImplementedError
+
+    def get_call_text_encoder_fn(self):
+        raise NotImplementedError
+
+    # --- saving ------------------------------------------------------------
+    def save_adapter(self, path, params):
+        raise NotImplementedError
+
+    def save_model(self, path, params):
+        raise NotImplementedError

@@ -1,0 +1,162 @@
+"""Flux pipeline adapter: training-input preparation + weight conversion.
+
+Re-implements the training semantics of reference models/flux.py:
+- prepare_inputs (flux.py:320-392): rectified-flow noising with logit-normal
+  t (optionally shift / resolution-dependent flux_shift), 2x2 latent
+  patchify, 3-axis image position ids, mask resized to latent resolution and
+  patchified, guidance vector, Kontext control-latent sequence concat with
+  ids[..., 0] = 1.
+- model: FluxTransformer (flux_model.py), diffusers/BFL weights convertible
+  via convert_diffusers_weights.
+
+TPU-first difference: prepare_inputs is pure jax and runs inside the jitted
+train step (noise + t sampled from an explicit PRNG key), instead of on CPU
+inside the dataloader (reference dataset.py:1357-1368) — the target never
+needs the reference's first->last pipeline-stage broadcast hack
+(dataset.py:1370-1388).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import einops
+import jax
+import jax.numpy as jnp
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .flux_model import FluxConfig, FluxTransformer
+
+
+def pack_latents(x):
+    """[B, C, H, W] -> [B, (H/2)(W/2), C*4] (flux 2x2 patchify,
+    reference flux.py:375-376)."""
+    return einops.rearrange(x, "b c (h ph) (w pw) -> b (h w) (c ph pw)", ph=2, pw=2)
+
+
+def unpack_latents(x, h, w):
+    return einops.rearrange(
+        x, "b (h w) (c ph pw) -> b c (h ph) (w pw)", h=h // 2, w=w // 2, ph=2, pw=2
+    )
+
+
+def latent_image_ids(h_half: int, w_half: int, modality: int = 0):
+    """[h/2 * w/2, 3] ids: (modality, row, col) (diffusers
+    _prepare_latent_image_ids semantics; reference flux.py:336,384-386)."""
+    row = jnp.repeat(jnp.arange(h_half), w_half)
+    col = jnp.tile(jnp.arange(w_half), h_half)
+    mod = jnp.full_like(row, modality)
+    return jnp.stack([mod, row, col], axis=-1).astype(jnp.float32)
+
+
+def resize_mask_to_latents(mask, h, w, c):
+    """mask [B, Hm, Wm] -> [B, c, h, w] nearest-resize + channel expand
+    (reference flux.py:330-333)."""
+    b = mask.shape[0]
+    m = jax.image.resize(mask.astype(jnp.float32), (b, h, w), method="nearest")
+    return jnp.broadcast_to(m[:, None], (b, c, h, w))
+
+
+@register_model("flux", "flex", "flux-kontext")
+class FluxPipeline(BasePipeline):
+    name = "flux"
+    cacheable_text_embeddings = ("t5_embed", "clip_embed")
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
+        self.flux_config = self._build_flux_config()
+        self.model = FluxTransformer(self.flux_config)
+
+    def _build_flux_config(self) -> FluxConfig:
+        mc = self.model_config
+        from ..common import dtype_from_string
+
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(
+                mc.get("transformer_dtype", mc.get("dtype", "bfloat16"))
+            ),
+            guidance_embeds=bool(mc.get("guidance_embeds", True)),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+            )
+        if mc.get("_tiny", False):  # test hook
+            return FluxConfig.tiny(**kwargs)
+        return FluxConfig(**kwargs)
+
+    def build_model(self):
+        return self.model
+
+    def init_params(self, rng, sample_batch=None):
+        cfg = self.flux_config
+        b, simg, stxt = 1, 16, 8
+        x = jnp.zeros((b, simg, cfg.in_channels), cfg.dtype)
+        t5 = jnp.zeros((b, stxt, cfg.joint_attention_dim), cfg.dtype)
+        clip = jnp.zeros((b, cfg.pooled_projection_dim), cfg.dtype)
+        t = jnp.zeros((b,), jnp.float32)
+        img_ids = latent_image_ids(4, 4)
+        txt_ids = jnp.zeros((stxt, 3), jnp.float32)
+        g = jnp.ones((b,), jnp.float32) if cfg.guidance_embeds else None
+        return self.model.init(rng, x, t5, clip, t, img_ids, txt_ids, g)
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        """batch: latents [B,16,H,W], t5_embed [B,S,4096], clip_embed [B,768],
+        optional mask [B,Hm,Wm], optional control_latents [B,16,H,W],
+        optional t5_mask [B,S]."""
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, h, w = latents.shape
+        image_seq_len = (h // 2) * (w // 2)
+
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = resize_mask_to_latents(mask, h, w, c)
+            mask = pack_latents(mask)
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=image_seq_len,
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = (1.0 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        x_t = pack_latents(x_t)
+        target = pack_latents(target)
+
+        img_ids = latent_image_ids(h // 2, w // 2)
+        txt_ids = jnp.zeros((batch["t5_embed"].shape[1], 3), jnp.float32)
+        guidance = jnp.full((b,), float(self.model_config.get("guidance", 1.0)))
+
+        if "control_latents" in batch and batch["control_latents"] is not None:
+            control = pack_latents(batch["control_latents"].astype(jnp.float32))
+            control_ids = latent_image_ids(h // 2, w // 2, modality=1)
+            img_ids = jnp.concatenate([img_ids, control_ids], axis=0)
+            x_t = jnp.concatenate([x_t, control], axis=1)
+
+        model_inputs = dict(
+            hidden_states=x_t.astype(self.flux_config.dtype),
+            encoder_hidden_states=batch["t5_embed"].astype(self.flux_config.dtype),
+            pooled_projections=batch["clip_embed"].astype(self.flux_config.dtype),
+            timestep=t,
+            img_ids=img_ids,
+            txt_ids=txt_ids,
+            guidance=guidance if self.flux_config.guidance_embeds else None,
+            txt_mask=batch.get("t5_mask"),
+            img_seq_len=image_seq_len,
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)

@@ -1,0 +1,267 @@
+"""Shared Flax building blocks: LoRA-aware Dense, norms, embeddings, RoPE.
+
+TPU-native replacements for the reference's model-layer idioms:
+- LoRA here is a first-class parameter structure inside LoraDense (params
+  named lora_a / lora_b, zero-init B, scale alpha/rank), replacing PEFT's
+  runtime nn.Linear mutation (reference models/base.py:216-260). Trainable
+  filtering is by parameter-path name ('lora_' prefix), so the optimizer
+  mask and adapter serialization need no `original_name` bookkeeping
+  (reference train.py:522-526, saver.py:58-85).
+- Tensor-parallel sharding is attached as flax Partitioned metadata
+  (kernel_axes), mapped onto the ('data','stage','tensor') mesh by
+  parallel/sharding.py. The reference has no TP (SURVEY.md section 2.7).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+def _maybe_partition(init: Callable, axes: Optional[Tuple[Optional[str], ...]]):
+    if axes is None:
+        return init
+    return nn.with_partitioning(init, axes)
+
+
+class LoraDense(nn.Module):
+    """Dense layer with optional fused LoRA path.
+
+    y = x @ W + b + (alpha/rank) * dropout(x) @ A @ B
+
+    A is kaiming-uniform initialized, B zeros (PEFT LoraLayer defaults, which
+    the reference injects via peft.LoraConfig at models/base.py:236-246), so
+    training starts exactly at the base model. rank=0 disables LoRA entirely.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Dtype = jnp.float32
+    kernel_axes: Optional[Tuple[Optional[str], ...]] = None
+    kernel_init: Callable = default_kernel_init
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            _maybe_partition(self.kernel_init, self.kernel_axes),
+            (in_features, self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
+        if self.use_bias:
+            bias_axes = (self.kernel_axes[-1],) if self.kernel_axes else None
+            bias = self.param(
+                "bias",
+                _maybe_partition(nn.initializers.zeros_init(), bias_axes),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + jnp.asarray(bias, self.dtype)
+        if self.lora_rank > 0:
+            # Kaiming-uniform(a=sqrt(5)) over fan_in, like PEFT's reset.
+            bound = math.sqrt(6.0 / in_features)
+            lora_a = self.param(
+                "lora_a",
+                nn.initializers.uniform(scale=2 * bound),
+                (in_features, self.lora_rank),
+                self.lora_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                nn.initializers.zeros_init(),
+                (self.lora_rank, self.features),
+                self.lora_dtype,
+            )
+            # uniform init is [0, scale); shift to [-bound, bound)
+            lora_a = lora_a - bound
+            scaling = self.lora_alpha / self.lora_rank
+            h = x.astype(self.dtype)
+            if self.lora_dropout > 0.0 and not deterministic:
+                h = nn.Dropout(rate=self.lora_dropout)(h, deterministic=False)
+            delta = jnp.dot(
+                jnp.dot(h, jnp.asarray(lora_a, self.dtype)),
+                jnp.asarray(lora_b, self.dtype),
+            )
+            y = y + scaling * delta
+        return y
+
+
+class RMSNorm(nn.Module):
+    """RMSNorm over the last dim, computed in float32."""
+
+    eps: float = 1e-6
+    use_scale: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        if self.use_scale:
+            scale = self.param(
+                "scale", nn.initializers.ones_init(), (x.shape[-1],), self.param_dtype
+            )
+            y = y * scale.astype(jnp.float32)
+        return y.astype(orig_dtype)
+
+
+def layer_norm_no_affine(x, eps: float = 1e-6):
+    """LayerNorm(elementwise_affine=False) in float32 (adaLN pre-norm)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def modulate(x, shift, scale):
+    """adaLN modulation: x * (1 + scale) + shift, broadcasting [B, D] over seq."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def sinusoidal_timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    scale: float = 1.0,
+) -> jax.Array:
+    """diffusers `Timesteps` sinusoidal projection (flux uses dim=256,
+    flip_sin_to_cos=True, shift=0). t: [B] (already scaled, e.g. *1000)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :] * scale
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedder(nn.Module):
+    """sinusoidal -> Linear -> SiLU -> Linear (diffusers TimestepEmbedding)."""
+
+    hidden_dim: int
+    freq_dim: int = 256
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        emb = sinusoidal_timestep_embedding(t, self.freq_dim)
+        emb = LoraDense(
+            self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_1",
+        )(emb)
+        emb = nn.silu(emb)
+        emb = LoraDense(
+            self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_2",
+        )(emb)
+        return emb
+
+
+class PixArtAlphaTextProjection(nn.Module):
+    """pooled text -> Linear -> SiLU -> Linear (diffusers text_embedder)."""
+
+    hidden_dim: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = LoraDense(
+            self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_1",
+        )(x)
+        x = nn.silu(x)
+        x = LoraDense(
+            self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="linear_2",
+        )(x)
+        return x
+
+
+# --- Rotary position embeddings (multi-axis, flux/wan style) --------------
+
+
+def rope_frequencies(
+    ids: jax.Array, axes_dim: Sequence[int], theta: float = 10000.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-axis RoPE tables from integer position ids.
+
+    ids: [S, n_axes] positions per token per axis (flux EmbedND semantics:
+    axes_dim=[16,56,56] summing to head_dim/... *2? -> sum(axes_dim) == head_dim).
+    Returns (cos, sin) of shape [S, sum(axes_dim)] where each axis contributes
+    axes_dim[i] entries of interleaved-pair frequencies.
+    """
+    cos_parts, sin_parts = [], []
+    for i, d in enumerate(axes_dim):
+        half = d // 2
+        freqs = 1.0 / (
+            theta ** (jnp.arange(half, dtype=jnp.float32) * 2.0 / d)
+        )  # [half]
+        angles = ids[:, i].astype(jnp.float32)[:, None] * freqs[None, :]  # [S, half]
+        cos_parts.append(jnp.cos(angles))
+        sin_parts.append(jnp.sin(angles))
+    return (
+        jnp.concatenate(cos_parts, axis=-1),
+        jnp.concatenate(sin_parts, axis=-1),
+    )
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate pairs (even, odd interleaved as [..., 2i], [..., 2i+1]).
+
+    x: [B, S, H, D]; cos/sin: [S, D//2]. Matches the BFL/diffusers flux
+    convention x.reshape(..., D//2, 2) with rotation
+    (x0*cos - x1*sin, x0*sin + x1*cos).
+    """
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out0 = x0 * c - x1 * s
+    out1 = x0 * s + x1 * c
+    out = jnp.stack([out0, out1], axis=-1).reshape(x.shape)
+    return out.astype(orig_dtype)
+
+
+class GELU(nn.Module):
+    """Linear + GELU(tanh) (diffusers FeedForward act)."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    lora: dict = None
+    kernel_axes: Optional[Tuple[Optional[str], ...]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = LoraDense(
+            self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_axes=self.kernel_axes, name="proj", **(self.lora or {}),
+        )(x)
+        return nn.gelu(x, approximate=True)

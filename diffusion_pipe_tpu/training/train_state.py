@@ -1,0 +1,75 @@
+"""Train state + trainable/frozen parameter partitioning.
+
+TPU-native replacement for the reference's requires_grad bookkeeping (PEFT
+marks LoRA params trainable, train.py:522-526; per-stage optimizers see only
+local trainables). Here the split is a pytree partition by parameter path:
+gradients are computed ONLY for the trainable subtree, so frozen base weights
+never materialize gradients (memory parity with LoRA training).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax
+import jax
+from flax import traverse_util
+
+
+def lora_predicate(path: Tuple[str, ...], _leaf) -> bool:
+    """Trainable iff the param is a LoRA factor (LoraDense lora_a/lora_b)."""
+    return any(p.startswith("lora_") for p in path)
+
+
+def full_ft_predicate(path: Tuple[str, ...], _leaf) -> bool:
+    return True
+
+
+def predicate_from_config(config: dict) -> Callable:
+    if "adapter" in config:
+        return lora_predicate
+    return full_ft_predicate
+
+
+def partition_params(params: Any, predicate: Callable):
+    """Split a nested params dict into (trainable, frozen) trees.
+
+    Both keep the full structure with None at missing leaves, so
+    merge_params is a simple overlay and optax masks line up.
+    """
+    flat = traverse_util.flatten_dict(flax.core.unfreeze(params))
+    trainable = {k: (v if predicate(k, v) else None) for k, v in flat.items()}
+    frozen = {k: (None if predicate(k, v) else v) for k, v in flat.items()}
+    return (
+        traverse_util.unflatten_dict(trainable),
+        traverse_util.unflatten_dict(frozen),
+    )
+
+
+def merge_params(trainable: Any, frozen: Any):
+    flat_t = traverse_util.flatten_dict(trainable)
+    flat_f = traverse_util.flatten_dict(frozen)
+    merged = {
+        k: (flat_t.get(k) if flat_t.get(k) is not None else flat_f.get(k))
+        for k in set(flat_t) | set(flat_f)
+    }
+    return traverse_util.unflatten_dict(merged)
+
+
+def strip_nones(tree: Any):
+    """Drop None leaves (for optimizer init over trainables only)."""
+    flat = traverse_util.flatten_dict(tree)
+    return traverse_util.unflatten_dict(
+        {k: v for k, v in flat.items() if v is not None}
+    )
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    trainable: Any
+    frozen: Any
+    opt_state: Any
+    # number of examples seen (reference train.py tracks `examples` in
+    # client_state for x_axis_examples logging / save triggers)
+    examples: jax.Array

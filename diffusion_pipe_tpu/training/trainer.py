@@ -1,0 +1,128 @@
+"""Generic jitted train/eval step builders.
+
+TPU-native replacement for the reference's DeepSpeed train loop core
+(train.py:905-961 + PipelineEngine.train_batch, SURVEY.md section 3.3):
+one XLA program per (bucket shape) doing noising -> forward -> masked loss ->
+backward (trainable subtree only) -> clip -> optimizer update. Gradient
+accumulation is a lax.scan over the microbatch axis (the reference's GAS =
+pipeline micro-batches); the loss/grad average matches DeepSpeed's
+mean-over-microbatches semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .train_state import TrainState, merge_params
+
+
+def make_loss_fn(pipeline, timestep_quantile=None):
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)
+        model_inputs, target, mask = pipeline.prepare_inputs(
+            rng, batch, timestep_quantile=timestep_quantile
+        )
+        output = pipeline.forward(params, model_inputs)
+        return pipeline.loss_fn(output, target, mask)
+
+    return loss_fn
+
+
+def make_train_step(
+    pipeline,
+    optimizer: optax.GradientTransformation,
+    gradient_clipping: float = 1.0,
+    gradient_accumulation_steps: int = 1,
+    donate: bool = True,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch leaves are [GAS * mbs, ...]; with GAS > 1 they are reshaped to
+    [GAS, mbs, ...] and grads averaged across the scan (reference:
+    micro-batches flow the 1F1B schedule; numerics identical).
+    """
+    loss_fn = make_loss_fn(pipeline)
+    grad_fn = jax.value_and_grad(loss_fn)
+    gas = gradient_accumulation_steps
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng):
+        if gas == 1:
+            loss, grads = grad_fn(state.trainable, state.frozen, batch, rng)
+        else:
+            def micro(carry, xs):
+                mb, key = xs
+                loss_i, g_i = grad_fn(state.trainable, state.frozen, mb, key)
+                acc_loss, acc_g = carry
+                return (
+                    acc_loss + loss_i,
+                    jax.tree.map(jnp.add, acc_g, g_i),
+                ), None
+
+            mbs = jax.tree.map(
+                lambda x: x.reshape((gas, x.shape[0] // gas) + x.shape[1:]), batch
+            )
+            keys = jax.random.split(rng, gas)
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.trainable
+            )
+            (loss, grads), _ = jax.lax.scan(
+                micro, (jnp.zeros([], jnp.float32), zero_g), (mbs, keys)
+            )
+            loss = loss / gas
+            grads = jax.tree.map(lambda g: g / gas, grads)
+
+        grad_norm = optax.global_norm(grads)
+        if gradient_clipping and gradient_clipping > 0:
+            scale = jnp.minimum(1.0, gradient_clipping / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.trainable
+        )
+        trainable = optax.apply_updates(state.trainable, updates)
+        batch_size = jax.tree.leaves(batch)[0].shape[0]
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=trainable,
+            opt_state=opt_state,
+            examples=state.examples + batch_size,
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(pipeline):
+    """eval_step(state, batch, rng, quantile) -> loss. Deterministic t via
+    fixed quantiles (reference train.py:176-242)."""
+
+    def eval_step(state: TrainState, batch, rng, timestep_quantile):
+        loss_fn = make_loss_fn(pipeline, timestep_quantile=timestep_quantile)
+        return loss_fn(state.trainable, state.frozen, batch, rng)
+
+    return eval_step
+
+
+def init_train_state(
+    pipeline, optimizer, rng, predicate, params=None
+) -> TrainState:
+    from .train_state import partition_params
+
+    if params is None:
+        params = pipeline.init_params(rng)
+    trainable, frozen = partition_params(params, predicate)
+    opt_state = optimizer.init(trainable)
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=opt_state,
+        examples=jnp.zeros([], jnp.int64) if jax.config.jax_enable_x64
+        else jnp.zeros([], jnp.int32),
+    )

@@ -1,0 +1,92 @@
+"""Benchmark: Flux-dev-shaped LoRA training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches BASELINE.md "samples/sec/chip, Flux-dev LoRA @512px":
+full flux-dev architecture (19 double + 38 single blocks, 3072 hidden,
+12B params), fp8 base-kernel storage + bf16 compute (the reference's
+transformer_dtype='float8' mode), LoRA rank 32 on all block linears,
+512px latents (16x64x64 -> 1024 img tokens) + 512 T5 tokens, adamw.
+
+vs_baseline is measured samples/sec divided by 1.0 samples/sec/chip — the
+A100 ballpark for flux-dev LoRA @512 (the reference publishes no numbers;
+BASELINE.md records `published: {}`).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_SAMPLES_PER_SEC = 1.0
+
+
+def main():
+    from diffusion_pipe_tpu.models import get_model_class
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+
+    config = {
+        "save_every_n_epochs": 1,
+        "model": {
+            "type": "flux",
+            "dtype": "bfloat16",
+            "transformer_dtype": "float8",
+            "guidance": 1.0,
+        },
+        "adapter": {"type": "lora", "rank": 32, "alpha": 32, "dropout": 0.0},
+        "optimizer": {"type": "adamw8bit", "lr": 1e-4},
+        "gradient_clipping": 1.0,
+        "activation_checkpointing": True,
+    }
+
+    batch_size = 1
+    h = w = 64  # 512px / 8 (VAE) = 64 latent -> 1024 img tokens
+    txt_len = 512
+
+    pipeline = get_model_class("flux")(config)
+    optimizer = get_optimizer(config)
+
+    from diffusion_pipe_tpu.training.trainer import init_train_state, make_train_step
+
+    state = init_train_state(
+        pipeline, optimizer, jax.random.PRNGKey(0), lora_predicate
+    )
+    step = jax.jit(make_train_step(pipeline, optimizer), donate_argnums=(0,))
+
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "latents": jax.random.normal(k, (batch_size, 16, h, w), jnp.float32),
+        "t5_embed": jax.random.normal(k, (batch_size, txt_len, 4096), jnp.bfloat16),
+        "clip_embed": jax.random.normal(k, (batch_size, 768), jnp.bfloat16),
+    }
+
+    # warmup / compile
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    _ = jax.device_get(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+    _ = jax.device_get(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    samples_per_sec = batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "samples/sec/chip Flux-dev(12B,fp8) LoRA-r32 @512px",
+                "value": round(samples_per_sec, 4),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(
+                    samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,13 @@ class FluxPipeline(BasePipeline):
         adapter = self.config.get("adapter", {})
         kwargs: Dict[str, Any] = dict(
             dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
-            param_dtype=dtype_from_string(
-                mc.get("transformer_dtype", mc.get("dtype", "bfloat16"))
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            # transformer_dtype = 'float8' stores block kernels fp8
+            # (reference models/flux.py:201-203)
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype")
+                else None
             ),
             guidance_embeds=bool(mc.get("guidance_embeds", True)),
             remat=bool(self.config.get("activation_checkpointing", False)),
@@ -89,6 +94,11 @@ class FluxPipeline(BasePipeline):
                 lora_rank=int(adapter["rank"]),
                 lora_alpha=float(adapter["alpha"]),
                 lora_dropout=float(adapter.get("dropout", 0.0)),
+                # reference casts trainables to the adapter dtype
+                # (models/base.py:258-260); default = model dtype
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
             )
         if mc.get("_tiny", False):  # test hook
             return FluxConfig.tiny(**kwargs)
@@ -107,7 +117,8 @@ class FluxPipeline(BasePipeline):
         img_ids = latent_image_ids(4, 4)
         txt_ids = jnp.zeros((stxt, 3), jnp.float32)
         g = jnp.ones((b,), jnp.float32) if cfg.guidance_embeds else None
-        return self.model.init(rng, x, t5, clip, t, img_ids, txt_ids, g)
+        # jit so the 12B-param init runs as one XLA program on device
+        return jax.jit(self.model.init)(rng, x, t5, clip, t, img_ids, txt_ids, g)
 
     def prepare_inputs(self, rng, batch, timestep_quantile=None):
         """batch: latents [B,16,H,W], t5_embed [B,S,4096], clip_embed [B,768],

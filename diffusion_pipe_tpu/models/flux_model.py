@@ -59,9 +59,13 @@ class FluxConfig:
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
+    # Storage dtype for block linear kernels (fp8 weight storage, reference
+    # models/flux.py:201-203 with KEEP_IN_HIGH_PRECISION embedders/norms/head).
+    base_kernel_dtype: Any = None
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
     remat: bool = False
 
     @property
@@ -74,6 +78,7 @@ class FluxConfig:
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout,
+            lora_dtype=self.lora_dtype,
         )
 
     @staticmethod
@@ -109,7 +114,8 @@ class FluxDoubleBlock(nn.Module):
         dim = cfg.hidden_size
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
-        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  kernel_dtype=cfg.base_kernel_dtype)
         lora = cfg.lora_kwargs
 
         # adaLN-Zero: SiLU(temb) -> Linear -> 6 chunks, per stream
@@ -208,7 +214,8 @@ class FluxSingleBlock(nn.Module):
         dim = cfg.hidden_size
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
-        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  kernel_dtype=cfg.base_kernel_dtype)
         lora = cfg.lora_kwargs
 
         mod = LoraDense(3 * dim, name="norm_linear", **dd, **lora)(nn.silu(temb))

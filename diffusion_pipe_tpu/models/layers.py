@@ -46,6 +46,10 @@ class LoraDense(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # Storage dtype for the base kernel only (e.g. float8_e4m3fn for the
+    # reference's fp8 weight storage, models/flux.py:201-203); biases and
+    # LoRA factors stay in param_dtype/lora_dtype (KEEP_IN_HIGH_PRECISION).
+    kernel_dtype: Optional[Dtype] = None
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -56,11 +60,17 @@ class LoraDense(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_features = x.shape[-1]
+        kdtype = self.kernel_dtype or self.param_dtype
+
+        def kinit(key, shape, dtype):
+            # fp8 dtypes aren't supported by random samplers; init in f32.
+            return self.kernel_init(key, shape, jnp.float32).astype(dtype)
+
         kernel = self.param(
             "kernel",
-            _maybe_partition(self.kernel_init, self.kernel_axes),
+            _maybe_partition(kinit, self.kernel_axes),
             (in_features, self.features),
-            self.param_dtype,
+            kdtype,
         )
         y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
         if self.use_bias:

@@ -1,0 +1,167 @@
+"""GPipe pipeline parallelism as a differentiable shard_map program.
+
+TPU-native replacement for the reference's DeepSpeed 1F1B engine
+(utils/patches.py:113-160 patched TrainSchedule + PipelineEngine p2p
+send/recv): stage hand-off is a `ppermute` ring over the 'stage' mesh axis,
+the microbatch loop is a `lax.scan` over pipeline ticks, and backward is
+ordinary reverse-mode AD through the scan (the reverse program IS the
+reverse pipeline; ppermute's transpose is the inverted ring).
+
+Design (SURVEY.md section 7.1 "stage-partitioned modules under shard_map"):
+
+- A *phase* is a homogeneous run of blocks (e.g. flux's 19 double blocks).
+  Its stacked params [L, ...] are padded to [S*k, ...] and sharded P('stage')
+  on axis 0, so each device owns k blocks; padded slots carry an enabled=0
+  flag and act as identity. Heterogeneous models chain several phases
+  (flux: doubles then singles) — microbatches traverse the device ring once
+  per phase, which is structurally the "circular/interleaved" layout (each
+  device hosts one virtual stage per phase).
+- Within a tick every device computes its k blocks via an inner lax.scan,
+  then the payload rotates one hop. Stage 0 injects freshly-embedded
+  microbatch t; the last stage collects finished microbatches.
+- The schedule is GPipe (fill/drain bubble 2*(S-1) ticks across both
+  phases for flux). The tick-scan structure is the substrate a 1F1B
+  variant slots into later.
+
+Everything here is *manual* only over the 'stage' axis (shard_map
+axis_names={'stage'}); 'data' and 'tensor' stay GSPMD-auto, so DP batch
+sharding and TP kernel sharding compose with the pipeline for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+STAGE_AXIS = "stage"
+
+
+def stage_index():
+    return jax.lax.axis_index(STAGE_AXIS)
+
+
+def num_stages_in_axis():
+    return jax.lax.axis_size(STAGE_AXIS)
+
+
+def ring_perm(s: int):
+    return [(i, (i + 1) % s) for i in range(s)]
+
+
+def ring_shift(tree: Any, s: int):
+    """Move every device's value one hop forward on the stage ring."""
+    return jax.tree.map(
+        lambda x: jax.lax.ppermute(x, STAGE_AXIS, ring_perm(s)), tree
+    )
+
+
+def pad_stack_for_stages(stacked: Any, num_layers: int, num_stages: int):
+    """Pad [L, ...] stacked block params to [S*k, ...] plus enabled mask.
+
+    Returns (padded_params, enabled [S*k] float32). Padded slots are zeros
+    and masked to identity at apply time.
+    """
+    k = -(-num_layers // num_stages)
+    total = k * num_stages
+    pad = total - num_layers
+
+    def pad_leaf(x):
+        if pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    padded = jax.tree.map(pad_leaf, stacked)
+    enabled = (jnp.arange(total) < num_layers).astype(jnp.float32)
+    return padded, enabled, k
+
+
+def apply_local_blocks(block_apply: Callable, local_params: Any,
+                       local_enabled: jax.Array, carry: Any, *broadcast):
+    """Run this stage's k blocks (inner scan), identity for disabled slots.
+
+    block_apply(params_i, carry, *broadcast) -> new_carry
+    local_params leaves: [k, ...]; local_enabled: [k].
+    """
+
+    def body(c, xs):
+        p_i, en = xs
+        new_c = block_apply(p_i, c, *broadcast)
+        out = jax.tree.map(
+            lambda a, b: jnp.where(en > 0, a, b), new_c, c
+        )
+        return out, None
+
+    out, _ = jax.lax.scan(body, carry, (local_params, local_enabled))
+    return out
+
+
+def gpipe_phase(
+    stage_compute: Callable,
+    inject: Callable,
+    num_microbatches: int,
+    num_stages: int,
+    payload_template: Any,
+):
+    """One pipelined phase over the stage ring.
+
+    Args:
+      stage_compute: (payload) -> payload; this device's block stack.
+      inject: (t: int32) -> payload; fresh input for microbatch t (used on
+        stage 0 only; computed everywhere, selected by stage id).
+      payload_template: pytree of arrays with the payload's shape/dtype.
+
+    Returns [M, ...] stacked finished payloads — valid on the LAST stage
+    (other stages hold garbage; mask or psum on use).
+    """
+    m_total = num_microbatches
+    s = num_stages
+    ticks = m_total + s - 1
+
+    def to_varying(tree):
+        # scan carries become device-varying after ppermute; the initial
+        # value must carry the same vma type (shard_map VMA typing rule)
+        return jax.tree.map(
+            lambda x: jax.lax.pcast(x, (STAGE_AXIS,), to="varying"), tree
+        )
+
+    zero_payload = to_varying(jax.tree.map(jnp.zeros_like, payload_template))
+    # +1 slot: out-of-range (bubble) writes land in the sacrificial tail.
+    out0 = to_varying(jax.tree.map(
+        lambda x: jnp.zeros((m_total + 1,) + x.shape, x.dtype), payload_template
+    ))
+
+    def tick(carry, t):
+        buf, out = carry
+        stage = stage_index()
+        fresh = inject(jnp.minimum(t, m_total - 1))
+        cur = jax.tree.map(
+            lambda a, b: jnp.where(stage == 0, a, b), fresh, buf
+        )
+        cur = stage_compute(cur)
+        # last stage collects microbatch m = t - (S-1)
+        m = t - (s - 1)
+        idx = jnp.where((m >= 0) & (stage == s - 1), m, m_total)
+        out = jax.tree.map(
+            lambda o, c: jax.lax.dynamic_update_index_in_dim(o, c, idx, 0),
+            out, cur,
+        )
+        buf = ring_shift(cur, s)
+        return (buf, out), None
+
+    (_, out), _ = jax.lax.scan(
+        tick, (zero_payload, out0), jnp.arange(ticks)
+    )
+    return jax.tree.map(lambda o: o[:m_total], out)
+
+
+def last_stage_scalar(value: jax.Array, num_stages: int):
+    """Replicate a scalar computed validly only on the last stage."""
+    stage = stage_index()
+    return jax.lax.psum(
+        jnp.where(stage == num_stages - 1, value, 0.0), STAGE_AXIS
+    )

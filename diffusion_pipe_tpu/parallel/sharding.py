@@ -1,0 +1,49 @@
+"""Parameter/batch sharding rules over the ('data','stage','tensor') mesh.
+
+The models attach PartitionSpec metadata to tensor-parallel kernels via
+nn.with_partitioning (axis name 'tensor'); nn.get_partition_spec turns the
+param tree into specs, and everything without metadata is replicated. Batch
+tensors shard their leading dim over 'data'.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_params_sharding(mesh: Mesh, params: Any):
+    """Pytree of NamedSharding for a (possibly Partitioned-annotated) param
+    tree. Leaves without metadata are replicated. Axis names that are not
+    mesh axes (e.g. the scan-stacked 'layers' axis) are treated as
+    replicated here — the pipeline shards the layer axis itself at
+    shard_map dispatch (flux_pp.py)."""
+    specs = nn.get_partition_spec(params)
+
+    def to_sharding(spec):
+        cleaned = P(*(ax if ax in mesh.axis_names else None for ax in spec))
+        return NamedSharding(mesh, cleaned)
+
+    return jax.tree.map(
+        to_sharding, specs, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+def shard_params(mesh: Mesh, params: Any):
+    """Device_put the param tree according to its metadata.
+
+    Returns the tree UNBOXED (raw arrays, no Partitioned wrappers): under an
+    active mesh, flax would re-apply boxed constraints at every `apply`, and
+    the stale scan-axis name 'layers' is not a mesh axis.
+    """
+    shardings = get_params_sharding(mesh, params)
+    return jax.device_put(nn.unbox(params), shardings)
+
+
+def batch_sharding(mesh: Mesh, leading_microbatch_axis: bool = False):
+    if leading_microbatch_axis:
+        return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(mesh, P("data"))

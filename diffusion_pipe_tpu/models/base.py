@@ -63,9 +63,15 @@ class BasePipeline:
 
     # --- caching (used by the data pipeline) -------------------------------
     def get_call_vae_fn(self):
+        """-> fn(pixels [B,C,H,W] or [B,C,F,H,W] numpy in [-1,1]) -> dict of
+        batch-leading arrays to cache (reference get_call_vae_fn,
+        models/base.py:340-347)."""
         raise NotImplementedError
 
-    def get_call_text_encoder_fn(self):
+    def get_call_text_encoder_fns(self):
+        """-> list of fn(list[str]) -> dict of batch-leading arrays, one per
+        text encoder (reference get_call_text_encoder_fn per TE,
+        models/base.py:349-358)."""
         raise NotImplementedError
 
     # --- saving ------------------------------------------------------------

@@ -1,0 +1,171 @@
+"""Data pipeline: scan -> bucket -> cache -> load, determinism and resume."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusion_pipe_tpu.data.cache import Cache, map_and_cache
+from diffusion_pipe_tpu.data.dataset import Dataset, collate
+from diffusion_pipe_tpu.data.loader import DatasetManager, PipelineDataLoader
+from diffusion_pipe_tpu.data.preprocess import PreprocessMediaFile
+
+
+class FakePipeline:
+    """Identity-ish encoders: VAE = 8x avg-pool to 4ch, TEs = fixed vectors."""
+
+    name = "fake"
+    framerate = None
+
+    def get_call_vae_fn(self):
+        def fn(pixels):
+            b, c, h, w = pixels.shape
+            lat = pixels.reshape(b, c, h // 8, 8, w // 8, 8).mean((3, 5))
+            lat = np.concatenate([lat, lat[:, :1]], axis=1)  # 4 channels
+            return {"latents": lat.astype(np.float32)}
+
+        return fn
+
+    def get_call_text_encoder_fns(self):
+        def te1(captions):
+            return {
+                "t5_embed": np.stack(
+                    [np.full((7, 16), len(c), np.float32) for c in captions]
+                )
+            }
+
+        def te2(captions):
+            return {
+                "clip_embed": np.stack(
+                    [np.full((8,), hash(c) % 97, np.float32) for c in captions]
+                )
+            }
+
+        return [te1, te2]
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    sizes = [(256, 256), (256, 256), (320, 240), (240, 320), (256, 256),
+             (512, 512)]
+    for i, (w, h) in enumerate(sizes):
+        arr = rng.integers(0, 255, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(d / f"img_{i}.png")
+        (d / f"img_{i}.txt").write_text(f"caption number {i}")
+    return d
+
+
+def _dataset_config(image_dir, **kw):
+    cfg = {
+        "resolutions": [64],
+        "enable_ar_bucket": True,
+        "min_ar": 0.5,
+        "max_ar": 2.0,
+        "num_ar_buckets": 5,
+        "directory": [{"path": str(image_dir), "num_repeats": 1}],
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def test_cache_roundtrip(tmp_path):
+    c = Cache(tmp_path / "c", "fp1")
+    c.write(0, {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            {"caption": "hello"})
+    out = c.read(0)
+    np.testing.assert_array_equal(out["a"], np.arange(6).reshape(2, 3))
+    tensors, meta = c.read(0, with_metadata=True)
+    assert meta["caption"] == "hello"
+    # fingerprint mismatch clears
+    c2 = Cache(tmp_path / "c", "fp2")
+    assert len(c2) == 0
+
+
+def test_map_and_cache_resumes(tmp_path):
+    calls = []
+
+    def map_fn(items):
+        calls.extend(items)
+        return [({"x": np.array([i], np.float32)}, None) for i in items]
+
+    c = map_and_cache([1, 2, 3, 4], map_fn, tmp_path / "c", "fp", batch_size=2)
+    assert len(c) == 4 and calls == [1, 2, 3, 4]
+    calls.clear()
+    c = map_and_cache([1, 2, 3, 4], map_fn, tmp_path / "c", "fp", batch_size=2)
+    assert calls == []  # fully cached
+
+
+def test_preprocess_image(tmp_path):
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (100, 150, 3), np.uint8)
+    )
+    p = tmp_path / "x.png"
+    img.save(p)
+    pre = PreprocessMediaFile(round_height=16, round_width=16)
+    results = pre((None, str(p)), None, (64, 48, 1))
+    px, mask = results[0]
+    assert px.shape == (3, 48, 64)  # (C, H, W), rounded to 16
+    assert px.min() >= -1.0 and px.max() <= 1.0
+    assert mask is None
+
+
+def test_end_to_end_scan_cache_iterate(image_dir):
+    pipeline = FakePipeline()
+    ds = Dataset(_dataset_config(image_dir), pipeline)
+    manager = DatasetManager(pipeline, caching_batch_size=2)
+    manager.register(ds)
+    manager.cache()
+    ds.post_init(0, 1, micro_batch_size=2, gradient_accumulation_steps=1)
+    loader = PipelineDataLoader(ds)
+    sb, batch = next(loader)
+    assert batch["latents"].shape[0] == 2
+    assert "t5_embed" in batch and "clip_embed" in batch
+    assert batch["latents"].shape[2:] == (sb[1] // 8, sb[0] // 8)
+
+    # deterministic order: a fresh loader yields the same first batch
+    loader2 = PipelineDataLoader(ds)
+    sb2, batch2 = next(loader2)
+    assert sb2 == sb
+    np.testing.assert_array_equal(batch["latents"], batch2["latents"])
+
+
+def test_loader_epoch_and_resume(image_dir):
+    pipeline = FakePipeline()
+    ds = Dataset(_dataset_config(image_dir), pipeline)
+    DatasetManager(pipeline).register(ds)
+    m = DatasetManager(pipeline, caching_batch_size=2)
+    m.register(ds)
+    m.cache()
+    ds.post_init(0, 1, micro_batch_size=1, gradient_accumulation_steps=1)
+    loader = PipelineDataLoader(ds)
+    n = ds.batches_per_epoch()
+    seq = [next(loader) for _ in range(n + 1)]
+    assert loader.epoch == 2
+
+    # resume: replay to the same position and continue identically
+    loader_b = PipelineDataLoader(ds)
+    for _ in range(3):
+        next(loader_b)
+    state = loader_b.state_dict()
+    loader_c = PipelineDataLoader(ds)
+    loader_c.load_state_dict(state)
+    sb_b, batch_b = next(loader_b)
+    sb_c, batch_c = next(loader_c)
+    assert sb_b == sb_c
+    np.testing.assert_array_equal(batch_b["latents"], batch_c["latents"])
+
+
+def test_dp_rank_slicing(image_dir):
+    pipeline = FakePipeline()
+    ds = Dataset(_dataset_config(image_dir), pipeline)
+    m = DatasetManager(pipeline, caching_batch_size=2)
+    m.register(ds)
+    m.cache()
+    # two DP ranks must see disjoint examples within the same global batch
+    ds.post_init(0, 2, micro_batch_size=1, gradient_accumulation_steps=1)
+    b0 = [next(PipelineDataLoader(ds))[1]]
+    ds.post_init(1, 2, micro_batch_size=1, gradient_accumulation_steps=1)
+    b1 = [next(PipelineDataLoader(ds))[1]]
+    assert not np.array_equal(b0[0]["latents"], b1[0]["latents"])

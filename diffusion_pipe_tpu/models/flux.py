@@ -18,6 +18,7 @@ needs the reference's first->last pipeline-stage broadcast hack
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Dict, Optional
 
 import einops
@@ -171,3 +172,131 @@ class FluxPipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    def save_adapter(self, out_dir, trainable):
+        """diffusers-lora safetensors export (reference flux save_adapter
+        writes the diffusers format, models/flux.py:255-288)."""
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from .flux_convert import export_lora_diffusers
+        from flax import linen as nn
+
+        sd = export_lora_diffusers(nn.unbox(trainable), self.flux_config)
+        save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
+
+    # --- pretrained weights -------------------------------------------------
+
+    def load_weights(self):
+        """Convert diffusers FluxTransformer2DModel weights to our params.
+
+        model_config['diffusers_path'] points at the diffusers repo folder
+        (same config surface as the reference, docs/supported_models.md) or
+        'transformer_path' directly at the transformer safetensors.
+        """
+        from .flux_convert import convert_diffusers_flux
+        from .weights import load_safetensors_dir
+
+        mc = self.model_config
+        path = mc.get("transformer_path")
+        if path is None:
+            path = str(Path(mc["diffusers_path"]) / "transformer")
+        sd = load_safetensors_dir(path)
+        return convert_diffusers_flux(sd, self.flux_config)
+
+    # --- caching encoders ---------------------------------------------------
+
+    def _load_vae(self):
+        if getattr(self, "_vae", None) is None:
+            from .autoencoder_kl import AutoencoderKL, VAEConfig, convert_diffusers_vae
+            from .weights import load_safetensors_dir
+
+            mc = self.model_config
+            if mc.get("_tiny", False):
+                # test hook: random-init small VAE with flux latent channels
+                cfg = VAEConfig(
+                    latent_channels=16, block_out_channels=(8, 8, 16, 16),
+                    norm_num_groups=4, layers_per_block=1,
+                    scaling_factor=1.0, shift_factor=0.0,
+                )
+                self._vae = AutoencoderKL(cfg)
+                self._vae_params = self._vae.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64))
+                )
+                return self._vae, self._vae_params
+            cfg = VAEConfig.flux()
+            self._vae = AutoencoderKL(cfg)
+            path = mc.get("vae_path")
+            if path is None:
+                path = str(Path(mc["diffusers_path"]) / "vae")
+            sd = load_safetensors_dir(path)
+            self._vae_params = convert_diffusers_vae(sd, cfg)
+        return self._vae, self._vae_params
+
+    def get_call_vae_fn(self):
+        import numpy as np
+
+        vae, params = self._load_vae()
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            if pixels.ndim == 5:  # (B, C, F=1, H, W) -> image
+                pixels = pixels[:, :, 0]
+            z = encode(jnp.asarray(pixels, jnp.float32))
+            return {"latents": np.asarray(z)}
+
+        return fn
+
+    def get_call_text_encoder_fns(self):
+        import numpy as np
+
+        from .text_encoders import HFTextEncoder
+
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            cfg = self.flux_config
+            from ..data.bucketing import seed_from_hash
+
+            def _rngs(captions):
+                return [np.random.default_rng(seed_from_hash(c)) for c in captions]
+
+            def t5_fn(captions):
+                return {"t5_embed": np.stack([
+                    r.standard_normal((16, cfg.joint_attention_dim)).astype(
+                        np.float32
+                    ) for r in _rngs(captions)
+                ])}
+
+            def clip_fn(captions):
+                return {"clip_embed": np.stack([
+                    r.standard_normal((cfg.pooled_projection_dim,)).astype(
+                        np.float32
+                    ) for r in _rngs(captions)
+                ])}
+
+            return [t5_fn, clip_fn]
+        base = mc.get("diffusers_path")
+        t5 = HFTextEncoder(
+            "t5",
+            mc.get("t5_path", str(Path(base) / "text_encoder_2")),
+            max_length=int(mc.get("max_sequence_length", 512)),
+            tokenizer_path=mc.get("t5_tokenizer_path",
+                                  str(Path(base) / "tokenizer_2") if base else None),
+        )
+        clip = HFTextEncoder(
+            "clip_pooled",
+            mc.get("clip_path", str(Path(base) / "text_encoder")),
+            max_length=77,
+            tokenizer_path=mc.get("clip_tokenizer_path",
+                                  str(Path(base) / "tokenizer") if base else None),
+        )
+
+        def t5_fn(captions):
+            return {"t5_embed": t5.encode(captions)}
+
+        def clip_fn(captions):
+            return {"clip_embed": clip.encode(captions)}
+
+        return [t5_fn, clip_fn]

@@ -1,0 +1,150 @@
+"""Flux weight-key conversion: diffusers <-> this framework, LoRA export.
+
+The reference consumes diffusers FluxTransformer2DModel weights directly and
+saves adapters in diffusers-lora / BFL formats (models/flux.py:22-109 BFL key
+map, 255-288 save). Here the mapping targets our scanned/stacked param
+layout: per-block trees are stacked along a leading [L] axis.
+
+Key map (diffusers -> ours), per double block N in transformer_blocks:
+  norm1.linear                -> norm1_linear
+  norm1_context.linear        -> norm1_context_linear
+  attn.{to_q,to_k,to_v}       -> attn_to_{q,k,v}
+  attn.{add_q,add_k,add_v}_proj -> attn_add_{q,k,v}
+  attn.to_out.0               -> attn_to_out
+  attn.to_add_out             -> attn_to_add_out
+  attn.norm_q/norm_k          -> attn_norm_q/attn_norm_k (scale)
+  attn.norm_added_q/_k        -> attn_norm_added_q/_k
+  ff.net.0.proj / ff.net.2    -> ff_in / ff_out
+  ff_context.net.0.proj/net.2 -> ff_context_in / ff_context_out
+and per single block N in single_transformer_blocks:
+  norm.linear -> norm_linear; attn.to_q/k/v -> attn_to_q/k/v;
+  attn.norm_q/k -> attn_norm_q/k; proj_mlp -> proj_mlp; proj_out -> proj_out
+top level: x_embedder, context_embedder, time_text_embed.{timestep_embedder,
+guidance_embedder,text_embedder}.linear_{1,2}, norm_out.linear ->
+norm_out_linear, proj_out.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .flux_model import FluxConfig
+from .weights import linear, norm_scale, stack_layers
+
+_DOUBLE_MAP = {
+    "norm1_linear": "norm1.linear",
+    "norm1_context_linear": "norm1_context.linear",
+    "attn_to_q": "attn.to_q",
+    "attn_to_k": "attn.to_k",
+    "attn_to_v": "attn.to_v",
+    "attn_add_q": "attn.add_q_proj",
+    "attn_add_k": "attn.add_k_proj",
+    "attn_add_v": "attn.add_v_proj",
+    "attn_to_out": "attn.to_out.0",
+    "attn_to_add_out": "attn.to_add_out",
+    "ff_in": "ff.net.0.proj",
+    "ff_out": "ff.net.2",
+    "ff_context_in": "ff_context.net.0.proj",
+    "ff_context_out": "ff_context.net.2",
+}
+_DOUBLE_NORMS = {
+    "attn_norm_q": "attn.norm_q",
+    "attn_norm_k": "attn.norm_k",
+    "attn_norm_added_q": "attn.norm_added_q",
+    "attn_norm_added_k": "attn.norm_added_k",
+}
+_SINGLE_MAP = {
+    "norm_linear": "norm.linear",
+    "attn_to_q": "attn.to_q",
+    "attn_to_k": "attn.to_k",
+    "attn_to_v": "attn.to_v",
+    "proj_mlp": "proj_mlp",
+    "proj_out": "proj_out",
+}
+_SINGLE_NORMS = {"attn_norm_q": "attn.norm_q", "attn_norm_k": "attn.norm_k"}
+
+
+def convert_diffusers_flux(sd: Dict[str, np.ndarray], config: FluxConfig):
+    """diffusers state dict (numpy) -> flax variables for FluxTransformer."""
+    def block(prefix, lin_map, norm_map):
+        out = {}
+        for ours, theirs in lin_map.items():
+            out[ours] = linear(sd, f"{prefix}.{theirs}")
+        for ours, theirs in norm_map.items():
+            out[ours] = norm_scale(sd, f"{prefix}.{theirs}")
+        return out
+
+    doubles = stack_layers([
+        block(f"transformer_blocks.{i}", _DOUBLE_MAP, _DOUBLE_NORMS)
+        for i in range(config.num_layers)
+    ])
+    singles = stack_layers([
+        block(f"single_transformer_blocks.{i}", _SINGLE_MAP, _SINGLE_NORMS)
+        for i in range(config.num_single_layers)
+    ])
+
+    params = {
+        "x_embedder": linear(sd, "x_embedder"),
+        "context_embedder": linear(sd, "context_embedder"),
+        "timestep_embedder": {
+            "linear_1": linear(sd, "time_text_embed.timestep_embedder.linear_1"),
+            "linear_2": linear(sd, "time_text_embed.timestep_embedder.linear_2"),
+        },
+        "text_embedder": {
+            "linear_1": linear(sd, "time_text_embed.text_embedder.linear_1"),
+            "linear_2": linear(sd, "time_text_embed.text_embedder.linear_2"),
+        },
+        "norm_out_linear": linear(sd, "norm_out.linear"),
+        "proj_out": linear(sd, "proj_out"),
+        "double_blocks": doubles,
+        "single_blocks": singles,
+    }
+    if config.guidance_embeds:
+        params["guidance_embedder"] = {
+            "linear_1": linear(sd, "time_text_embed.guidance_embedder.linear_1"),
+            "linear_2": linear(sd, "time_text_embed.guidance_embedder.linear_2"),
+        }
+    return {"params": params}
+
+
+def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray]:
+    """Our trainable (LoRA) tree -> diffusers-lora state dict keys:
+    transformer.<block path>.lora_A.weight [r, in] / lora_B.weight [out, r]
+    (kohya/ComfyUI variants derive from this naming; reference saves the
+    diffusers format for flux adapters, models/flux.py:255-288)."""
+    out = {}
+    p = trainable["params"]
+
+    def emit(prefix_theirs, leaf):
+        if leaf is None or "lora_a" not in leaf:
+            return
+        a = np.asarray(leaf["lora_a"])  # [in, r]
+        b = np.asarray(leaf["lora_b"])  # [r, out]
+        out[f"transformer.{prefix_theirs}.lora_A.weight"] = (
+            np.ascontiguousarray(a.T.astype(np.float32))
+        )
+        out[f"transformer.{prefix_theirs}.lora_B.weight"] = (
+            np.ascontiguousarray(b.T.astype(np.float32))
+        )
+
+    def emit_stacked(tree, count, prefix_fmt, lin_map):
+        for ours, theirs in lin_map.items():
+            leaf = tree.get(ours)
+            if leaf is None or "lora_a" not in leaf:
+                continue
+            for i in range(count):
+                emit_single = {
+                    "lora_a": np.asarray(leaf["lora_a"])[i],
+                    "lora_b": np.asarray(leaf["lora_b"])[i],
+                }
+                emit(prefix_fmt.format(i=i) + "." + theirs, emit_single)
+
+    d = p.get("double_blocks", {})
+    emit_stacked(d, config.num_layers, "transformer_blocks.{i}", _DOUBLE_MAP)
+    s = p.get("single_blocks", {})
+    emit_stacked(
+        s, config.num_single_layers, "single_transformer_blocks.{i}", _SINGLE_MAP
+    )
+    return out

@@ -1,0 +1,262 @@
+"""Training driver CLI.
+
+TPU-native equivalent of reference train.py (the DeepSpeed launcher script):
+
+    python train.py --config examples/flux.toml [--resume_from_checkpoint]
+        [--regenerate_cache] [--cache_only] [--reset_dataloader]
+        [--reset_optimizer] [--dump_dataset DIR]
+
+Differences from the reference are architectural, not behavioral: one
+process drives all local TPU chips (no per-GPU process group / NCCL init,
+reference train.py:293-299); pipeline/data/tensor parallelism come from the
+('data','stage','tensor') mesh; noising runs inside the jitted train step;
+per-size-bucket XLA programs replace reset_activation_shape() retracing
+(reference train.py:906).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--resume_from_checkpoint", nargs="?", const=True,
+                   default=False)
+    p.add_argument("--regenerate_cache", action="store_true")
+    p.add_argument("--cache_only", action="store_true")
+    p.add_argument("--trust_cache", action="store_true")
+    p.add_argument("--reset_dataloader", action="store_true")
+    p.add_argument("--reset_optimizer", action="store_true")
+    p.add_argument("--dump_dataset", type=Path, default=None)
+    p.add_argument("--i_know_what_i_am_doing", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None)
+    return p.parse_args(argv)
+
+
+TIMESTEP_QUANTILES_FOR_EVAL = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from diffusion_pipe_tpu.config import (
+        load_config,
+        load_toml,
+        lookup_batch_size,
+        resolve_batch_size_maps,
+    )
+    from diffusion_pipe_tpu.data.dataset import Dataset
+    from diffusion_pipe_tpu.data.loader import DatasetManager, PipelineDataLoader
+    from diffusion_pipe_tpu.mesh import local_mesh_or_default
+    from diffusion_pipe_tpu.models import get_model_class
+    from diffusion_pipe_tpu.parallel.sharding import shard_params
+    from diffusion_pipe_tpu.training.metrics import MetricsWriter
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.saver import Saver, get_most_recent_run_dir
+    from diffusion_pipe_tpu.training.train_state import (
+        TrainState,
+        partition_params,
+        predicate_from_config,
+    )
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    config = load_config(args.config)
+    dataset_config = load_toml(config["dataset"])
+    bs_maps = resolve_batch_size_maps(config)
+
+    pipeline = get_model_class(config["model"]["type"])(config)
+
+    # --- caching phase ------------------------------------------------------
+    train_data = Dataset(dataset_config, pipeline,
+                         support_video=pipeline.framerate is not None)
+    eval_datasets = []
+    for eval_cfg_path in config.get("eval_datasets", []):
+        name = Path(eval_cfg_path).stem
+        eval_datasets.append(
+            (name, Dataset(load_toml(eval_cfg_path), pipeline,
+                           support_video=pipeline.framerate is not None))
+        )
+    manager = DatasetManager(
+        pipeline,
+        regenerate_cache=args.regenerate_cache,
+        caching_batch_size=config.get("caching_batch_size", 1),
+    )
+    manager.register(train_data)
+    for _, ds in eval_datasets:
+        manager.register(ds)
+    manager.cache()
+    if args.cache_only:
+        print("Cache generated. Exiting.")
+        return 0
+
+    # --- run dir ------------------------------------------------------------
+    output_dir = Path(config["output_dir"])
+    if args.resume_from_checkpoint is True:
+        run_dir = Path(get_most_recent_run_dir(output_dir))
+    elif args.resume_from_checkpoint:
+        run_dir = output_dir / str(args.resume_from_checkpoint)
+    else:
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H-%M-%S")
+        run_dir = output_dir / stamp
+        run_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(args.config, run_dir / Path(args.config).name)
+        if os.path.exists(config["dataset"]):
+            shutil.copy(config["dataset"], run_dir / Path(config["dataset"]).name)
+    print(f"run_dir: {run_dir}")
+
+    # --- mesh / params / optimizer ------------------------------------------
+    mesh = local_mesh_or_default(config)
+    dp_world = mesh.shape["data"]
+    optimizer = get_optimizer(config)
+    predicate = predicate_from_config(config)
+
+    try:
+        params = pipeline.load_weights()
+        print("loaded pretrained weights")
+    except (NotImplementedError, KeyError, FileNotFoundError) as e:
+        print(f"WARNING: training from random init ({e})")
+        params = pipeline.init_params(jax.random.PRNGKey(config["seed"]))
+    params = shard_params(mesh, params)
+    state = init_train_state(
+        pipeline, optimizer, jax.random.PRNGKey(config["seed"]), predicate,
+        params=params,
+    )
+
+    gas = config["gradient_accumulation_steps"]
+    train_data.post_init(
+        0, dp_world, lookup_batch_size(bs_maps["train"], None), gas
+    )
+    for _, ds in eval_datasets:
+        ds.post_init(
+            0, dp_world, lookup_batch_size(bs_maps["eval"], None),
+            config["eval_gradient_accumulation_steps"],
+        )
+    loader = PipelineDataLoader(train_data, gas)
+
+    saver = Saver(config, run_dir, pipeline, dataloader=loader)
+    if args.resume_from_checkpoint:
+        state, meta = saver.load_checkpoint(
+            state,
+            reset_optimizer=args.reset_optimizer,
+            reset_dataloader=args.reset_dataloader,
+        )
+        print(f"resumed from step {int(state.step)}")
+
+    metrics_writer = MetricsWriter(
+        run_dir, x_axis_examples=config.get("x_axis_examples", False),
+        enable_wandb="monitoring" in config
+        and config["monitoring"].get("enable_wandb", False),
+        wandb_config=config.get("monitoring"),
+    )
+
+    # --- jitted steps, cached per bucket shape ------------------------------
+    train_step_raw = make_train_step(
+        pipeline, optimizer,
+        gradient_clipping=config.get("gradient_clipping", 1.0),
+        gradient_accumulation_steps=gas,
+    )
+    train_step = jax.jit(train_step_raw, donate_argnums=(0,))
+    eval_step_raw = make_eval_step(pipeline)
+    eval_step = jax.jit(eval_step_raw, static_argnums=(3,))
+
+    def run_eval(state, step_i, examples):
+        for name, ds in eval_datasets:
+            eval_loader = PipelineDataLoader(
+                ds, config["eval_gradient_accumulation_steps"]
+            )
+            start = time.time()
+            quantile_losses = {q: [] for q in TIMESTEP_QUANTILES_FOR_EVAL}
+            n_batches = ds.batches_per_epoch()
+            for q in TIMESTEP_QUANTILES_FOR_EVAL:
+                eval_loader.reset()
+                for _ in range(n_batches):
+                    _, batch = next(eval_loader)
+                    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                    # fixed key: eval must be deterministic (reference
+                    # isolate_rng + fixed seed, train.py:235-239)
+                    loss = eval_step(state, jb, jax.random.PRNGKey(12345), q)
+                    quantile_losses[q].append(float(loss))
+            out = {}
+            for q, losses in quantile_losses.items():
+                out[f"eval/{name}/loss_quantile_{q:.1f}"] = float(
+                    np.mean(losses)
+                )
+            out[f"eval/{name}/loss"] = float(
+                np.mean([v for vs in quantile_losses.values() for v in vs])
+            )
+            out[f"eval/{name}/eval_time_sec"] = time.time() - start
+            metrics_writer.write(out, step_i, examples)
+
+    # --- train loop ---------------------------------------------------------
+    step_i = int(state.step)
+    epoch = loader.epoch
+    epoch_losses = []
+    if config.get("eval_before_first_step", True) and not args.resume_from_checkpoint:
+        run_eval(state, step_i, int(state.examples))
+
+    max_steps = args.max_steps or config.get("max_steps", 10**12)
+    quit_now = False
+    while not quit_now:
+        _, batch = next(loader)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = train_step(state, jb, jax.random.PRNGKey(step_i))
+        step_i += 1
+        epoch_losses.append(float(metrics["loss"]))
+
+        if step_i % config.get("logging_steps", 1) == 0:
+            metrics_writer.write(
+                {"train/loss": float(metrics["loss"]),
+                 "train/grad_norm": float(metrics["grad_norm"])},
+                step_i, int(state.examples),
+            )
+
+        if loader.epoch != epoch:
+            metrics_writer.write(
+                {"train/epoch_loss": float(np.mean(epoch_losses))},
+                step_i, int(state.examples),
+            )
+            epoch_losses = []
+            new_epoch = saver.process_epoch(state, epoch, step_i)
+            if new_epoch is None:
+                break
+            epoch = loader.epoch
+            if (
+                config.get("eval_every_n_epochs")
+                and (epoch - 1) % config["eval_every_n_epochs"] == 0
+            ):
+                run_eval(state, step_i, int(state.examples))
+
+        if (
+            config.get("eval_every_n_steps")
+            and step_i % config["eval_every_n_steps"] == 0
+        ):
+            run_eval(state, step_i, int(state.examples))
+
+        quit_now = saver.process_step(state, step_i, int(state.examples))
+        if step_i >= max_steps:
+            break
+
+    saver.save_checkpoint(state, step_i)
+    metrics_writer.close()
+    print(f"done at step {step_i}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

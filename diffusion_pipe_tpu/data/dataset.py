@@ -165,6 +165,9 @@ class DirectoryDataset:
             frames = int(duration * (self.framerate or fps))
             first = next(iter(iio.imiter(filepath)))
             h, w = first.shape[:2]
+            if frames <= 1:
+                # duration metadata missing (e.g. GIF): count frames
+                frames = sum(1 for _ in iio.imiter(filepath))
             return w, h, max(frames, 1)
         with Image.open(filepath) as img:
             return img.width, img.height, 1

@@ -113,10 +113,17 @@ class PreprocessMediaFile:
 
         if is_video:
             assert self.support_video
-            num_frames = 0
-            for frame in iio.imiter(filepath_or_file, fps=self.framerate):
-                num_frames += 1
-            frames_iter = iio.imiter(filepath_or_file, fps=self.framerate)
+
+            def _iter_frames():
+                # fps resampling needs the ffmpeg plugin; fall back to native
+                # frame rate when unavailable (e.g. GIF via pillow)
+                try:
+                    yield from iio.imiter(filepath_or_file, fps=self.framerate)
+                except (TypeError, OSError, ValueError):
+                    yield from iio.imiter(filepath_or_file)
+
+            num_frames = sum(1 for _ in _iter_frames())
+            frames_iter = _iter_frames()
         else:
             num_frames = 1
             pil_img = Image.open(filepath_or_file)

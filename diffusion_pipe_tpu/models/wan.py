@@ -1,0 +1,405 @@
+"""Wan 2.1/2.2 pipeline adapter: training inputs, weights, caching encoders.
+
+Re-implements the training semantics of reference models/wan/wan.py:
+- prepare_inputs (wan.py:334-372): flow matching with the shifted-then-
+  truncated t distribution (min_t/max_t for Wan2.2 dual-model ranges),
+  t scaled to [0,1000] for the model, mask resized to latent spatial dims.
+- i2v conditioning (wan.py:280-316 + 458-504): the VAE-encoded
+  first-frame-only clip `y` plus a 4-channel first-frame mask concatenated
+  to x_t (in_dim 36), CLIP-vision context through img_emb.
+- variant dispatch (wan.py:112-176): t2v/i2v/flf2v/ti2v configs by
+  dim/layers; framerate 16 (24 for ti2v/SkyReels).
+- official checkpoint conversion (blocks.N.self_attn.q -> stacked scan
+  params) in convert_wan_weights.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .wan_model import WanConfig, WanTransformer
+from .weights import linear, norm_scale, stack_layers
+
+WAN_VARIANTS = {
+    "t2v-1.3b": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30),
+    "t2v-14b": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40),
+    "i2v-14b": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                    model_type="i2v", in_dim=36),
+    "ti2v-5b": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
+                    model_type="ti2v", in_dim=48, out_dim=48,
+                    patch_size=(1, 2, 2)),
+}
+
+
+@register_model("wan", "wan21", "wan22")
+class WanPipeline(BasePipeline):
+    name = "wan"
+    cacheable_text_embeddings = ("text_embeddings",)
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
+        self.wan_config = self._build_wan_config()
+        self.model = WanTransformer(self.wan_config)
+        # reference wan.py: framerate 16, 24 for SkyReels/ti2v
+        self.framerate = 24 if self.wan_config.model_type == "ti2v" else 16
+
+    @property
+    def is_i2v(self) -> bool:
+        return self.wan_config.model_type in ("i2v", "flf2v", "i2v_v2")
+
+    @property
+    def uses_clip(self) -> bool:
+        return self.wan_config.model_type in ("i2v", "flf2v")
+
+    def _build_wan_config(self) -> WanConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype")
+                else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return WanConfig.tiny(
+                model_type=mc.get("variant_type", "t2v"),
+                in_dim=36 if mc.get("variant_type") == "i2v" else 16,
+                **kwargs,
+            )
+        variant = mc.get("variant", "t2v-1.3b")
+        if variant not in WAN_VARIANTS:
+            raise NotImplementedError(f"wan variant {variant!r}")
+        return WanConfig(**{**WAN_VARIANTS[variant], **kwargs})
+
+    def build_model(self):
+        return self.model
+
+    def init_params(self, rng):
+        cfg = self.wan_config
+        b, f, h, w = 1, 1, 8, 8
+        x = jnp.zeros((b, cfg.in_dim, f, h, w), cfg.dtype)
+        t = jnp.zeros((b,), jnp.float32)
+        ctx = jnp.zeros((b, cfg.text_len, cfg.text_dim), cfg.dtype)
+        clip_fea = (
+            jnp.zeros((b, 257, 1280), cfg.dtype) if self.uses_clip else None
+        )
+        return jax.jit(self.model.init)(rng, x, t, ctx, clip_fea)
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        """batch: latents [B,C,F,H,W], text_embeddings [B,<=512,4096],
+        seq_lens [B], optional mask [B,Hm,Wm], i2v: y [B,16,F,H,W],
+        clip_context [B,257,1280]."""
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, f, h, w = latents.shape
+
+        mask = batch.get("mask")
+        if mask is not None:
+            m = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )
+            mask = m[:, None, None]  # [B,1,1,h,w] broadcasts over C,F
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1, 1)
+        x_t = (1.0 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        # zero-pad text embeddings to text_len (reference wan.py:497-503
+        # truncates per-sample by seq_lens then zero-pads; cached rows are
+        # full-length with zeros beyond seq_lens already)
+        ctx = batch["text_embeddings"].astype(jnp.float32)
+        pad = self.wan_config.text_len - ctx.shape[1]
+        if pad > 0:
+            ctx = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0)))
+        if "seq_lens" in batch:
+            sl = batch["seq_lens"].reshape(-1)  # [B] (cache rows may be [B,1])
+            idx = jnp.arange(self.wan_config.text_len)[None, :]
+            ctx = jnp.where(idx[..., None] < sl[:, None, None], ctx, 0.0)
+
+        if self.is_i2v:
+            y = batch["y"].astype(jnp.float32)
+            # first-frame mask channels (reference wan.py:458-467)
+            m4 = jnp.zeros((b, 4, f, h, w), jnp.float32)
+            first = jnp.ones((b, 4, 1, h, w), jnp.float32)
+            m4 = jnp.concatenate([first, m4[:, :, 1:]], axis=2)
+            if self.wan_config.model_type == "flf2v":
+                m4 = jnp.concatenate(
+                    [m4[:, :, :-1], jnp.ones((b, 4, 1, h, w), jnp.float32)],
+                    axis=2,
+                )
+            x_in = jnp.concatenate([x_t, m4, y], axis=1)
+        else:
+            x_in = x_t
+
+        model_inputs = dict(
+            x=x_in.astype(self.wan_config.dtype),
+            t=t * 1000.0,
+            context=ctx,
+            clip_fea=(
+                batch["clip_context"].astype(self.wan_config.dtype)
+                if self.uses_clip
+                else None
+            ),
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    # --- caching encoders ---------------------------------------------------
+
+    def _load_vae(self):
+        if getattr(self, "_vae", None) is None:
+            from .wan_vae import WanVAEConfig, WanVideoVAE
+
+            mc = self.model_config
+            if mc.get("_tiny", False):
+                cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 4),
+                                   num_res_blocks=1,
+                                   temperal_downsample=(True, True))
+                self._vae = WanVideoVAE(cfg)
+                self._vae_params = self._vae.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32))
+                )
+            else:
+                from .wan_vae_convert import load_wan_vae
+
+                self._vae, self._vae_params = load_wan_vae(mc["vae_path"])
+        return self._vae, self._vae_params
+
+    def get_call_vae_fn(self):
+        vae, params = self._load_vae()
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            """pixels [B,C,F,H,W] (or [B,C,H,W] image -> 1 frame); i2v also
+            returns the first-frame-only conditioning clip `y`
+            (reference wan.py:280-316)."""
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            px = jnp.asarray(pixels, jnp.float32)
+            ret = {"latents": np.asarray(encode(px))}
+            if self.is_i2v:
+                cond = jnp.concatenate(
+                    [px[:, :, :1], jnp.zeros_like(px[:, :, 1:])], axis=2
+                )
+                if self.wan_config.model_type == "flf2v":
+                    cond = jnp.concatenate(
+                        [cond[:, :, :-1], px[:, :, -1:]], axis=2
+                    )
+                ret["y"] = np.asarray(encode(cond))
+                if self.uses_clip:
+                    ret["clip_context"] = np.asarray(
+                        self._clip_visual(px[:, :, 0])
+                    )
+            return ret
+
+        return fn
+
+    def _clip_visual(self, first_frames):
+        """CLIP-vision context for i2v (reference models/wan/clip.py). Real
+        XLM-Roberta-CLIP port lands with the weight loader; tiny mode uses a
+        deterministic projection so the path is exercisable."""
+        if self.model_config.get("_tiny", False):
+            b = first_frames.shape[0]
+            pooled = jax.image.resize(first_frames, (b, 3, 16, 16), "linear")
+            feat = pooled.reshape(b, -1)
+            feat = jnp.tile(feat, (1, 1 + 1280 * 257 // feat.shape[1]))[:, : 257 * 1280]
+            return feat.reshape(b, 257, 1280)
+        raise NotImplementedError(
+            "CLIP-vision encoder port pending; provide cached clip_context"
+        )
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.wan_config
+
+            def te(captions):
+                embs, lens = [], []
+                for c in captions:
+                    r = np.random.default_rng(seed_from_hash(c))
+                    n = min(len(c) + 1, cfg.text_len)
+                    e = np.zeros((cfg.text_len, cfg.text_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.text_dim))
+                    embs.append(e)
+                    lens.append(n)
+                return {
+                    "text_embeddings": np.stack(embs),
+                    "seq_lens": np.asarray(lens, np.int32),
+                }
+
+            return [te]
+        from .text_encoders import HFTextEncoder
+
+        t5 = HFTextEncoder(
+            "t5", mc["llm_path"], max_length=self.wan_config.text_len,
+        )
+
+        def te(captions):
+            emb, mask = t5.encode(captions, return_mask=True)
+            # zero out padding rows like the reference (wan.py:497-503)
+            emb = emb * mask[..., None]
+            return {
+                "text_embeddings": emb,
+                "seq_lens": mask.sum(axis=1).astype(np.int32),
+            }
+
+        return [te]
+
+    def load_weights(self):
+        from .weights import load_safetensors_dir
+
+        path = self.model_config.get(
+            "ckpt_path", self.model_config.get("transformer_path")
+        )
+        sd = load_safetensors_dir(path)
+        return convert_wan_weights(sd, self.wan_config)
+
+    def save_adapter(self, out_dir, trainable):
+        """ComfyUI format: diffusion_model.<official key>.lora_A/B
+        (reference wan.py:258-262)."""
+        from safetensors.numpy import save_file
+        from flax import linen as nn
+
+        sd = export_wan_lora_comfyui(nn.unbox(trainable), self.wan_config)
+        save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
+
+
+# --- weight conversion ------------------------------------------------------
+
+_BLOCK_LINEARS = {
+    "self_attn_q": "self_attn.q",
+    "self_attn_k": "self_attn.k",
+    "self_attn_v": "self_attn.v",
+    "self_attn_o": "self_attn.o",
+    "cross_attn_q": "cross_attn.q",
+    "cross_attn_k": "cross_attn.k",
+    "cross_attn_v": "cross_attn.v",
+    "cross_attn_o": "cross_attn.o",
+    "ffn_in": "ffn.0",
+    "ffn_out": "ffn.2",
+}
+_BLOCK_I2V_LINEARS = {
+    "cross_attn_k_img": "cross_attn.k_img",
+    "cross_attn_v_img": "cross_attn.v_img",
+}
+_BLOCK_RMS = {
+    "self_attn_norm_q": "self_attn.norm_q",
+    "self_attn_norm_k": "self_attn.norm_k",
+    "cross_attn_norm_q": "cross_attn.norm_q",
+    "cross_attn_norm_k": "cross_attn.norm_k",
+}
+_BLOCK_I2V_RMS = {"cross_attn_norm_k_img": "cross_attn.norm_k_img"}
+
+
+def convert_wan_weights(sd: Dict[str, np.ndarray], cfg: WanConfig):
+    """Official Wan checkpoint (blocks.N.* keys; also ComfyUI prefix
+    'diffusion_model.' stripped) -> flax params."""
+    sd = {
+        (k[len("diffusion_model."):] if k.startswith("diffusion_model.") else k): v
+        for k, v in sd.items()
+    }
+
+    def block(i):
+        prefix = f"blocks.{i}"
+        out = {}
+        lin = dict(_BLOCK_LINEARS)
+        rms = dict(_BLOCK_RMS)
+        if cfg.model_type in ("i2v", "flf2v"):
+            lin.update(_BLOCK_I2V_LINEARS)
+            rms.update(_BLOCK_I2V_RMS)
+        for ours, theirs in lin.items():
+            out[ours] = linear(sd, f"{prefix}.{theirs}")
+        for ours, theirs in rms.items():
+            out[ours] = norm_scale(sd, f"{prefix}.{theirs}")
+        if cfg.cross_attn_norm:
+            out["norm3_scale"] = np.asarray(sd[f"{prefix}.norm3.weight"])
+            out["norm3_bias"] = np.asarray(sd[f"{prefix}.norm3.bias"])
+        out["modulation"] = np.asarray(sd[f"{prefix}.modulation"])
+        return out
+
+    blocks = stack_layers([block(i) for i in range(cfg.num_layers)])
+
+    conv_w = np.asarray(sd["patch_embedding.weight"])  # [O, I, kt, kh, kw]
+    params = {
+        "patch_embedding": {
+            "kernel": np.transpose(conv_w, (2, 3, 4, 1, 0)),
+            "bias": np.asarray(sd["patch_embedding.bias"]),
+        },
+        "text_embedding_1": linear(sd, "text_embedding.0"),
+        "text_embedding_2": linear(sd, "text_embedding.2"),
+        "time_embedding_1": linear(sd, "time_embedding.0"),
+        "time_embedding_2": linear(sd, "time_embedding.2"),
+        "time_projection": linear(sd, "time_projection.1"),
+        "head": linear(sd, "head.head"),
+        "head_modulation": np.asarray(sd["head.modulation"]),
+        "blocks": blocks,
+    }
+    if cfg.model_type in ("i2v", "flf2v"):
+        params.update({
+            "img_emb_norm1_scale": np.asarray(sd["img_emb.proj.0.weight"]),
+            "img_emb_norm1_bias": np.asarray(sd["img_emb.proj.0.bias"]),
+            "img_emb_1": linear(sd, "img_emb.proj.1"),
+            "img_emb_2": linear(sd, "img_emb.proj.3"),
+            "img_emb_norm2_scale": np.asarray(sd["img_emb.proj.4.weight"]),
+            "img_emb_norm2_bias": np.asarray(sd["img_emb.proj.4.bias"]),
+        })
+    return {"params": params}
+
+
+def export_wan_lora_comfyui(trainable, cfg: WanConfig) -> Dict[str, np.ndarray]:
+    """LoRA factors -> ComfyUI keys diffusion_model.blocks.N.<mod>.lora_A/B."""
+    out = {}
+    blocks = trainable["params"].get("blocks", {})
+    lin = dict(_BLOCK_LINEARS)
+    if cfg.model_type in ("i2v", "flf2v"):
+        lin.update(_BLOCK_I2V_LINEARS)
+    for ours, theirs in lin.items():
+        leaf = blocks.get(ours)
+        if leaf is None or "lora_a" not in leaf:
+            continue
+        a_all = np.asarray(leaf["lora_a"])
+        b_all = np.asarray(leaf["lora_b"])
+        for i in range(cfg.num_layers):
+            out[f"diffusion_model.blocks.{i}.{theirs}.lora_A.weight"] = (
+                np.ascontiguousarray(a_all[i].T.astype(np.float32))
+            )
+            out[f"diffusion_model.blocks.{i}.{theirs}.lora_B.weight"] = (
+                np.ascontiguousarray(b_all[i].T.astype(np.float32))
+            )
+    return out

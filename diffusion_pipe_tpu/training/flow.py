@@ -99,6 +99,25 @@ def apply_time_shift(dist: TimestepDistribution, t, image_seq_len: Optional[int]
     return t
 
 
+def _inverse_time_shift(dist: TimestepDistribution, t_shifted,
+                        image_seq_len: Optional[int] = None):
+    """Inverse of apply_time_shift, for expressing min_t/max_t bounds (which
+    the reference applies on the SHIFTED distribution: utils/common.py
+    slice_t_distribution runs after the shift in wan.py:351-369)."""
+    if dist.shift is not None:
+        s = dist.shift
+        # t' = s*t / (1 + (s-1)*t)  =>  t = t' / (s - (s-1)*t')
+        return t_shifted / (s - (s - 1) * t_shifted)
+    if dist.flux_shift:
+        if image_seq_len is None:
+            raise ValueError("flux_shift requires image_seq_len")
+        mu = get_lin_function(y1=0.5, y2=1.15)(image_seq_len)
+        e_mu = jnp.exp(mu)
+        # t' = e^mu / (e^mu + (1/t - 1))  =>  1/t - 1 = e^mu (1/t' - 1)
+        return 1.0 / (1.0 + e_mu * (1.0 / t_shifted - 1.0))
+    return t_shifted
+
+
 def sample_timesteps(
     key: jax.Array,
     batch_size: int,
@@ -109,11 +128,20 @@ def sample_timesteps(
     """Sample per-example t in (0,1).
 
     With `quantile` set (eval path, reference train.py:176-195 +
-    flux.py:350-351), t is deterministic: the icdf of that quantile within the
-    (possibly min_t/max_t truncated) distribution.
+    flux.py:350-351), t is deterministic: the icdf of that quantile within
+    the truncated distribution. min_t/max_t bound the post-shift t (the
+    reference shifts the distribution table, then slices; wan.py:351-369).
     """
-    qmin = _base_cdf(dist, jnp.asarray(dist.min_t)) if dist.min_t > 0.0 else 0.0
-    qmax = _base_cdf(dist, jnp.asarray(dist.max_t)) if dist.max_t < 1.0 else 1.0
+    if dist.min_t > 0.0:
+        base_min = _inverse_time_shift(dist, jnp.asarray(dist.min_t), image_seq_len)
+        qmin = _base_cdf(dist, base_min)
+    else:
+        qmin = 0.0
+    if dist.max_t < 1.0:
+        base_max = _inverse_time_shift(dist, jnp.asarray(dist.max_t), image_seq_len)
+        qmax = _base_cdf(dist, base_max)
+    else:
+        qmax = 1.0
     if quantile is not None:
         q = jnp.full((batch_size,), qmin + (qmax - qmin) * quantile)
     else:

@@ -231,7 +231,9 @@ class SizeBucketDataset:
     latent + text-embedding caches (reference dataset.py:206-333)."""
 
     def __init__(self, records: List[Record], directory: DirectoryDataset,
-                 size_bucket: Tuple[int, int, int], cache_root: Path):
+                 size_bucket: Tuple[int, int, int], cache_root: Path,
+                 include_captions: bool = False):
+        self.include_captions = include_captions
         self.size_bucket = tuple(int(x) for x in size_bucket)
         self.directory = directory
         records = list(records)
@@ -330,11 +332,13 @@ class SizeBucketDataset:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         order_idx = i % len(self.iteration_order)
-        rec_i, _cap_i = self.iteration_order[order_idx]
+        rec_i, cap_i = self.iteration_order[order_idx]
         item = dict(self.latent_cache.read(rec_i))
         for cache in self.te_caches:
             if cache is not None:
                 item.update(cache.read(order_idx))
+        if self.include_captions:
+            item["caption"] = np.str_(self.records[rec_i].captions[cap_i])
         return item
 
 
@@ -417,9 +421,13 @@ class Dataset:
         for d in self.directories:
             groups = d.scan()
             cache_root = d.path / cache_root_name / self.pipeline.name
+            include_captions = getattr(
+                self.pipeline, "pass_captions_to_batch", False
+            )
             for sb, records in sorted(groups.items()):
                 self.buckets_by_size[sb].append(
-                    SizeBucketDataset(records, d, sb, cache_root)
+                    SizeBucketDataset(records, d, sb, cache_root,
+                                      include_captions=include_captions)
                 )
         return self.buckets_by_size
 

@@ -50,7 +50,15 @@ class BasePipeline:
         """Load + convert pretrained weights to the flax param structure."""
         raise NotImplementedError
 
+    # True for models whose text encoders run in-graph (captions must flow
+    # through the loader; reference SDXL, sdxl.py:426-428)
+    pass_captions_to_batch: bool = False
+
     # --- training ---------------------------------------------------------
+    def host_prepare(self, batch):
+        """Host-side batch transform before jit (e.g. tokenization)."""
+        return batch
+
     def prepare_inputs(self, rng, batch, timestep_quantile=None):
         raise NotImplementedError
 

@@ -1,0 +1,275 @@
+"""SDXL pipeline: DDPM eps/v-pred training with in-graph CLIP text encoders.
+
+Re-implements reference models/sdxl.py training semantics:
+- prepare_inputs (sdxl.py:536-580): integer timesteps (uniform or
+  quantile*T), DDPM add_noise, eps or v-prediction target, SDXL
+  add_time_ids from the bucket resolution, mask resized to latents.
+- loss (sdxl.py:630-648): per-example MSE mean then min-SNR-gamma /
+  debiased-estimation weights, matching kohya's formulation.
+- text encoders run IN-GRAPH (reference get_text_encoders -> [] means
+  "don't cache": sdxl.py:426-428); CLIP-L + CLIP-G penultimate hidden
+  states concatenated, CLIP-G pooled for add_text_embeds. Trainable in
+  full fine-tune (per-module LRs pending), frozen under LoRA.
+- captions flow to the trainer and are tokenized host-side via
+  host_prepare() (strings can't enter jit). Long-prompt 75-token chunking
+  is not yet implemented (tokenizer truncates at 77).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.ddpm import DDPMSchedule, snr_loss_weight
+from ..training.losses import masked_loss
+from . import register_model
+from .base import BasePipeline
+from .sdxl_unet import SDXLConfig, SDXLUNet
+
+
+@register_model("sdxl")
+class SDXLPipeline(BasePipeline):
+    name = "sdxl"
+    # reference: no cached text embeddings for SDXL (sdxl.py:426-428)
+    cacheable_text_embeddings = ()
+    pass_captions_to_batch = True
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.v_pred = bool(mc.get("v_pred", False))
+        self.min_snr_gamma = mc.get("min_snr_gamma")
+        self.debiased_estimation_loss = bool(
+            mc.get("debiased_estimation_loss", False)
+        )
+        self.schedule = DDPMSchedule.sdxl(
+            v_pred=self.v_pred,
+            zero_terminal_snr=bool(mc.get("zero_terminal_snr", False)),
+        )
+        self.unet_config = self._build_unet_config()
+        self.model = SDXLUNet(self.unet_config)
+        self._te = None
+
+    def _build_unet_config(self) -> SDXLConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return SDXLConfig.tiny(**kwargs)
+        return SDXLConfig(**kwargs)
+
+    # --- text encoders ------------------------------------------------------
+
+    def _text_encoders(self):
+        """(te1, te2) transformers Flax CLIP text models."""
+        if self._te is not None:
+            return self._te
+        from transformers import (
+            CLIPTextConfig,
+            FlaxCLIPTextModel,
+            FlaxCLIPTextModelWithProjection,
+        )
+
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            c1 = CLIPTextConfig(
+                vocab_size=256, hidden_size=16, intermediate_size=32,
+                num_hidden_layers=2, num_attention_heads=2,
+                max_position_embeddings=77, projection_dim=16,
+            )
+            te1 = FlaxCLIPTextModel(c1, seed=0)
+            te2 = FlaxCLIPTextModelWithProjection(c1, seed=1)
+        else:
+            base = mc["diffusers_path"]
+            te1 = FlaxCLIPTextModel.from_pretrained(
+                str(Path(base) / "text_encoder"), from_pt=True
+            )
+            # text_encoder_2 is CLIPTextModelWithProjection: pooled output is
+            # the PROJECTED text embedding (diffusers SDXL semantics)
+            te2 = FlaxCLIPTextModelWithProjection.from_pretrained(
+                str(Path(base) / "text_encoder_2"), from_pt=True
+            )
+        self._te = (te1, te2)
+        return self._te
+
+    def _tokenize(self, captions):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            ids = np.zeros((len(captions), 77), np.int32)
+            for i, c in enumerate(captions):
+                for j, ch in enumerate(str(c)[:77]):
+                    ids[i, j] = ord(ch) % 256
+            return ids, ids.copy()
+        if getattr(self, "_tokenizers", None) is None:
+            from transformers import AutoTokenizer
+
+            base = mc["diffusers_path"]
+            self._tokenizers = (
+                AutoTokenizer.from_pretrained(str(Path(base) / "tokenizer")),
+                AutoTokenizer.from_pretrained(str(Path(base) / "tokenizer_2")),
+            )
+        out = []
+        for tok in self._tokenizers:
+            out.append(
+                tok(
+                    [str(c) for c in captions], padding="max_length",
+                    truncation=True, max_length=77, return_tensors="np",
+                ).input_ids.astype(np.int32)
+            )
+        return out[0], out[1]
+
+    def host_prepare(self, batch):
+        """Host-side caption -> token ids (before jit)."""
+        if "caption" in batch:
+            ids1, ids2 = self._tokenize(list(batch["caption"]))
+            batch = {k: v for k, v in batch.items() if k != "caption"}
+            batch["input_ids"] = ids1
+            batch["input_ids_2"] = ids2
+        return batch
+
+    # --- model --------------------------------------------------------------
+
+    def init_params(self, rng):
+        cfg = self.unet_config
+        te1, te2 = self._text_encoders()
+        unet_params = jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, 4, 16, 16)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, cfg.cross_attention_dim)),
+            jnp.zeros((1, cfg.projection_class_embeddings_input_dim - 6 * 256)),
+            jnp.zeros((1, 6)),
+        )
+        return {
+            "params": {
+                "unet": unet_params["params"],
+                "text_encoder": te1.params,
+                "text_encoder_2": te2.params,
+            }
+        }
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, h, w = latents.shape
+
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )[:, None]
+
+        t_key, n_key = jax.random.split(rng)
+        timesteps = self.schedule.sample_timesteps(
+            t_key, b, quantile=timestep_quantile
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        noisy = self.schedule.add_noise(latents, noise, timesteps)
+        target = (
+            self.schedule.get_velocity(latents, noise, timesteps)
+            if self.v_pred else noise
+        )
+
+        vae_scale = 8
+        ph, pw = h * vae_scale, w * vae_scale
+        add_time_ids = jnp.tile(
+            jnp.asarray([[ph, pw, 0, 0, ph, pw]], jnp.float32), (b, 1)
+        )
+        model_inputs = dict(
+            sample=noisy,
+            timesteps=timesteps,
+            input_ids=batch["input_ids"],
+            input_ids_2=batch["input_ids_2"],
+            add_time_ids=add_time_ids,
+        )
+        # timesteps ride along for the SNR loss weights (reference returns
+        # them through the output tuple, sdxl.py:630-648)
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        te1, te2 = self._text_encoders()
+        p = params["params"]
+
+        def run_te(te, params, ids):
+            b, s = ids.shape
+            return te.module.apply(
+                {"params": params},
+                input_ids=ids,
+                attention_mask=jnp.ones((b, s), jnp.int32),
+                position_ids=jnp.broadcast_to(jnp.arange(s)[None], (b, s)),
+                output_hidden_states=True,
+            )
+
+        out1 = run_te(te1, p["text_encoder"], model_inputs["input_ids"])
+        out2 = run_te(te2, p["text_encoder_2"], model_inputs["input_ids_2"])
+        ctx = jnp.concatenate(
+            [out1.hidden_states[-2], out2.hidden_states[-2]], axis=-1
+        )
+        pooled = out2.text_embeds
+        pred = self.model.apply(
+            {"params": p["unet"]},
+            model_inputs["sample"],
+            model_inputs["timesteps"],
+            ctx,
+            pooled,
+            model_inputs["add_time_ids"],
+        )
+        return pred, model_inputs["timesteps"]
+
+    def loss_fn(self, output, target, mask):
+        pred, timesteps = output
+        loss = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if mask is not None and mask.size > 0:
+            loss = loss * jnp.broadcast_to(mask.astype(jnp.float32), loss.shape)
+        loss = jnp.mean(loss, axis=(1, 2, 3))  # per-example (sdxl.py:641)
+        w = snr_loss_weight(
+            self.schedule, timesteps, self.min_snr_gamma,
+            self.debiased_estimation_loss, self.v_pred,
+        )
+        return jnp.mean(loss * w)
+
+    # --- caching ------------------------------------------------------------
+
+    def get_call_vae_fn(self):
+        from .autoencoder_kl import AutoencoderKL, VAEConfig, convert_diffusers_vae
+        from .weights import load_safetensors_dir
+
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            cfg = VAEConfig.tiny()
+            vae = AutoencoderKL(cfg)
+            params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+        else:
+            cfg = VAEConfig.sdxl()
+            vae = AutoencoderKL(cfg)
+            path = mc.get("vae_path") or str(Path(mc["diffusers_path"]) / "vae")
+            params = convert_diffusers_vae(load_safetensors_dir(path), cfg)
+        encode = jax.jit(lambda px: vae.apply(params, px, method=type(vae).encode))
+
+        def fn(pixels):
+            if pixels.ndim == 5:
+                pixels = pixels[:, :, 0]
+            return {"latents": np.asarray(encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
+
+    def get_call_text_encoder_fns(self):
+        return []  # TEs run in-graph (reference sdxl.py:426-428)

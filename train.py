@@ -187,6 +187,7 @@ def main(argv=None):
                 eval_loader.reset()
                 for _ in range(n_batches):
                     _, batch = next(eval_loader)
+                    batch = pipeline.host_prepare(batch)
                     jb = {k: jnp.asarray(v) for k, v in batch.items()}
                     # fixed key: eval must be deterministic (reference
                     # isolate_rng + fixed seed, train.py:235-239)
@@ -214,6 +215,7 @@ def main(argv=None):
     quit_now = False
     while not quit_now:
         _, batch = next(loader)
+        batch = pipeline.host_prepare(batch)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = train_step(state, jb, jax.random.PRNGKey(step_i))
         step_i += 1

@@ -21,16 +21,12 @@ def register_model(name: str, *aliases: str):
 
 def get_model_class(name: str):
     # Import plugins lazily so `import diffusion_pipe_tpu.models` stays cheap.
+    from . import chroma  # noqa: F401
     from . import flux  # noqa: F401
-
-    try:
-        from . import sdxl  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import wan  # noqa: F401
-    except ImportError:
-        pass
+    from . import hunyuan_video  # noqa: F401
+    from . import sd3  # noqa: F401
+    from . import sdxl  # noqa: F401
+    from . import wan  # noqa: F401
     if name not in _REGISTRY:
         raise NotImplementedError(f"model type {name!r} not implemented")
     return _REGISTRY[name]

@@ -1,0 +1,156 @@
+"""Chroma pipeline adapter (reference models/chroma.py).
+
+Flux-style rectified flow over packed 2x2 latents; T5-only conditioning with
+padding masked in attention; modulations from the distilled Approximator
+(guidance input 0 during training). Saves ComfyUI-format adapters
+(reference chroma.py:176-181).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .chroma_model import ChromaConfig, ChromaTransformer
+from .flux import latent_image_ids, pack_latents, resize_mask_to_latents
+
+
+@register_model("chroma")
+class ChromaPipeline(BasePipeline):
+    name = "chroma"
+    cacheable_text_embeddings = ("t5_embed", "t5_mask")
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.chroma_config = self._build_config()
+        self.model = ChromaTransformer(self.chroma_config)
+
+    def _build_config(self) -> ChromaConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return ChromaConfig.tiny(**kwargs)
+        return ChromaConfig(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.chroma_config
+        b, simg, stxt = 1, 16, 8
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((b, simg, cfg.in_channels)),
+            jnp.zeros((b, stxt, cfg.joint_attention_dim)),
+            jnp.zeros((b,)),
+            latent_image_ids(4, 4),
+            jnp.zeros((stxt, 3)),
+            jnp.zeros((b,)),
+            jnp.ones((b, stxt), jnp.int32),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, h, w = latents.shape
+        image_seq_len = (h // 2) * (w // 2)
+
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = pack_latents(resize_mask_to_latents(mask, h, w, c))
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=image_seq_len,
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = pack_latents((1 - t_exp) * latents + t_exp * noise)
+        target = pack_latents(noise - latents)
+
+        model_inputs = dict(
+            hidden_states=x_t,
+            encoder_hidden_states=batch["t5_embed"],
+            timestep=t,
+            img_ids=latent_image_ids(h // 2, w // 2),
+            txt_ids=jnp.zeros((batch["t5_embed"].shape[1], 3), jnp.float32),
+            guidance=jnp.zeros((b,), jnp.float32),
+            txt_mask=batch["t5_mask"].reshape(b, -1)
+            if "t5_mask" in batch else None,
+            img_seq_len=image_seq_len,
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    # Chroma uses the flux VAE (16ch): borrow FluxPipeline's unbound
+    # implementations (they only touch model_config/_vae attributes).
+    def _load_vae(self):
+        from .flux import FluxPipeline
+
+        return FluxPipeline._load_vae(self)
+
+    def get_call_vae_fn(self):
+        from .flux import FluxPipeline
+
+        return FluxPipeline.get_call_vae_fn(self)
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.chroma_config
+
+            def t5(caps):
+                embs, masks = [], []
+                for c in caps:
+                    r = np.random.default_rng(seed_from_hash(c))
+                    n = min(len(c) + 1, 8)
+                    e = np.zeros((8, cfg.joint_attention_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.joint_attention_dim))
+                    m = np.zeros((8,), np.int32)
+                    m[:n] = 1
+                    embs.append(e)
+                    masks.append(m)
+                return {"t5_embed": np.stack(embs), "t5_mask": np.stack(masks)}
+
+            return [t5]
+        from .text_encoders import HFTextEncoder
+
+        t5 = HFTextEncoder(
+            "t5", mc["t5_path"],
+            max_length=int(mc.get("max_sequence_length", 512)),
+        )
+
+        def t5_fn(captions):
+            emb, m = t5.encode(captions, return_mask=True)
+            return {"t5_embed": emb, "t5_mask": m.astype(np.int32)}
+
+        return [t5_fn]

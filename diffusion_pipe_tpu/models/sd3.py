@@ -1,0 +1,223 @@
+"""SD3 pipeline adapter (reference models/sd3.py).
+
+Flow matching with logit-normal t (shift / flux_shift options), prompt
+embeds assembled like the reference (sd3.py:107-121): CLIP-L + CLIP-G hidden
+states concatenated feature-wise, zero-padded to the T5 width, then
+sequence-concatenated with the T5 embeds; pooled = concat of both CLIP
+pooled embeds. Model input is latents NCHW with t*1000 (sd3.py:159).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .sd3_model import SD3Config, SD3Transformer
+
+
+@register_model("sd3", "sd3.5")
+class SD3Pipeline(BasePipeline):
+    name = "sd3"
+    cacheable_text_embeddings = (
+        "prompt_embed", "pooled_prompt_embed", "prompt_2_embed",
+        "pooled_prompt_2_embed", "t5_prompt_embed",
+    )
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.sd3_config = self._build_config()
+        self.model = SD3Transformer(self.sd3_config)
+
+    def _build_config(self) -> SD3Config:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return SD3Config.tiny(**kwargs)
+        return SD3Config(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.sd3_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, cfg.in_channels, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 16, cfg.joint_attention_dim)),
+            jnp.zeros((1, cfg.pooled_projection_dim)),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, h, w = latents.shape
+
+        # prompt embed assembly (reference sd3.py:116-121)
+        clip = jnp.concatenate(
+            [batch["prompt_embed"], batch["prompt_2_embed"]], axis=-1
+        ).astype(jnp.float32)
+        t5 = batch["t5_prompt_embed"].astype(jnp.float32)
+        clip = jnp.pad(clip, ((0, 0), (0, 0), (0, t5.shape[-1] - clip.shape[-1])))
+        prompt_embeds = jnp.concatenate([clip, t5], axis=-2)
+        pooled = jnp.concatenate(
+            [batch["pooled_prompt_embed"], batch["pooled_prompt_2_embed"]],
+            axis=-1,
+        ).astype(jnp.float32)
+
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )[:, None]
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        model_inputs = dict(
+            hidden_states=x_t,
+            timestep=t * 1000.0,
+            encoder_hidden_states=prompt_embeds,
+            pooled_projections=pooled,
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_vae_fn(self):
+        from .autoencoder_kl import AutoencoderKL, VAEConfig, convert_diffusers_vae
+        from .weights import load_safetensors_dir
+
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            cfg = VAEConfig(latent_channels=16, block_out_channels=(8, 16),
+                            norm_num_groups=4, layers_per_block=1,
+                            scaling_factor=1.0, shift_factor=0.0)
+            vae = AutoencoderKL(cfg)
+            params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+        else:
+            # SD3 VAE: 16ch, scaling 1.5305, shift 0.0609
+            cfg = VAEConfig(latent_channels=16, scaling_factor=1.5305,
+                            shift_factor=0.0609, use_quant_conv=False)
+            vae = AutoencoderKL(cfg)
+            path = mc.get("vae_path") or str(Path(mc["diffusers_path"]) / "vae")
+            params = convert_diffusers_vae(load_safetensors_dir(path), cfg)
+        encode = jax.jit(lambda px: vae.apply(params, px, method=type(vae).encode))
+
+        def fn(pixels):
+            if pixels.ndim == 5:
+                pixels = pixels[:, :, 0]
+            return {"latents": np.asarray(encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.sd3_config
+
+            def emb(c, shape):
+                r = np.random.default_rng(seed_from_hash(c))
+                return r.standard_normal(shape).astype(np.float32)
+
+            def clip1(caps):
+                return {
+                    "prompt_embed": np.stack([emb(c + "1", (8, 24)) for c in caps]),
+                    "pooled_prompt_embed": np.stack(
+                        [emb(c + "p1", (16,)) for c in caps]
+                    ),
+                }
+
+            def clip2(caps):
+                return {
+                    "prompt_2_embed": np.stack([emb(c + "2", (8, 24)) for c in caps]),
+                    "pooled_prompt_2_embed": np.stack(
+                        [emb(c + "p2", (16,)) for c in caps]
+                    ),
+                }
+
+            def t5(caps):
+                return {
+                    "t5_prompt_embed": np.stack(
+                        [emb(c + "t5", (8, cfg.joint_attention_dim)) for c in caps]
+                    )
+                }
+
+            return [clip1, clip2, t5]
+
+        from .text_encoders import HFTextEncoder
+
+        base = mc.get("diffusers_path")
+        clip1 = HFTextEncoder("clip", str(Path(base) / "text_encoder"), 77,
+                              tokenizer_path=str(Path(base) / "tokenizer"))
+        clip2 = HFTextEncoder("clip", str(Path(base) / "text_encoder_2"), 77,
+                              tokenizer_path=str(Path(base) / "tokenizer_2"))
+        t5 = HFTextEncoder("t5", str(Path(base) / "text_encoder_3"),
+                           int(mc.get("max_sequence_length", 256)),
+                           tokenizer_path=str(Path(base) / "tokenizer_3"))
+
+        # NOTE: real CLIP path needs penultimate hidden + pooled; the
+        # HFTextEncoder wrapper returns last_hidden_state — SD3 uses
+        # hidden_states[-2] + projected pooled. Dedicated fns:
+        def make_clip_fn(enc, idx):
+            def fn(captions):
+                enc._load()
+                tok = enc._tokenizer(
+                    captions, padding="max_length", truncation=True,
+                    max_length=77, return_tensors="np",
+                )
+                out = enc._model.module.apply(
+                    {"params": enc._model.params},
+                    input_ids=tok["input_ids"],
+                    attention_mask=tok["attention_mask"],
+                    position_ids=np.tile(np.arange(77), (len(captions), 1)),
+                    output_hidden_states=True,
+                )
+                key = "prompt_embed" if idx == 1 else "prompt_2_embed"
+                pkey = ("pooled_prompt_embed" if idx == 1
+                        else "pooled_prompt_2_embed")
+                return {
+                    key: np.asarray(out.hidden_states[-2]),
+                    pkey: np.asarray(out.pooler_output),
+                }
+
+            return fn
+
+        def t5_fn(captions):
+            return {"t5_prompt_embed": t5.encode(captions)}
+
+        return [make_clip_fn(clip1, 1), make_clip_fn(clip2, 2), t5_fn]

@@ -205,6 +205,16 @@ def get_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
             schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd,
             stable=bool(ocfg.get("stable", otype == "adamw8bitkahan")),
         )
+    if otype in ("muon", "adamuon", "normuon"):
+        from .muon import muon
+
+        return muon(
+            schedule,
+            momentum=float(ocfg.get("momentum", 0.95)),
+            nesterov=bool(ocfg.get("nesterov", True)),
+            weight_decay=wd,
+            polar_express=bool(ocfg.get("polar_express", False)),
+        )
     if otype == "automagic":
         from .automagic import automagic
 

@@ -1,0 +1,69 @@
+"""All registered pipelines: one jitted train step runs and is finite."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_pipe_tpu.models import get_model_class
+from diffusion_pipe_tpu.training.optimizers import get_optimizer
+from diffusion_pipe_tpu.training.train_state import lora_predicate
+from diffusion_pipe_tpu.training.trainer import init_train_state, make_train_step
+
+
+def _cfg(model_type):
+    return {
+        "save_every_n_epochs": 1,
+        "model": {"type": model_type, "dtype": "float32", "_tiny": True},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+    }
+
+
+def _batch_for(name, pipeline):
+    k = jax.random.PRNGKey(1)
+    if name == "chroma":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)),
+            "t5_embed": jax.random.normal(k, (2, 8, 64)),
+            "t5_mask": jnp.ones((2, 8), jnp.int32),
+        }
+    if name == "sd3":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)),
+            "prompt_embed": jax.random.normal(k, (2, 8, 24)),
+            "prompt_2_embed": jax.random.normal(k, (2, 8, 24)),
+            "pooled_prompt_embed": jax.random.normal(k, (2, 16)),
+            "pooled_prompt_2_embed": jax.random.normal(k, (2, 16)),
+            "t5_prompt_embed": jax.random.normal(k, (2, 8, 64)),
+        }
+    if name == "hunyuan-video":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 5, 16, 16)),
+            "text_states": jax.random.normal(k, (2, 16, 32)),
+            "text_mask": jnp.ones((2, 16), jnp.int32),
+            "clip_pooled": jax.random.normal(k, (2, 16)),
+        }
+    raise NotImplementedError(name)
+
+
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video"])
+def test_one_train_step(model_type):
+    cfg = _cfg(model_type)
+    pipeline = get_model_class(model_type)(cfg)
+    optimizer = get_optimizer(cfg)
+    state = init_train_state(pipeline, optimizer, jax.random.PRNGKey(0),
+                             lora_predicate)
+    step = jax.jit(make_train_step(pipeline, optimizer))
+    batch = _batch_for(model_type, pipeline)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.2, losses
+
+
+def test_unknown_model_raises():
+    with pytest.raises(NotImplementedError):
+        get_model_class("nope")

@@ -94,7 +94,7 @@ def test_full_ft_training_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
-@pytest.mark.parametrize("opt_type", ["adamw8bit", "automagic", "sgd"])
+@pytest.mark.parametrize("opt_type", ["adamw8bit", "automagic", "sgd", "muon", "stableadamw"])
 def test_optimizer_variants_run(opt_type):
     cfg = _config(adapter=True, opt_type=opt_type)
     if opt_type == "sgd":

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--dump_dataset", type=Path, default=None)
     p.add_argument("--i_know_what_i_am_doing", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
+    # capture a jax.profiler trace of steps [2, N+2) into run_dir/profile
+    # (first-class tracing; the reference has none, SURVEY.md section 5.1)
+    p.add_argument("--profile_steps", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -213,7 +216,15 @@ def main(argv=None):
 
     max_steps = args.max_steps or config.get("max_steps", 10**12)
     quit_now = False
+    profiling = False
     while not quit_now:
+        if args.profile_steps and step_i == 1 and not profiling:
+            jax.profiler.start_trace(str(run_dir / "profile"))
+            profiling = True
+        if profiling and step_i >= 1 + args.profile_steps:
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profile written to {run_dir / 'profile'}")
         _, batch = next(loader)
         batch = pipeline.host_prepare(batch)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -254,6 +265,8 @@ def main(argv=None):
         if step_i >= max_steps:
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     saver.save_checkpoint(state, step_i)
     metrics_writer.close()
     print(f"done at step {step_i}")

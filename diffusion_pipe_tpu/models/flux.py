@@ -173,6 +173,48 @@ class FluxPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def sample(self, params, t5_embed, clip_embed, width, height, key,
+               num_steps=20, guidance_scale=1.0, uncond_embeds=None):
+        """Euler flow sampling through the training forward (reference
+        models/base.py:263-291). Returns latents [B, 16, h, w]."""
+        from ..training.sampling import euler_flow_sample
+
+        b = t5_embed.shape[0]
+        h, w = height // 8, width // 8
+        img_ids = latent_image_ids(h // 2, w // 2)
+        txt_ids = jnp.zeros((t5_embed.shape[1], 3), jnp.float32)
+        guidance = jnp.full((b,), float(self.model_config.get("guidance", 1.0)))
+
+        def vel(embeds, pooled):
+            def fn(x, t):
+                packed = pack_latents(x)
+                out = self.forward(params, dict(
+                    hidden_states=packed.astype(self.flux_config.dtype),
+                    encoder_hidden_states=embeds.astype(self.flux_config.dtype),
+                    pooled_projections=pooled.astype(self.flux_config.dtype),
+                    timestep=t,
+                    img_ids=img_ids,
+                    txt_ids=txt_ids,
+                    guidance=guidance if self.flux_config.guidance_embeds
+                    else None,
+                    txt_mask=None,
+                    img_seq_len=(h // 2) * (w // 2),
+                ))
+                return unpack_latents(out.astype(jnp.float32), h, w)
+
+            return fn
+
+        uncond_fn = None
+        if uncond_embeds is not None:
+            uncond_fn = vel(uncond_embeds["t5_embed"],
+                            uncond_embeds["clip_embed"])
+        return euler_flow_sample(
+            vel(t5_embed, clip_embed), (b, 16, h, w), key,
+            num_steps=num_steps, guidance_scale=guidance_scale,
+            uncond_velocity_fn=uncond_fn,
+            shift=self.model_config.get("shift"),
+        )
+
     def save_adapter(self, out_dir, trainable):
         """diffusers-lora safetensors export (reference flux save_adapter
         writes the diffusers format, models/flux.py:255-288)."""

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     # capture a jax.profiler trace of steps [2, N+2) into run_dir/profile
     # (first-class tracing; the reference has none, SURVEY.md section 5.1)
     p.add_argument("--profile_steps", type=int, default=0)
+    # generate an example image with the current weights before training
+    # (reference --test_sample, train.py:517-518, 625-631)
+    p.add_argument("--test_sample", type=str, default=None)
     return p.parse_args(argv)
 
 
@@ -140,6 +143,26 @@ def main(argv=None):
         pipeline, optimizer, jax.random.PRNGKey(config["seed"]), predicate,
         params=params,
     )
+
+    if args.test_sample is not None and hasattr(pipeline, "sample"):
+        te_fns = pipeline.get_call_text_encoder_fns()
+        embeds = {}
+        for fn in te_fns:
+            embeds.update(fn([args.test_sample]))
+        sample_kwargs = {k: jnp.asarray(v) for k, v in embeds.items()}
+        latents = pipeline.sample(
+            params, width=512, height=512, key=jax.random.PRNGKey(0),
+            num_steps=int(config.get("sample_steps", 20)), **sample_kwargs,
+        )
+        vae, vae_params = pipeline._load_vae()
+        img = vae.apply(vae_params, latents, method=type(vae).decode)
+        arr = np.asarray(jnp.clip((img[0] + 1) * 127.5, 0, 255)).astype("uint8")
+        from PIL import Image
+
+        out_path = Path(config["output_dir"]) / "example.png"
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(arr.transpose(1, 2, 0)).save(out_path)
+        print(f"test sample written to {out_path}")
 
     gas = config["gradient_accumulation_steps"]
     train_data.post_init(

@@ -264,18 +264,34 @@ class WanPipeline(BasePipeline):
                 }
 
             return [te]
-        from .text_encoders import HFTextEncoder
+        # native UMT5 encoder (reference vendors models/wan/t5.py; ours is
+        # models/umt5.py), jitted for the caching phase
+        from transformers import AutoTokenizer
 
-        t5 = HFTextEncoder(
-            "t5", mc["llm_path"], max_length=self.wan_config.text_len,
+        from .umt5 import UMT5Config, UMT5Encoder, convert_umt5_comfy
+        from .weights import load_safetensors_dir
+
+        cfg = UMT5Config.xxl()
+        tok = AutoTokenizer.from_pretrained(
+            mc.get("llm_tokenizer_path", mc["llm_path"])
         )
+        enc = UMT5Encoder(cfg)
+        params = convert_umt5_comfy(
+            load_safetensors_dir(mc["llm_path"]), cfg
+        )
+        run = jax.jit(lambda ids, m: enc.apply(params, ids, m))
 
         def te(captions):
-            emb, mask = t5.encode(captions, return_mask=True)
+            t = tok(
+                captions, padding="max_length", truncation=True,
+                max_length=self.wan_config.text_len, return_tensors="np",
+            )
+            emb = np.asarray(run(t["input_ids"], t["attention_mask"]))
+            mask = np.asarray(t["attention_mask"])
             # zero out padding rows like the reference (wan.py:497-503)
             emb = emb * mask[..., None]
             return {
-                "text_embeddings": emb,
+                "text_embeddings": emb.astype(np.float32),
                 "seq_lens": mask.sum(axis=1).astype(np.int32),
             }
 

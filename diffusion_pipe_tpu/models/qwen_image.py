@@ -1,0 +1,277 @@
+"""Qwen-Image / Qwen-Image-Edit pipeline + model (reference models/qwen_image.py).
+
+Architecture (diffusers QwenImageTransformer2DModel): 60 dual-stream MMDiT
+blocks at 3072 hidden — structurally flux's double block (joint [txt, img]
+attention, per-head RMS qk-norm, adaLN-zero 6-way modulation, 4x GELU MLPs) —
+with timestep-only conditioning (no CLIP pooled branch), RMS-normed Qwen2.5-VL
+text features (3584) as context, and RoPE where text tokens get positions
+offset past the image grid on all three axes. Latents pack 2x2 like flux
+(reference qwen_image.py:414); Edit mode concatenates control latents in the
+sequence (455-462); text padding is masked in attention (77-174 custom attn
+processor parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .flux import latent_image_ids, pack_latents, resize_mask_to_latents
+from .flux_model import FluxConfig, FluxDoubleBlock
+from .layers import (
+    LoraDense,
+    RMSNorm,
+    TimestepEmbedder,
+    layer_norm_no_affine,
+    modulate,
+    rope_frequencies,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class QwenImageConfig:
+    in_channels: int = 64
+    out_channels: int = 64
+    num_layers: int = 60
+    attention_head_dim: int = 128
+    num_attention_heads: int = 24
+    joint_attention_dim: int = 3584   # Qwen2.5-VL-7B hidden
+    axes_dims_rope: Any = (16, 56, 56)
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    base_kernel_dtype: Any = None
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def hidden_size(self):
+        return self.num_attention_heads * self.attention_head_dim
+
+    def to_flux_config(self) -> FluxConfig:
+        """Block-level config shared with FluxDoubleBlock."""
+        return FluxConfig(
+            in_channels=self.in_channels,
+            out_channels=self.out_channels,
+            attention_head_dim=self.attention_head_dim,
+            num_attention_heads=self.num_attention_heads,
+            joint_attention_dim=self.joint_attention_dim,
+            axes_dims_rope=tuple(self.axes_dims_rope),
+            rope_theta=self.rope_theta,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            base_kernel_dtype=self.base_kernel_dtype,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout,
+            lora_dtype=self.lora_dtype,
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        d = dict(
+            num_layers=2, attention_head_dim=32, num_attention_heads=4,
+            joint_attention_dim=48, axes_dims_rope=(8, 12, 12),
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )
+        d.update(kw)
+        return QwenImageConfig(**d)
+
+
+class QwenImageTransformer(nn.Module):
+    config: QwenImageConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, encoder_hidden_states, timestep,
+                 img_ids, txt_mask=None, img_seq_len: Optional[int] = None):
+        cfg = self.config
+        fcfg = cfg.to_flux_config()
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b = hidden_states.shape[0]
+        stxt = encoder_hidden_states.shape[1]
+
+        img = LoraDense(dim, name="img_in", **dd)(
+            hidden_states.astype(cfg.dtype)
+        )
+        txt = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                      name="txt_norm")(encoder_hidden_states.astype(cfg.dtype))
+        txt = LoraDense(dim, name="txt_in", **dd)(txt)
+        temb = TimestepEmbedder(dim, **dd, name="time_text_embed")(
+            timestep.astype(jnp.float32) * 1000.0
+        )
+        temb = nn.silu(temb)
+
+        # text rope positions continue past the image grid on every axis
+        max_idx = jnp.max(img_ids) + 1
+        txt_ids = jnp.broadcast_to(
+            (max_idx + jnp.arange(stxt))[:, None], (stxt, 3)
+        ).astype(jnp.float32)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
+        )
+
+        block = FluxDoubleBlock
+        if cfg.remat:
+            block = nn.remat(block, prevent_cse=False)
+        (img, txt), _ = nn.scan(
+            block,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(fcfg, name="blocks")((img, txt), temb, rope_cos, rope_sin, txt_mask)
+
+        out = img
+        if img_seq_len is not None:
+            out = out[:, :img_seq_len]
+        mod = LoraDense(2 * dim, name="norm_out_linear", **dd)(temb)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        out = modulate(layer_norm_no_affine(out), shift, scale)
+        return LoraDense(cfg.out_channels, name="proj_out", **dd)(out)
+
+
+@register_model("qwen_image", "qwen-image", "qwen_image_edit")
+class QwenImagePipeline(BasePipeline):
+    name = "qwen_image"
+    cacheable_text_embeddings = ("prompt_embeds", "prompt_embeds_mask")
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.qi_config = self._build_config()
+        self.model = QwenImageTransformer(self.qi_config)
+
+    def _build_config(self) -> QwenImageConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return QwenImageConfig.tiny(**kwargs)
+        return QwenImageConfig(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.qi_config
+        b, simg, stxt = 1, 16, 8
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((b, simg, cfg.in_channels)),
+            jnp.zeros((b, stxt, cfg.joint_attention_dim)),
+            jnp.zeros((b,)),
+            latent_image_ids(4, 4),
+            jnp.ones((b, stxt), jnp.int32),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        if latents.ndim == 5:  # [B, C, 1, H, W] video-shaped image latents
+            latents = latents[:, :, 0]
+        b, c, h, w = latents.shape
+        image_seq_len = (h // 2) * (w // 2)
+
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = pack_latents(resize_mask_to_latents(mask, h, w, c))
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=image_seq_len,
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = pack_latents((1 - t_exp) * latents + t_exp * noise)
+        target = pack_latents(noise - latents)
+
+        img_ids = latent_image_ids(h // 2, w // 2)
+        if "control_latents" in batch and batch["control_latents"] is not None:
+            control = batch["control_latents"].astype(jnp.float32)
+            if control.ndim == 5:
+                control = control[:, :, 0]
+            x_t = jnp.concatenate([x_t, pack_latents(control)], axis=1)
+            img_ids = jnp.concatenate(
+                [img_ids, latent_image_ids(h // 2, w // 2, modality=1)], axis=0
+            )
+
+        model_inputs = dict(
+            hidden_states=x_t,
+            encoder_hidden_states=batch["prompt_embeds"],
+            timestep=t,
+            img_ids=img_ids,
+            txt_mask=batch["prompt_embeds_mask"].reshape(b, -1)
+            if "prompt_embeds_mask" in batch else None,
+            img_seq_len=image_seq_len,
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_vae_fn(self):
+        # Qwen-Image uses a 16ch Wan-style image VAE; flux VAE stands in
+        # until the dedicated loader lands.
+        from .flux import FluxPipeline
+
+        return FluxPipeline.get_call_vae_fn(self)
+
+    def _load_vae(self):
+        from .flux import FluxPipeline
+
+        return FluxPipeline._load_vae(self)
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.qi_config
+
+            def te(caps):
+                embs, masks = [], []
+                for cap in caps:
+                    r = np.random.default_rng(seed_from_hash(cap))
+                    n = min(len(cap) + 1, 8)
+                    e = np.zeros((8, cfg.joint_attention_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.joint_attention_dim))
+                    m = np.zeros((8,), np.int32)
+                    m[:n] = 1
+                    embs.append(e)
+                    masks.append(m)
+                return {"prompt_embeds": np.stack(embs),
+                        "prompt_embeds_mask": np.stack(masks)}
+
+            return [te]
+        raise NotImplementedError(
+            "Qwen2.5-VL encoder wiring pending; provide cached prompt_embeds"
+        )

@@ -37,6 +37,12 @@ def _batch_for(name, pipeline):
             "pooled_prompt_2_embed": jax.random.normal(k, (2, 16)),
             "t5_prompt_embed": jax.random.normal(k, (2, 8, 64)),
         }
+    if name == "qwen_image":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 1, 8, 8)),
+            "prompt_embeds": jax.random.normal(k, (2, 8, 48)),
+            "prompt_embeds_mask": jnp.ones((2, 8), jnp.int32),
+        }
     if name == "hunyuan-video":
         return {
             "latents": jax.random.normal(k, (2, 16, 5, 16, 16)),
@@ -47,7 +53,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

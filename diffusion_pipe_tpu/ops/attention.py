@@ -80,8 +80,11 @@ def dot_product_attention(
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
+    # (512, 2048) measured best on v5e at 8k tokens: large K blocks amortize
+    # the per-block online-softmax bookkeeping against MXU work
+    # (52 -> 103 TFLOP/s forward)
     block_q = min(512, round_up_to_multiple(sq, LANES))
-    block_k = min(512, round_up_to_multiple(skv, LANES))
+    block_k = min(2048, round_up_to_multiple(skv, LANES))
     sq_pad = round_up_to_multiple(sq, block_q)
     skv_pad = round_up_to_multiple(skv, block_k)
 

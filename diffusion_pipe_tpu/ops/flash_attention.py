@@ -399,7 +399,7 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_k: int = 512,
+    block_k: int = 2048,
 ) -> jax.Array:
     """Blockwise flash attention on TPU.
 

@@ -229,8 +229,8 @@ class WanPipeline(BasePipeline):
         return fn
 
     def _clip_visual(self, first_frames):
-        """CLIP-vision context for i2v (reference models/wan/clip.py). Real
-        XLM-Roberta-CLIP port lands with the weight loader; tiny mode uses a
+        """CLIP-vision context for i2v via the native ViT-H/14 port
+        (models/wan_clip.py; reference models/wan/clip.py). Tiny mode uses a
         deterministic projection so the path is exercisable."""
         if self.model_config.get("_tiny", False):
             b = first_frames.shape[0]
@@ -238,9 +238,32 @@ class WanPipeline(BasePipeline):
             feat = pooled.reshape(b, -1)
             feat = jnp.tile(feat, (1, 1 + 1280 * 257 // feat.shape[1]))[:, : 257 * 1280]
             return feat.reshape(b, 257, 1280)
-        raise NotImplementedError(
-            "CLIP-vision encoder port pending; provide cached clip_context"
-        )
+        if getattr(self, "_clip", None) is None:
+            import torch
+
+            from .wan_clip import (
+                WanClipVision,
+                WanClipVisionConfig,
+                convert_wan_clip_visual,
+            )
+
+            cfg = WanClipVisionConfig()
+            path = self.model_config["clip_path"]
+            if str(path).endswith(".safetensors"):
+                from .weights import load_safetensors_dir
+
+                sd = load_safetensors_dir(path)
+            else:
+                sd = {
+                    k: v.float().numpy()
+                    for k, v in torch.load(path, map_location="cpu").items()
+                }
+            self._clip = WanClipVision(cfg)
+            self._clip_params = convert_wan_clip_visual(sd, cfg)
+            self._clip_run = jax.jit(
+                lambda px: self._clip.apply(self._clip_params, px)
+            )
+        return self._clip_run(first_frames)
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

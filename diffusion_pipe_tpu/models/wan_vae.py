@@ -241,6 +241,87 @@ class Encoder3d(nn.Module):
         return h
 
 
+class _TimeUp(nn.Module):
+    """Channel-doubling causal time conv for temporal upsampling
+    (Resample upsample3d, vae2_1.py:99-137). First chunk passes through
+    untouched ('Rep' sentinel); later 1-frame chunks double to 2 frames."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cache: Optional[Cache]):
+        b, t, h, w, c = x.shape
+        conv = nn.Conv(2 * c, (3, 1, 1), padding="VALID", dtype=self.dtype,
+                       name="time_conv")
+
+        def doubled(y):
+            # [B, T, H, W, 2C] -> interleave channel halves as time steps
+            y = y.reshape(b, -1, h, w, 2, c)
+            return jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(
+                b, -1, h, w, c
+            )
+
+        prev = cache.next("Rep") if cache is not None else None
+        if isinstance(prev, str):  # 'Rep' sentinel
+            if cache.init_mode:
+                # first chunk: no temporal upsample; create params for init
+                if self.is_initializing():
+                    conv(jnp.concatenate([x, x, x], axis=1))
+                return x
+            # second chunk: zero left-context (vae2_1.py:117-126 'Rep' branch)
+            y = conv(jnp.pad(x, ((0, 0), (2, 0), (0, 0), (0, 0), (0, 0))))
+            zx = jnp.concatenate([jnp.zeros_like(x[:, -1:]), x], axis=1)
+            cache.update(zx[:, -CACHE_T:])
+            return doubled(y)
+        full = jnp.concatenate([prev, x], axis=1)
+        cache.update(full[:, -CACHE_T:])
+        y = conv(full)
+        return doubled(y)
+
+
+class _SpatialUp(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, h, w, c = x.shape
+        y = x.reshape(b * t, h, w, c).astype(jnp.float32)
+        y = jax.image.resize(y, (b * t, h * 2, w * 2, c), "nearest")
+        y = nn.Conv(c // 2, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(y.astype(x.dtype))
+        return y.reshape(b, t, h * 2, w * 2, c // 2)
+
+
+class Decoder3d(nn.Module):
+    config: WanVAEConfig
+
+    @nn.compact
+    def __call__(self, z, cache: Optional[Cache]):
+        cfg = self.config
+        dims = [cfg.dim * u for u in (cfg.dim_mult[-1],) + tuple(
+            reversed(cfg.dim_mult)
+        )]
+        temperal_upsample = tuple(reversed(cfg.temperal_downsample))
+        h = CausalConv3d(dims[0], dtype=cfg.dtype, name="conv1")(z, cache)
+        h = ResidualBlock3d(dims[0], cfg.dtype, name="mid_res_0")(h, cache)
+        h = AttentionBlock2d(cfg.dtype, name="mid_attn")(h)
+        h = ResidualBlock3d(dims[0], cfg.dtype, name="mid_res_1")(h, cache)
+        li = 0
+        for i, (in_dim, out_dim) in enumerate(zip(dims[:-1], dims[1:])):
+            for _ in range(cfg.num_res_blocks + 1):
+                h = ResidualBlock3d(out_dim, cfg.dtype,
+                                    name=f"up_{li}")(h, cache)
+                li += 1
+            if i != len(cfg.dim_mult) - 1:
+                if temperal_upsample[i]:
+                    h = _TimeUp(cfg.dtype, name=f"up_{li}_t")(h, cache)
+                h = _SpatialUp(cfg.dtype, name=f"up_{li}_s")(h)
+                li += 1
+        h = RMSNormSpatial(cfg.dtype, name="head_norm")(h)
+        h = nn.silu(h)
+        return CausalConv3d(3, dtype=cfg.dtype, name="head_conv")(h, cache)
+
+
 class WanVideoVAE(nn.Module):
     """Chunked encode matching WanVAE_.encode (vae2_1.py:511-538).
 
@@ -255,6 +336,10 @@ class WanVideoVAE(nn.Module):
         self.quant_conv = CausalConv3d(
             2 * self.config.z_dim, kernel=(1, 1, 1), dtype=self.config.dtype,
             name="conv1_quant",
+        )
+        self.decoder = Decoder3d(self.config)
+        self.post_quant_conv = CausalConv3d(
+            self.config.z_dim, kernel=(1, 1, 1), dtype=self.config.dtype,
         )
 
     def _encode_chunks(self, x):
@@ -284,5 +369,28 @@ class WanVideoVAE(nn.Module):
             mu = (mu - mean) / std_c
         return jnp.transpose(mu, (0, 4, 1, 2, 3))  # [B, z, T', H', W']
 
+    def decode(self, latents):
+        """latents [B, z, T', H', W'] (normalized) -> video [B, 3, T, H, W]
+        in [-1, 1]; one latent frame per decoder chunk (WanVAE_.decode,
+        vae2_1.py:540-560)."""
+        cfg = self.config
+        z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(cfg.dtype)
+        if cfg.z_dim == 16:
+            mean = jnp.asarray(WAN21_LATENT_MEAN, z.dtype)
+            std_c = jnp.asarray(WAN21_LATENT_STD, z.dtype)
+            z = z * std_c + mean
+        z = self.post_quant_conv(z, None)
+        cache = Cache()
+        outs = [self.decoder(z[:, :1], cache)]
+        cache.init_mode = False
+        for i in range(1, z.shape[1]):
+            cache.idx = 0
+            outs.append(self.decoder(z[:, i : i + 1], cache))
+        x = jnp.concatenate(outs, axis=1)
+        x = jnp.clip(x, -1.0, 1.0)
+        return jnp.transpose(x, (0, 4, 1, 2, 3))
+
     def __call__(self, video):
-        return self.encode(video)
+        # init both encoder and decoder params
+        z = self.encode(video)
+        return self.decode(z)

@@ -246,6 +246,34 @@ class SDXLPipeline(BasePipeline):
         )
         return jnp.mean(loss * w)
 
+    def load_weights(self):
+        """diffusers-folder UNet weights + HF text encoders -> our params."""
+        from .sdxl_convert import convert_diffusers_sdxl_unet
+        from .weights import load_safetensors_dir
+
+        mc = self.model_config
+        path = mc.get("unet_path") or str(Path(mc["diffusers_path"]) / "unet")
+        sd = load_safetensors_dir(path)
+        unet = convert_diffusers_sdxl_unet(sd, self.unet_config)
+        te1, te2 = self._text_encoders()
+        return {
+            "params": {
+                "unet": unet,
+                "text_encoder": te1.params,
+                "text_encoder_2": te2.params,
+            }
+        }
+
+    def save_adapter(self, out_dir, trainable):
+        """kohya sd-scripts format (reference sdxl.py:465-474)."""
+        from flax import linen as nn
+        from safetensors.numpy import save_file
+
+        from .sdxl_convert import export_sdxl_lora_kohya
+
+        sd = export_sdxl_lora_kohya(nn.unbox(trainable), self.unet_config)
+        save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
+
     # --- caching ------------------------------------------------------------
 
     def get_call_vae_fn(self):

@@ -1,0 +1,168 @@
+"""SDXL UNet weight conversion: diffusers UNet2DConditionModel -> our flax.
+
+Covers the diffusers-folder path (the reference additionally converts
+original SD-format single files via its key maps, models/sdxl.py:24-276;
+those load after diffusers' own remapping, which this targets). Kohya-format
+LoRA export for the trained adapter lives here too (reference
+sdxl.py:465-474 saves kohya naming).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from .sdxl_unet import SDXLConfig
+from .weights import linear
+
+
+def _conv(sd, key):
+    w = np.asarray(sd[f"{key}.weight"])  # [O, I, kh, kw]
+    return {"kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def _norm(sd, key):
+    return {"scale": np.asarray(sd[f"{key}.weight"]),
+            "bias": np.asarray(sd[f"{key}.bias"])}
+
+
+def _resnet(sd, p):
+    out = {
+        "norm1": _norm(sd, f"{p}.norm1"),
+        "conv1": _conv(sd, f"{p}.conv1"),
+        "time_emb_proj": linear(sd, f"{p}.time_emb_proj"),
+        "norm2": _norm(sd, f"{p}.norm2"),
+        "conv2": _conv(sd, f"{p}.conv2"),
+    }
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _basic_block(sd, p):
+    out = {}
+    for i, norm in enumerate(["norm1", "norm2", "norm3"], start=1):
+        out[norm] = _norm(sd, f"{p}.norm{i}")
+    for attn in ["attn1", "attn2"]:
+        for proj in ["to_q", "to_k", "to_v"]:
+            out[f"{attn}_{proj}"] = linear(sd, f"{p}.{attn}.{proj}")
+        out[f"{attn}_to_out"] = linear(sd, f"{p}.{attn}.to_out.0")
+    out["ff_proj"] = linear(sd, f"{p}.ff.net.0.proj")
+    out["ff_out"] = linear(sd, f"{p}.ff.net.2")
+    return out
+
+
+def _transformer(sd, p, depth):
+    out = {
+        "norm": _norm(sd, f"{p}.norm"),
+        "proj_in": linear(sd, f"{p}.proj_in"),
+        "proj_out": linear(sd, f"{p}.proj_out"),
+    }
+    for i in range(depth):
+        out[f"block_{i}"] = _basic_block(sd, f"{p}.transformer_blocks.{i}")
+    return out
+
+
+def convert_diffusers_sdxl_unet(sd: Dict[str, np.ndarray], cfg: SDXLConfig):
+    p: Dict[str, dict] = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding_1": linear(sd, "time_embedding.linear_1"),
+        "time_embedding_2": linear(sd, "time_embedding.linear_2"),
+        "add_embedding_1": linear(sd, "add_embedding.linear_1"),
+        "add_embedding_2": linear(sd, "add_embedding.linear_2"),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        depth = cfg.transformer_layers[i]
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_res_{j}"] = _resnet(
+                sd, f"down_blocks.{i}.resnets.{j}"
+            )
+            if depth > 0:
+                p[f"down_{i}_attn_{j}"] = _transformer(
+                    sd, f"down_blocks.{i}.attentions.{j}", depth
+                )
+        if i < n - 1:
+            p[f"down_{i}_downsample"] = _conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv"
+            )
+    p["mid_res_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_res_1"] = _resnet(sd, "mid_block.resnets.1")
+    p["mid_attn"] = _transformer(
+        sd, "mid_block.attentions.0", cfg.transformer_layers[-1]
+    )
+    rev_depths = list(reversed(cfg.transformer_layers))
+    for i in range(n):
+        depth = rev_depths[i]
+        for j in range(cfg.layers_per_block + 1):
+            p[f"up_{i}_res_{j}"] = _resnet(sd, f"up_blocks.{i}.resnets.{j}")
+            if depth > 0:
+                p[f"up_{i}_attn_{j}"] = _transformer(
+                    sd, f"up_blocks.{i}.attentions.{j}", depth
+                )
+        if i < n - 1:
+            p[f"up_{i}_upsample"] = _conv(
+                sd, f"up_blocks.{i}.upsamplers.0.conv"
+            )
+    return p
+
+
+# --- kohya LoRA export ------------------------------------------------------
+
+_KOHYA_ATTN = {
+    "attn1_to_q": "attn1_to_q", "attn1_to_k": "attn1_to_k",
+    "attn1_to_v": "attn1_to_v", "attn1_to_out": "attn1_to_out_0",
+    "attn2_to_q": "attn2_to_q", "attn2_to_k": "attn2_to_k",
+    "attn2_to_v": "attn2_to_v", "attn2_to_out": "attn2_to_out_0",
+    "ff_proj": "ff_net_0_proj", "ff_out": "ff_net_2",
+}
+
+
+def export_sdxl_lora_kohya(trainable, cfg: SDXLConfig) -> Dict[str, np.ndarray]:
+    """Our LoRA tree -> kohya sd-scripts keys:
+    lora_unet_<module path with _>_lora_{down,up}.weight + alpha."""
+    out: Dict[str, np.ndarray] = {}
+    p = trainable["params"]["unet"]
+
+    def emit(kohya_mod, leaf):
+        if leaf is None or "lora_a" not in leaf:
+            return
+        a = np.asarray(leaf["lora_a"], np.float32)  # [in, r]
+        b = np.asarray(leaf["lora_b"], np.float32)  # [r, out]
+        out[f"lora_unet_{kohya_mod}.lora_down.weight"] = np.ascontiguousarray(a.T)
+        out[f"lora_unet_{kohya_mod}.lora_up.weight"] = np.ascontiguousarray(b.T)
+        out[f"lora_unet_{kohya_mod}.alpha"] = np.asarray(
+            float(cfg.lora_alpha), np.float32
+        )
+
+    def walk_transformer(our_prefix, kohya_prefix, depth):
+        tree = p.get(our_prefix)
+        if tree is None:
+            return
+        for i in range(depth):
+            blk = tree.get(f"block_{i}", {})
+            for ours, kohya in _KOHYA_ATTN.items():
+                emit(f"{kohya_prefix}_transformer_blocks_{i}_{kohya}",
+                     blk.get(ours))
+
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        depth = cfg.transformer_layers[i]
+        for j in range(cfg.layers_per_block):
+            walk_transformer(
+                f"down_{i}_attn_{j}",
+                f"down_blocks_{i}_attentions_{j}", depth,
+            )
+    walk_transformer("mid_attn", "mid_block_attentions_0",
+                     cfg.transformer_layers[-1])
+    rev = list(reversed(cfg.transformer_layers))
+    for i in range(n):
+        for j in range(cfg.layers_per_block + 1):
+            walk_transformer(
+                f"up_{i}_attn_{j}", f"up_blocks_{i}_attentions_{j}", rev[i]
+            )
+    return out

@@ -1,0 +1,172 @@
+"""Cosmos-Predict2 / Anima pipeline adapter (reference models/cosmos_predict2.py).
+
+Flow matching with the reference's reformulation (cosmos_predict2.py:351-408):
+logit-normal t, x_t=(1-t)x1+t*x0, target x0-x1, t passed RAW in [0,1] to the
+model. Optional multiscale average-pooled loss (reference 491-527). Text:
+old-T5-XXL features (1024-d projected? 1024 crossattn channels), cached.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .cosmos_predict2_model import CosmosPredict2Config, CosmosPredict2Transformer
+
+
+@register_model("cosmos_predict2", "anima")
+class CosmosPredict2Pipeline(BasePipeline):
+    name = "cosmos_predict2"
+    framerate = 16
+    cacheable_text_embeddings = ("t5_embed",)
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.cp_config = self._build_config()
+        self.model = CosmosPredict2Transformer(self.cp_config)
+
+    def _build_config(self) -> CosmosPredict2Config:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return CosmosPredict2Config.tiny(**kwargs)
+        return CosmosPredict2Config.p2b_2b(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.cp_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, cfg.in_channels, 1, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 8, cfg.crossattn_emb_channels)),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, f, h, w = latents.shape
+
+        mask = batch.get("mask")
+        if mask is not None:
+            m = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )
+            mask = m[:, None, None]
+
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        model_inputs = dict(
+            x=x_t.astype(self.cp_config.dtype),
+            t=t,  # RAW [0,1] (reference cosmos_predict2.py:405-408)
+            context=batch["t5_embed"],
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def loss_fn(self, output, target, mask):
+        """Masked loss + optional multiscale avg-pool term (reference
+        cosmos_predict2.py:491-527)."""
+        base = super().loss_fn(output, target, mask)
+        scales = self.model_config.get("multiscale_loss_scales")
+        if not scales:
+            return base
+        total = base
+        for s in scales:
+            o = jax.lax.reduce_window(
+                output.astype(jnp.float32), 0.0, jax.lax.add,
+                (1, 1, 1, s, s), (1, 1, 1, s, s), "VALID",
+            ) / (s * s)
+            tgt = jax.lax.reduce_window(
+                target.astype(jnp.float32), 0.0, jax.lax.add,
+                (1, 1, 1, s, s), (1, 1, 1, s, s), "VALID",
+            ) / (s * s)
+            total = total + jnp.mean((o - tgt) ** 2)
+        return total
+
+    def get_call_vae_fn(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            return self._tiny_vae_fn()
+        # the reference reuses the Wan VAE for predict2
+        from .wan_vae_convert import load_wan_vae
+
+        vae, params = load_wan_vae(mc["vae_path"])
+        encode = jax.jit(lambda px: vae.apply(params, px, method=type(vae).encode))
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
+
+    def _tiny_vae_fn(self):
+        from .wan_vae import WanVAEConfig, WanVideoVAE
+
+        cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 4),
+                           num_res_blocks=1, temperal_downsample=(True, True))
+        vae = WanVideoVAE(cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32)))
+        encode = jax.jit(lambda px: vae.apply(params, px, method=type(vae).encode))
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.cp_config
+
+            def te(caps):
+                return {"t5_embed": np.stack([
+                    np.random.default_rng(seed_from_hash(c))
+                    .standard_normal((8, cfg.crossattn_emb_channels))
+                    .astype(np.float32) for c in caps
+                ])}
+
+            return [te]
+        raise NotImplementedError(
+            "old-T5 encoder wiring pending; provide cached t5_embed"
+        )

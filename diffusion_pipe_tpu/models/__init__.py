@@ -4,7 +4,7 @@ The registry maps the reference's `model.type` config strings
 (reference train.py:310-379 dispatch chain) to pipeline classes.
 """
 
-from typing import Dict, Type
+from typing import Dict
 
 _REGISTRY: Dict[str, type] = {}
 

@@ -16,7 +16,7 @@ Weight conversion from diffusers safetensors: convert_diffusers_vae().
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ padding masked in attention; modulations from the distilled Approximator
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Dict
 
 import jax

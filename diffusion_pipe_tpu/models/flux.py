@@ -19,7 +19,7 @@ needs the reference's first->last pipeline-stage broadcast hack
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import einops
 import jax

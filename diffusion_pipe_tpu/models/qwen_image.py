@@ -14,7 +14,6 @@ processor parity).
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 from typing import Any, Dict, Optional
 
 import flax.linen as nn

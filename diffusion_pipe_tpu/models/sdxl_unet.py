@@ -13,7 +13,7 @@ Structure names mirror diffusers keys so the weight converter is mechanical.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ Re-implements the training semantics of reference models/wan/wan.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,7 @@ sharding and TP kernel sharding compose with the pipeline for free.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Pure-array re-implementation of the scheduler pieces the reference uses:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Supported `optimizer.type` values (reference names kept):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import chex
 import jax

@@ -18,13 +18,9 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
-
-import jax
-import numpy as np
 
 
 class Saver:

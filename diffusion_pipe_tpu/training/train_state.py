@@ -9,7 +9,7 @@ never materialize gradients (memory parity with LoRA training).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import flax
 import jax

@@ -11,8 +11,7 @@ mean-over-microbatches semantics.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ import pytest
 from PIL import Image
 
 from diffusion_pipe_tpu.data.cache import Cache, map_and_cache
-from diffusion_pipe_tpu.data.dataset import Dataset, collate
+from diffusion_pipe_tpu.data.dataset import Dataset
 from diffusion_pipe_tpu.data.loader import DatasetManager, PipelineDataLoader
 from diffusion_pipe_tpu.data.preprocess import PreprocessMediaFile
 

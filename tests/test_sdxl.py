@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from diffusion_pipe_tpu.models import get_model_class
 from diffusion_pipe_tpu.training.ddpm import (

@@ -4,7 +4,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from diffusion_pipe_tpu.models import get_model_class
 from diffusion_pipe_tpu.models.wan import convert_wan_weights, export_wan_lora_comfyui

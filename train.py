@@ -71,11 +71,7 @@ def main(argv=None):
     from diffusion_pipe_tpu.training.metrics import MetricsWriter
     from diffusion_pipe_tpu.training.optimizers import get_optimizer
     from diffusion_pipe_tpu.training.saver import Saver, get_most_recent_run_dir
-    from diffusion_pipe_tpu.training.train_state import (
-        TrainState,
-        partition_params,
-        predicate_from_config,
-    )
+    from diffusion_pipe_tpu.training.train_state import predicate_from_config
     from diffusion_pipe_tpu.training.trainer import (
         init_train_state,
         make_eval_step,
@@ -107,6 +103,31 @@ def main(argv=None):
     for _, ds in eval_datasets:
         manager.register(ds)
     manager.cache()
+    if args.dump_dataset is not None:
+        # decode cached latents back to PNGs for dataset-fidelity checks
+        # (reference --dump_dataset, train.py:483-511)
+        from PIL import Image
+
+        vae, vae_params = pipeline._load_vae()
+        decode = jax.jit(
+            lambda z: vae.apply(vae_params, z, method=type(vae).decode)
+        )
+        args.dump_dataset.mkdir(parents=True, exist_ok=True)
+        count = 0
+        for bucket_ds in train_data.all_size_bucket_datasets():
+            for i in range(min(len(bucket_ds), 16)):
+                item = bucket_ds[i]
+                z = jnp.asarray(item["latents"])[None]
+                img = np.asarray(decode(z))[0]
+                if img.ndim == 4:  # video: first frame
+                    img = img[:, 0]
+                arr = np.clip((img.transpose(1, 2, 0) + 1) * 127.5, 0, 255)
+                Image.fromarray(arr.astype("uint8")).save(
+                    args.dump_dataset / f"img_{count}.png"
+                )
+                count += 1
+        print(f"dumped {count} decoded examples to {args.dump_dataset}")
+        return 0
     if args.cache_only:
         print("Cache generated. Exiting.")
         return 0

@@ -1,0 +1,403 @@
+"""LTX-Video model + pipeline (reference models/ltx_video.py).
+
+Pipeline semantics are faithful to the reference wrappers (ltx_video.py:
+186-315): flow matching; fractional RoPE coordinates with the time axis
+divided by the framerate (190-192); text attention as an additive -10000
+bias; first-frame conditioning probability (t~0 + loss-masked first frame,
+175-185); mask normalized by its mean (203-217); PixArt-style adaLN-single
+(global 6*dim timestep embedding + per-block scale_shift_table).
+
+Model core is the LTX transformer shape (RMS-normed blocks, gated self-attn
+and FF, ungated cross-attn, qk RMS-norm, rope on self-attention only). The
+RoPE per-axis dim split defaults to the (t, h, w) = (rest, d//6*2, d//6*2)
+convention; verify against pretrained checkpoints before converted-weight
+training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import dot_product_attention
+from ..training.flow import TimestepDistribution, sample_timesteps
+from . import register_model
+from .base import BasePipeline
+from .layers import (
+    LoraDense,
+    RMSNorm,
+    apply_rope,
+    layer_norm_no_affine,
+    rope_frequencies,
+    sinusoidal_timestep_embedding,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LTXConfig:
+    in_channels: int = 128        # LTX VAE latent channels
+    out_channels: int = 128
+    hidden_size: int = 2048
+    num_heads: int = 32
+    num_layers: int = 28
+    caption_dim: int = 4096       # T5-XXL
+    mlp_ratio: float = 4.0
+    rope_theta: float = 10000.0
+    timestep_scale_multiplier: float = 1000.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    base_kernel_dtype: Any = None
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def rope_axes_dim(self):
+        d = self.head_dim
+        sp = d // 6 * 2
+        return (d - 2 * sp, sp, sp)
+
+    @property
+    def lora_kwargs(self):
+        return dict(
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        d = dict(in_channels=16, out_channels=16, hidden_size=48,
+                 num_heads=4, num_layers=2, caption_dim=32,
+                 dtype=jnp.float32, param_dtype=jnp.float32)
+        d.update(kw)
+        return LTXConfig(**d)
+
+
+class LTXBlock(nn.Module):
+    config: LTXConfig
+
+    @nn.compact
+    def __call__(self, x, timestep_6d, context, context_bias, rope_cos,
+                 rope_sin):
+        """x: [B, S, D]; timestep_6d: [B, 1orS, 6*D]; context_bias additive."""
+        cfg = self.config
+        dim = cfg.hidden_size
+        heads, hd = cfg.num_heads, cfg.head_dim
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  kernel_dtype=cfg.base_kernel_dtype)
+        lora = cfg.lora_kwargs
+        b, s, _ = x.shape
+
+        table = self.param(
+            "scale_shift_table",
+            lambda k, sh: jax.random.normal(k, sh) / dim**0.5, (6, dim),
+        )
+        mods = (table[None, None].astype(jnp.float32)
+                + timestep_6d.reshape(b, -1, 6, dim).astype(jnp.float32))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mods[:, :, i] for i in range(6)
+        ]
+
+        def rms(name, y):
+            return RMSNorm(eps=1e-6, dtype=cfg.dtype,
+                           param_dtype=cfg.param_dtype, name=name)(y)
+
+        # gated self attention with rope
+        y = layer_norm_no_affine(x).astype(jnp.float32)
+        y = (y * (1 + scale_msa) + shift_msa).astype(cfg.dtype)
+        q = rms("attn1_norm_q", LoraDense(dim, name="attn1_to_q", **dd,
+                                          **lora)(y)).reshape(b, s, heads, hd)
+        k = rms("attn1_norm_k", LoraDense(dim, name="attn1_to_k", **dd,
+                                          **lora)(y)).reshape(b, s, heads, hd)
+        v = LoraDense(dim, name="attn1_to_v", **dd, **lora)(y).reshape(
+            b, s, heads, hd)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        y = dot_product_attention(q, k, v).reshape(b, s, dim)
+        y = LoraDense(dim, name="attn1_to_out", **dd, **lora)(y)
+        x = x + (gate_msa * y.astype(jnp.float32)).astype(x.dtype)
+
+        # ungated cross attention with additive text bias
+        y = layer_norm_no_affine(x)
+        lc = context.shape[1]
+        qc = rms("attn2_norm_q", LoraDense(dim, name="attn2_to_q", **dd,
+                                           **lora)(y)).reshape(b, s, heads, hd)
+        kc = rms("attn2_norm_k", LoraDense(dim, name="attn2_to_k", **dd,
+                                           **lora)(context)).reshape(
+            b, lc, heads, hd)
+        vc = LoraDense(dim, name="attn2_to_v", **dd, **lora)(context).reshape(
+            b, lc, heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qc, kc,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        if context_bias is not None:
+            logits = logits + context_bias[:, :, None, :].astype(jnp.float32)
+        attn = jax.nn.softmax(logits, -1).astype(vc.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, vc).reshape(b, s, dim)
+        y = LoraDense(dim, name="attn2_to_out", **dd, **lora)(y)
+        x = x + y
+
+        # gated feed-forward
+        y = layer_norm_no_affine(x).astype(jnp.float32)
+        y = (y * (1 + scale_mlp) + shift_mlp).astype(cfg.dtype)
+        y = LoraDense(int(dim * cfg.mlp_ratio), name="ff_in", **dd, **lora)(y)
+        y = nn.gelu(y, approximate=True)
+        y = LoraDense(dim, name="ff_out", **dd, **lora)(y)
+        x = x + (gate_mlp * y.astype(jnp.float32)).astype(x.dtype)
+        return x, None
+
+
+class LTXTransformer(nn.Module):
+    config: LTXConfig
+
+    @nn.compact
+    def __call__(self, x, prompt_embeds, prompt_mask, t, fractional_coords):
+        """x: [B, S, C] pre-patchified latent tokens; fractional_coords:
+        [B, 3, S] (t/h/w token coordinates, time already / framerate)."""
+        cfg = self.config
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b, s, _ = x.shape
+
+        h = LoraDense(dim, name="patchify_proj", **dd)(x.astype(cfg.dtype))
+
+        # adaln_single: sinusoidal(256) -> MLP -> 6*dim, + embedded dim
+        ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
+        emb = sinusoidal_timestep_embedding(ts, 256)
+        emb = LoraDense(dim, name="adaln_linear_1", **dd)(emb.astype(cfg.dtype))
+        emb = nn.silu(emb)
+        embedded_timestep = LoraDense(dim, name="adaln_linear_2", **dd)(emb)
+        timestep_6d = LoraDense(6 * dim, name="adaln_proj", **dd)(
+            nn.silu(embedded_timestep)
+        )[:, None]  # [B, 1, 6D]
+
+        ctx = LoraDense(dim, name="caption_projection_1", **dd)(
+            prompt_embeds.astype(cfg.dtype)
+        )
+        ctx = nn.gelu(ctx, approximate=True)
+        ctx = LoraDense(dim, name="caption_projection_2", **dd)(ctx)
+        context_bias = None
+        if prompt_mask is not None:
+            context_bias = (
+                (1.0 - prompt_mask.astype(jnp.float32)) * -10000.0
+            )[:, None]  # [B, 1, Lc]
+
+        # rope from fractional coords (identical per batch under bucketing)
+        ids = jnp.transpose(fractional_coords[0], (1, 0))  # [S, 3]
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.rope_axes_dim, cfg.rope_theta
+        )
+
+        block = LTXBlock
+        if cfg.remat:
+            block = nn.remat(block, prevent_cse=False)
+        h, _ = nn.scan(
+            block,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, name="blocks")(h, timestep_6d, ctx, context_bias, rope_cos,
+                              rope_sin)
+
+        out_table = self.param(
+            "scale_shift_table",
+            lambda k, sh: jax.random.normal(k, sh) / dim**0.5, (2, dim),
+        )
+        # table rows: [shift, scale] (reference OutputLayer, ltx_video.py:300-311)
+        mods = (out_table[None, None].astype(jnp.float32)
+                + embedded_timestep[:, None, None, :].astype(jnp.float32))
+        shift, scale = mods[:, :, 0], mods[:, :, 1]
+        h = layer_norm_no_affine(h).astype(jnp.float32)
+        h = h * (1 + scale) + shift
+        return LoraDense(cfg.out_channels, name="proj_out", **dd)(
+            h.astype(cfg.dtype)
+        )
+
+
+@register_model("ltx-video", "ltx_video")
+class LTXVideoPipeline(BasePipeline):
+    name = "ltx-video"
+    framerate = 25
+    cacheable_text_embeddings = ("prompt_embeds", "prompt_attention_mask")
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.ltx_config = self._build_config()
+        self.model = LTXTransformer(self.ltx_config)
+        self.first_frame_conditioning_p = float(
+            self.model_config.get("first_frame_conditioning_p", 0.0)
+        )
+
+    def _build_config(self) -> LTXConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return LTXConfig.tiny(**kwargs)
+        return LTXConfig(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.ltx_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, 16, cfg.in_channels)),
+            jnp.zeros((1, 8, cfg.caption_dim)),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 3, 16)),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        """latents [B, C, F, H, W] -> flattened tokens; mask normalized by
+        its mean (reference ltx_video.py:203-217)."""
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, f, h, w = latents.shape
+        s = f * h * w
+
+        t_key, n_key, ff_key = jax.random.split(rng, 3)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=h * w,
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        mask = batch.get("mask")
+        loss_mask = jnp.ones((b, 1, f, h, w), jnp.float32)
+        if mask is not None:
+            m = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )
+            loss_mask = loss_mask * m[:, None, None]
+        if self.first_frame_conditioning_p > 0:
+            # first frame becomes clean conditioning + excluded from loss
+            cond = jax.random.uniform(ff_key, (b,)) < self.first_frame_conditioning_p
+            cnd = cond.reshape(b, 1, 1, 1, 1)
+            x_t = jnp.where(
+                cnd & (jnp.arange(f).reshape(1, 1, f, 1, 1) == 0),
+                latents, x_t,
+            )
+            loss_mask = jnp.where(
+                cnd & (jnp.arange(f).reshape(1, 1, f, 1, 1) == 0),
+                0.0, loss_mask,
+            )
+        loss_mask = loss_mask / jnp.maximum(jnp.mean(loss_mask), 1e-8)
+
+        # token order (f, h, w); fractional coords with time / framerate
+        fi = jnp.repeat(jnp.arange(f), h * w).astype(jnp.float32)
+        hi = jnp.tile(jnp.repeat(jnp.arange(h), w), f).astype(jnp.float32)
+        wi = jnp.tile(jnp.arange(w), f * h).astype(jnp.float32)
+        coords = jnp.stack([fi / self.framerate, hi, wi])[None].repeat(b, 0)
+
+        tokens = x_t.reshape(b, c, s).transpose(0, 2, 1)
+        target = target.reshape(b, c, s).transpose(0, 2, 1)
+        loss_mask = jnp.broadcast_to(
+            loss_mask, (b, c, f, h, w)
+        ).reshape(b, c, s).transpose(0, 2, 1)
+
+        model_inputs = dict(
+            x=tokens,
+            prompt_embeds=batch["prompt_embeds"],
+            prompt_mask=batch["prompt_attention_mask"].reshape(b, -1)
+            if "prompt_attention_mask" in batch else None,
+            t=t,
+            fractional_coords=coords,
+        )
+        return model_inputs, target, loss_mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_vae_fn(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from .wan_vae import WanVAEConfig, WanVideoVAE
+
+            cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 4),
+                               num_res_blocks=1,
+                               temperal_downsample=(True, True))
+            vae = WanVideoVAE(cfg)
+            params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32)))
+            encode = jax.jit(
+                lambda px: vae.apply(params, px, method=type(vae).encode)
+            )
+
+            def fn(pixels):
+                if pixels.ndim == 4:
+                    pixels = pixels[:, :, None]
+                return {"latents": np.asarray(
+                    encode(jnp.asarray(pixels, jnp.float32))
+                )}
+
+            return fn
+        raise NotImplementedError(
+            "LTX causal video VAE port pending; cache latents externally"
+        )
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.ltx_config
+
+            def te(caps):
+                embs, masks = [], []
+                for cap in caps:
+                    r = np.random.default_rng(seed_from_hash(cap))
+                    n = min(len(cap) + 1, 8)
+                    e = np.zeros((8, cfg.caption_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.caption_dim))
+                    m = np.zeros((8,), np.int32)
+                    m[:n] = 1
+                    embs.append(e)
+                    masks.append(m)
+                return {"prompt_embeds": np.stack(embs),
+                        "prompt_attention_mask": np.stack(masks)}
+
+            return [te]
+        from .text_encoders import HFTextEncoder
+
+        t5 = HFTextEncoder(
+            "t5", mc["t5_path"],
+            max_length=int(mc.get("max_sequence_length", 128)),
+        )
+
+        def t5_fn(captions):
+            emb, m = t5.encode(captions, return_mask=True)
+            return {"prompt_embeds": emb,
+                    "prompt_attention_mask": m.astype(np.int32)}
+
+        return [t5_fn]

@@ -48,6 +48,12 @@ def _batch_for(name, pipeline):
             "latents": jax.random.normal(k, (2, 16, 1, 8, 8)),
             "t5_embed": jax.random.normal(k, (2, 8, 32)),
         }
+    if name == "ltx-video":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 2, 4, 4)),
+            "prompt_embeds": jax.random.normal(k, (2, 8, 32)),
+            "prompt_attention_mask": jnp.ones((2, 8), jnp.int32),
+        }
     if name == "hunyuan-video":
         return {
             "latents": jax.random.normal(k, (2, 16, 5, 16, 16)),
@@ -58,7 +64,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos_predict2"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos_predict2", "ltx-video"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -26,6 +26,7 @@ def get_model_class(name: str):
     from . import flux  # noqa: F401
     from . import hunyuan_video  # noqa: F401
     from . import ltx_video  # noqa: F401
+    from . import lumina_2  # noqa: F401
     from . import qwen_image  # noqa: F401
     from . import sd3  # noqa: F401
     from . import sdxl  # noqa: F401

@@ -54,6 +54,12 @@ def _batch_for(name, pipeline):
             "prompt_embeds": jax.random.normal(k, (2, 8, 32)),
             "prompt_attention_mask": jnp.ones((2, 8), jnp.int32),
         }
+    if name == "lumina_2":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)),
+            "cap_feats": jax.random.normal(k, (2, 8, 32)),
+            "cap_mask": jnp.ones((2, 8), jnp.int32),
+        }
     if name == "hunyuan-video":
         return {
             "latents": jax.random.normal(k, (2, 16, 5, 16, 16)),
@@ -64,7 +70,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos_predict2", "ltx-video"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos_predict2", "ltx-video", "lumina_2"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -90,6 +90,11 @@ class FluxPipeline(BasePipeline):
             guidance_embeds=bool(mc.get("guidance_embeds", True)),
             remat=bool(self.config.get("activation_checkpointing", False)),
         )
+        from ..parallel.offload import offload_stacks_from_config
+
+        kwargs["offload_blocks"] = offload_stacks_from_config(
+            self.config, num_single_layers=38
+        )
         if adapter.get("type") == "lora":
             kwargs.update(
                 lora_rank=int(adapter["rank"]),

@@ -67,6 +67,9 @@ class FluxConfig:
     lora_dropout: float = 0.0
     lora_dtype: Any = jnp.float32
     remat: bool = False
+    # block stacks whose frozen params live in host RAM and stream per
+    # iteration (TPU block-swap analogue, parallel/offload.py)
+    offload_blocks: Tuple[str, ...] = ()
 
     @property
     def hidden_size(self) -> int:
@@ -271,6 +274,13 @@ class FluxTransformer(nn.Module):
 
         double = FluxDoubleBlock
         single = FluxSingleBlock
+        if cfg.offload_blocks:
+            from ..parallel.offload import stream_params_from_host
+
+            if "double_blocks" in cfg.offload_blocks:
+                double = stream_params_from_host(double)
+            if "single_blocks" in cfg.offload_blocks:
+                single = stream_params_from_host(single)
         if cfg.remat:
             double = nn.remat(double, prevent_cse=False)
             single = nn.remat(single, prevent_cse=False)

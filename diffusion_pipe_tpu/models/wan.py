@@ -76,6 +76,9 @@ class WanPipeline(BasePipeline):
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
         )
+        from ..parallel.offload import offload_stacks_from_config
+
+        kwargs["offload_blocks"] = offload_stacks_from_config(self.config)
         if adapter.get("type") == "lora":
             kwargs.update(
                 lora_rank=int(adapter["rank"]),

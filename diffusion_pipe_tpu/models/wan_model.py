@@ -63,6 +63,7 @@ class WanConfig:
     lora_dropout: float = 0.0
     lora_dtype: Any = jnp.float32
     remat: bool = False
+    offload_blocks: Tuple[str, ...] = ()
 
     @property
     def head_dim(self) -> int:
@@ -299,6 +300,10 @@ class WanTransformer(nn.Module):
         rope_cos, rope_sin = rope_frequencies(ids, cfg.rope_axes_dim)
 
         block = WanAttentionBlock
+        if "blocks" in cfg.offload_blocks:
+            from ..parallel.offload import stream_params_from_host
+
+            block = stream_params_from_host(block)
         if cfg.remat:
             block = nn.remat(block, prevent_cse=False)
         xe, _ = nn.scan(

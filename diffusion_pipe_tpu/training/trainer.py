@@ -32,12 +32,39 @@ def make_loss_fn(pipeline, timestep_quantile=None):
     return loss_fn
 
 
+def _offload_opt_state(opt_state, host_stacks):
+    """Move optimizer-state leaves whose tree path passes through an
+    offloaded stack name (works through optax NamedTuple states)."""
+    def move(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if any(s in names for s in host_stacks):
+            return jax.device_put(leaf, jax.memory.Space.Host)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(move, opt_state)
+
+
+def _move_stack_leaves_to_host(tree, host_stacks):
+    """Match grads/updates to host-resident offloaded params (scan inputs and
+    elementwise optimizer math must not mix memory spaces)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    out = {
+        k: (jax.device_put(v, jax.memory.Space.Host)
+            if v is not None and any(s in k for s in host_stacks) else v)
+        for k, v in flat.items()
+    }
+    return traverse_util.unflatten_dict(out)
+
+
 def make_train_step(
     pipeline,
     optimizer: optax.GradientTransformation,
     gradient_clipping: float = 1.0,
     gradient_accumulation_steps: int = 1,
     donate: bool = True,
+    host_stacks=(),
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -75,6 +102,8 @@ def make_train_step(
             loss = loss / gas
             grads = jax.tree.map(lambda g: g / gas, grads)
 
+        if host_stacks:
+            grads = _move_stack_leaves_to_host(grads, host_stacks)
         grad_norm = optax.global_norm(grads)
         if gradient_clipping and gradient_clipping > 0:
             scale = jnp.minimum(1.0, gradient_clipping / (grad_norm + 1e-6))
@@ -109,14 +138,24 @@ def make_eval_step(pipeline):
 
 
 def init_train_state(
-    pipeline, optimizer, rng, predicate, params=None
+    pipeline, optimizer, rng, predicate, params=None, host_stacks=()
 ) -> TrainState:
     from .train_state import partition_params
 
     if params is None:
         params = pipeline.init_params(rng)
     trainable, frozen = partition_params(params, predicate)
-    opt_state = optimizer.init(trainable)
+    if host_stacks:
+        from ..parallel.offload import offload_param_stacks
+
+        trainable = offload_param_stacks(trainable, host_stacks)
+        frozen = offload_param_stacks(frozen, host_stacks)
+        opt_state = optimizer.init(trainable)
+        # optimizer-state leaves mirroring offloaded params go host-side too
+        # (elementwise optimizer math must not mix memory spaces)
+        opt_state = _offload_opt_state(opt_state, host_stacks)
+    else:
+        opt_state = optimizer.init(trainable)
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         trainable=trainable,

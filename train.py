@@ -160,9 +160,27 @@ def main(argv=None):
         print(f"WARNING: training from random init ({e})")
         params = pipeline.init_params(jax.random.PRNGKey(config["seed"]))
     params = shard_params(mesh, params)
+    host_stacks = ()
+    if config.get("blocks_to_swap"):
+        from diffusion_pipe_tpu.parallel.offload import (
+            offload_stacks_from_config,
+        )
+
+        host_stacks = offload_stacks_from_config(
+            config,
+            num_single_layers=getattr(
+                getattr(pipeline, "flux_config", None), "num_single_layers", 0
+            ) or 0,
+        )
+        print(
+            f"host-offloading block stacks: {host_stacks} "
+            "(EXPERIMENTAL: per-block host->HBM streaming verifies in "
+            "isolation, but the current axon PJRT runtime can reject "
+            "memory-kind outputs; unset blocks_to_swap if the step fails)"
+        )
     state = init_train_state(
         pipeline, optimizer, jax.random.PRNGKey(config["seed"]), predicate,
-        params=params,
+        params=params, host_stacks=host_stacks,
     )
 
     if args.test_sample is not None and hasattr(pipeline, "sample"):
@@ -217,6 +235,7 @@ def main(argv=None):
         pipeline, optimizer,
         gradient_clipping=config.get("gradient_clipping", 1.0),
         gradient_accumulation_steps=gas,
+        host_stacks=host_stacks,
     )
     train_step = jax.jit(train_step_raw, donate_argnums=(0,))
     eval_step_raw = make_eval_step(pipeline)

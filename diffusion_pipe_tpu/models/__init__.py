@@ -22,6 +22,7 @@ def register_model(name: str, *aliases: str):
 def get_model_class(name: str):
     # Import plugins lazily so `import diffusion_pipe_tpu.models` stays cheap.
     from . import chroma  # noqa: F401
+    from . import cosmos  # noqa: F401
     from . import cosmos_predict2  # noqa: F401
     from . import flux  # noqa: F401
     from . import hunyuan_video  # noqa: F401

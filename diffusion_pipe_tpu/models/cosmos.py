@@ -1,0 +1,171 @@
+"""Cosmos-1 pipeline: EDM training over the Cosmos DiT (reference
+models/cosmos.py).
+
+The reference's vendored MiniTrainDIT "can load and reproduce the training
+results of the original DIT model in (cosmos 1)"
+(cosmos_predict2_modeling.py:1147), so this pipeline reuses
+CosmosPredict2Transformer with the EDM objective: log-normal sigma,
+preconditioned input c_in * x_t with c_noise timesteps, prediction
+x0_pred = c_skip*x_t + c_out*net_out against clean latents with per-sigma
+weights (cosmos.py:239-296, 420-435). Cosmos enforces a fixed resolution
+set via explicit size_buckets (cosmos.py:174-185) — configure the dataset
+accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..training.edm import edm_noise, edm_scalings, per_sigma_loss_weights
+from . import register_model
+from .base import BasePipeline
+from .cosmos_predict2_model import CosmosPredict2Config, CosmosPredict2Transformer
+
+
+@register_model("cosmos")
+class CosmosPipeline(BasePipeline):
+    name = "cosmos"
+    framerate = 24
+    cacheable_text_embeddings = ("prompt_embeds",)
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.cp_config = self._build_config()
+        self.model = CosmosPredict2Transformer(self.cp_config)
+
+    def _build_config(self) -> CosmosPredict2Config:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+            # cosmos-1 7B: 4096 channels, 28 blocks, 32 heads; old-T5 1024
+            model_channels=int(mc.get("model_channels", 4096)),
+            num_blocks=int(mc.get("num_blocks", 28)),
+            num_heads=int(mc.get("num_heads", 32)),
+            use_adaln_lora=True,
+        )
+        if adapter.get("type") == "lora":
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return CosmosPredict2Config.tiny(**{
+                k: v for k, v in kwargs.items()
+                if k not in ("model_channels", "num_blocks", "num_heads")
+            })
+        return CosmosPredict2Config(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.cp_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, cfg.in_channels, 1, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 8, cfg.crossattn_emb_channels)),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        b, c, f, h, w = latents.shape
+
+        mask = batch.get("mask")
+        if mask is not None:
+            m = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )
+            mask = m[:, None, None]
+
+        net_in, x_t, c_noise, sigma = edm_noise(
+            rng, latents, quantile=timestep_quantile
+        )
+        model_inputs = dict(
+            x=net_in.astype(self.cp_config.dtype),
+            t=c_noise,
+            context=batch["prompt_embeds"],
+            _x_t=x_t,
+            _sigma=sigma,
+        )
+        return model_inputs, latents, mask  # target = clean latents
+
+    def forward(self, params, model_inputs):
+        x_t = model_inputs.pop("_x_t")
+        sigma = model_inputs.pop("_sigma")
+        net_out = self.model.apply(params, **model_inputs)
+        exp = (sigma.shape[0],) + (1,) * (x_t.ndim - 1)
+        c_skip, c_out, _, _ = edm_scalings(sigma)
+        x0_pred = (c_skip.reshape(exp) * x_t
+                   + c_out.reshape(exp) * net_out.astype(jnp.float32))
+        return x0_pred, sigma
+
+    def loss_fn(self, output, target, mask):
+        """MSE(x0_pred, latents) * per-sigma weights (cosmos.py:278-296)."""
+        x0_pred, sigma = output
+        loss = (x0_pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+        if mask is not None and mask.size > 0:
+            loss = loss * jnp.broadcast_to(mask.astype(jnp.float32), loss.shape)
+        w = per_sigma_loss_weights(sigma)
+        loss = loss * w.reshape((sigma.shape[0],) + (1,) * (loss.ndim - 1))
+        return jnp.mean(loss)
+
+    def get_call_vae_fn(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from .wan_vae import WanVAEConfig, WanVideoVAE
+
+            cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 4),
+                               num_res_blocks=1,
+                               temperal_downsample=(True, True))
+            vae = WanVideoVAE(cfg)
+            params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32)))
+            encode = jax.jit(
+                lambda px: vae.apply(params, px, method=type(vae).encode)
+            )
+
+            def fn(pixels):
+                if pixels.ndim == 4:
+                    pixels = pixels[:, :, None]
+                return {"latents": np.asarray(
+                    encode(jnp.asarray(pixels, jnp.float32))
+                )}
+
+            return fn
+        raise NotImplementedError(
+            "Cosmos CausalContinuousVideoTokenizer port pending; cache "
+            "latents externally"
+        )
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.cp_config
+
+            def te(caps):
+                return {"prompt_embeds": np.stack([
+                    np.random.default_rng(seed_from_hash(c))
+                    .standard_normal((8, cfg.crossattn_emb_channels))
+                    .astype(np.float32) for c in caps
+                ])}
+
+            return [te]
+        raise NotImplementedError(
+            "old-T5 encoder wiring pending; provide cached prompt_embeds"
+        )

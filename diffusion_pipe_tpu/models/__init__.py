@@ -25,6 +25,7 @@ def get_model_class(name: str):
     from . import cosmos  # noqa: F401
     from . import cosmos_predict2  # noqa: F401
     from . import flux  # noqa: F401
+    from . import hidream  # noqa: F401
     from . import hunyuan_video  # noqa: F401
     from . import ltx_video  # noqa: F401
     from . import lumina_2  # noqa: F401

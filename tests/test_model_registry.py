@@ -43,6 +43,13 @@ def _batch_for(name, pipeline):
             "prompt_embeds": jax.random.normal(k, (2, 8, 48)),
             "prompt_embeds_mask": jnp.ones((2, 8), jnp.int32),
         }
+    if name == "hidream":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)) * 0.5,
+            "t5_embeds": jax.random.normal(k, (2, 8, 16)),
+            "pooled": jax.random.normal(k, (2, 16)),
+            "llama_embeds": jax.random.normal(k, (2, 2, 8, 24)),
+        }
     if name == "cosmos":
         return {
             "latents": jax.random.normal(k, (2, 16, 1, 8, 8)) * 0.5,
@@ -75,7 +82,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -70,6 +70,10 @@ class FluxConfig:
     # block stacks whose frozen params live in host RAM and stream per
     # iteration (TPU block-swap analogue, parallel/offload.py)
     offload_blocks: Tuple[str, ...] = ()
+    # shard activations along the token dim over 'tensor' between attention
+    # ops (sequence parallelism via GSPMD; XLA inserts the gathers around
+    # attention). The reference has no SP (SURVEY.md section 2.7).
+    sequence_sharding: bool = False
 
     @property
     def hidden_size(self) -> int:
@@ -329,8 +333,21 @@ class FluxTransformer(nn.Module):
         img_seq_len: Optional[int] = None,  # output length (Kontext truncation)
     ):
         cfg = self.config
-        img = self.x_embedder(hidden_states)
-        txt = self.context_embedder(encoder_hidden_states)
+
+        def seq_shard(y):
+            if not cfg.sequence_sharding:
+                return y
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                return jax.lax.with_sharding_constraint(
+                    y, P("data", "tensor", None)
+                )
+            except RuntimeError:
+                return y  # no mesh in context (e.g. single-chip init)
+
+        img = seq_shard(self.x_embedder(hidden_states))
+        txt = seq_shard(self.context_embedder(encoder_hidden_states))
         temb = nn.silu(self.time_text_embed(timestep, guidance, pooled_projections))
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
@@ -344,7 +361,7 @@ class FluxTransformer(nn.Module):
             (img, txt), temb, rope_cos, rope_sin, txt_mask
         )
 
-        x = jnp.concatenate([txt, img], axis=1)
+        x = seq_shard(jnp.concatenate([txt, img], axis=1))
         kv_mask = None
         if txt_mask is not None:
             kv_mask = jnp.concatenate(

@@ -131,6 +131,21 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int):
         )
 
         def body(p_rest, pd, ps, en_d, en_s, mi_mb, target_mb, mask_mb, ids):
+            from jax.sharding import PartitionSpec as P
+
+            def seq_shard(y):
+                # sequence parallelism over the auto 'tensor' axis (legal
+                # inside partial-manual shard_map; 'stage' stays manual)
+                if not cfg.sequence_sharding:
+                    return y
+                try:
+                    return jax.lax.with_sharding_constraint(
+                        y, P("data", "tensor", None)
+                    )
+                except RuntimeError:
+                    return y  # no mesh in context
+
+
             rope_cos, rope_sin = rope_frequencies(
                 ids, cfg.axes_dims_rope, cfg.rope_theta
             )
@@ -146,6 +161,7 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int):
             def inject1(t):
                 mi = get_mb(t)
                 img, txt, temb = _embed_microbatch(cfg, p_rest, mi)
+                img, txt = seq_shard(img), seq_shard(txt)
                 tm = (
                     mi["txt_mask"].astype(jnp.int32)
                     if has_txt_mask
@@ -181,7 +197,7 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int):
                 img, txt, temb, tm = jax.tree.map(
                     lambda x: jax.lax.dynamic_index_in_dim(x, t, 0, False), out1
                 )
-                x = jnp.concatenate([txt, img], axis=1)
+                x = seq_shard(jnp.concatenate([txt, img], axis=1))
                 kvm = jnp.concatenate(
                     [tm, jnp.ones((img.shape[0], img.shape[1]), jnp.int32)],
                     axis=1,

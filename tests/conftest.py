@@ -24,3 +24,12 @@ import jax  # noqa: E402
 # (observed: jax_platforms == "axon,cpu" regardless of env); override it.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# tiny-model train steps; cache them across runs.
+_cache_dir = os.environ.get(
+    "DPIPE_TEST_CACHE", os.path.expanduser("~/.cache/dpipe_tpu_xla_tests")
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

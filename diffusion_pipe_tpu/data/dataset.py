@@ -211,7 +211,7 @@ class DirectoryDataset:
                 sb = find_closest_size_bucket(self.size_buckets, w, h, frames)
                 if sb is None:
                     continue
-                groups[sb].append(rec)
+                groups[(sb, max(sb[0], sb[1]))].append(rec)
             else:
                 ar_idx = find_closest_ar_bucket(self.log_ars, w, h)
                 fb = find_frame_bucket(self.frame_buckets, frames)
@@ -222,7 +222,9 @@ class DirectoryDataset:
                     sb = size_bucket_from_resolution(
                         ar, res, fb, self.round_to_multiple
                     )
-                    groups[sb].append(rec)
+                    groups[(sb, int(res))].append(rec)
+        # keys: (size_bucket, resolution) so per-resolution micro-batch-size
+        # maps can apply (reference train.py:393-417)
         return dict(groups)
 
 
@@ -232,8 +234,9 @@ class SizeBucketDataset:
 
     def __init__(self, records: List[Record], directory: DirectoryDataset,
                  size_bucket: Tuple[int, int, int], cache_root: Path,
-                 include_captions: bool = False):
+                 include_captions: bool = False, resolution: int = 0):
         self.include_captions = include_captions
+        self.resolution = resolution  # originating training resolution
         self.size_bucket = tuple(int(x) for x in size_bucket)
         self.directory = directory
         records = list(records)
@@ -424,10 +427,11 @@ class Dataset:
             include_captions = getattr(
                 self.pipeline, "pass_captions_to_batch", False
             )
-            for sb, records in sorted(groups.items()):
+            for (sb, res), records in sorted(groups.items()):
                 self.buckets_by_size[sb].append(
                     SizeBucketDataset(records, d, sb, cache_root,
-                                      include_captions=include_captions)
+                                      include_captions=include_captions,
+                                      resolution=res)
                 )
         return self.buckets_by_size
 
@@ -435,12 +439,27 @@ class Dataset:
         return [b for buckets in self.buckets_by_size.values() for b in buckets]
 
     def post_init(self, data_parallel_rank: int, data_parallel_world: int,
-                  micro_batch_size: int, gradient_accumulation_steps: int):
+                  micro_batch_size, gradient_accumulation_steps: int,
+                  image_micro_batch_size=None):
+        """micro_batch_size: int or per-resolution map {res_or_None: bs}
+        (reference train.py:393-417); image_micro_batch_size applies to
+        frames==1 buckets when given."""
+        from ..config import lookup_batch_size
+
+        def resolve(bs_map, bucket):
+            if isinstance(bs_map, int):
+                return bs_map
+            res = bucket.buckets[0].resolution or None
+            return lookup_batch_size(bs_map, res)
+
         self.concat_datasets = []
         for sb in sorted(self.buckets_by_size):
             cd = ConcatenatedBatchedDataset(self.buckets_by_size[sb])
+            bs_map = micro_batch_size
+            if image_micro_batch_size is not None and sb[2] == 1:
+                bs_map = image_micro_batch_size
             cd.post_init(
-                data_parallel_rank, data_parallel_world, micro_batch_size,
+                data_parallel_rank, data_parallel_world, resolve(bs_map, cd),
                 gradient_accumulation_steps,
             )
             if len(cd) > 0:

@@ -60,7 +60,6 @@ def main(argv=None):
     from diffusion_pipe_tpu.config import (
         load_config,
         load_toml,
-        lookup_batch_size,
         resolve_batch_size_maps,
     )
     from diffusion_pipe_tpu.data.dataset import Dataset
@@ -205,12 +204,14 @@ def main(argv=None):
 
     gas = config["gradient_accumulation_steps"]
     train_data.post_init(
-        0, dp_world, lookup_batch_size(bs_maps["train"], None), gas
+        0, dp_world, bs_maps["train"], gas,
+        image_micro_batch_size=bs_maps["image"],
     )
     for _, ds in eval_datasets:
         ds.post_init(
-            0, dp_world, lookup_batch_size(bs_maps["eval"], None),
+            0, dp_world, bs_maps["eval"],
             config["eval_gradient_accumulation_steps"],
+            image_micro_batch_size=bs_maps["eval_image"],
         )
     loader = PipelineDataLoader(train_data, gas)
 

@@ -242,7 +242,7 @@ class FluxPipeline(BasePipeline):
         (same config surface as the reference, docs/supported_models.md) or
         'transformer_path' directly at the transformer safetensors.
         """
-        from .flux_convert import convert_diffusers_flux
+        from .flux_convert import convert_bfl_flux, convert_diffusers_flux
         from .weights import load_safetensors_dir
 
         mc = self.model_config
@@ -250,6 +250,9 @@ class FluxPipeline(BasePipeline):
         if path is None:
             path = str(Path(mc["diffusers_path"]) / "transformer")
         sd = load_safetensors_dir(path)
+        if any(k.startswith("double_blocks.") for k in sd):
+            # BFL single-file format (reference flux.py:22-109 key map)
+            return convert_bfl_flux(sd, self.flux_config)
         return convert_diffusers_flux(sd, self.flux_config)
 
     # --- caching encoders ---------------------------------------------------

@@ -148,3 +148,101 @@ def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray
         s, config.num_single_layers, "single_transformer_blocks.{i}", _SINGLE_MAP
     )
     return out
+
+
+def convert_bfl_flux(sd: Dict[str, np.ndarray], config: FluxConfig):
+    """BFL single-file flux checkpoint -> flax params.
+
+    Implements the reference's BFL<->diffusers key map (models/flux.py:22-109):
+    fused double-block qkv splits into to_q/k/v (and add_*), the single-block
+    linear1 splits into qkv + proj_mlp, embedder names remap, then the
+    diffusers converter applies.
+    """
+    d = {}
+    h = config.hidden_size
+
+    def put(dst, src_key):
+        if src_key in sd:
+            d[dst] = np.asarray(sd[src_key])
+
+    top = {
+        "time_in.in_layer": "time_text_embed.timestep_embedder.linear_1",
+        "time_in.out_layer": "time_text_embed.timestep_embedder.linear_2",
+        "vector_in.in_layer": "time_text_embed.text_embedder.linear_1",
+        "vector_in.out_layer": "time_text_embed.text_embedder.linear_2",
+        "guidance_in.in_layer": "time_text_embed.guidance_embedder.linear_1",
+        "guidance_in.out_layer": "time_text_embed.guidance_embedder.linear_2",
+        "txt_in": "context_embedder",
+        "img_in": "x_embedder",
+        "final_layer.linear": "proj_out",
+    }
+    for bfl, diff in top.items():
+        put(f"{diff}.weight", f"{bfl}.weight")
+        put(f"{diff}.bias", f"{bfl}.bias")
+    # final adaLN: BFL order is (shift, scale); diffusers norm_out.linear is
+    # (scale, shift) -> swap halves (reference swaps when converting)
+    w = np.asarray(sd["final_layer.adaLN_modulation.1.weight"])
+    b = np.asarray(sd["final_layer.adaLN_modulation.1.bias"])
+    d["norm_out.linear.weight"] = np.concatenate([w[h:], w[:h]], axis=0)
+    d["norm_out.linear.bias"] = np.concatenate([b[h:], b[:h]], axis=0)
+
+    def split3(key, names, prefix):
+        w = np.asarray(sd[f"{key}.weight"])
+        parts = np.split(w, 3, axis=0)
+        for n, pw in zip(names, parts):
+            d[f"{prefix}.{n}.weight"] = pw
+        if f"{key}.bias" in sd:
+            for n, pb in zip(names, np.split(np.asarray(sd[f"{key}.bias"]), 3)):
+                d[f"{prefix}.{n}.bias"] = pb
+
+    for i in range(config.num_layers):
+        bp = f"double_blocks.{i}"
+        dp = f"transformer_blocks.{i}"
+        pairs = {
+            "img_mod.lin": "norm1.linear",
+            "txt_mod.lin": "norm1_context.linear",
+            "img_attn.proj": "attn.to_out.0",
+            "txt_attn.proj": "attn.to_add_out",
+            "img_mlp.0": "ff.net.0.proj",
+            "img_mlp.2": "ff.net.2",
+            "txt_mlp.0": "ff_context.net.0.proj",
+            "txt_mlp.2": "ff_context.net.2",
+        }
+        for bfl, diff in pairs.items():
+            put(f"{dp}.{diff}.weight", f"{bp}.{bfl}.weight")
+            put(f"{dp}.{diff}.bias", f"{bp}.{bfl}.bias")
+        split3(f"{bp}.img_attn.qkv", ["attn.to_q", "attn.to_k", "attn.to_v"], dp)
+        split3(f"{bp}.txt_attn.qkv",
+               ["attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj"], dp)
+        norms = {
+            "img_attn.norm.query_norm.scale": "attn.norm_q.weight",
+            "img_attn.norm.key_norm.scale": "attn.norm_k.weight",
+            "txt_attn.norm.query_norm.scale": "attn.norm_added_q.weight",
+            "txt_attn.norm.key_norm.scale": "attn.norm_added_k.weight",
+        }
+        for bfl, diff in norms.items():
+            put(f"{dp}.{diff}", f"{bp}.{bfl}")
+
+    mlp_dim = int(h * config.mlp_ratio)
+    for i in range(config.num_single_layers):
+        bp = f"single_blocks.{i}"
+        dp = f"single_transformer_blocks.{i}"
+        put(f"{dp}.norm.linear.weight", f"{bp}.modulation.lin.weight")
+        put(f"{dp}.norm.linear.bias", f"{bp}.modulation.lin.bias")
+        put(f"{dp}.proj_out.weight", f"{bp}.linear2.weight")
+        put(f"{dp}.proj_out.bias", f"{bp}.linear2.bias")
+        put(f"{dp}.attn.norm_q.weight", f"{bp}.norm.query_norm.scale")
+        put(f"{dp}.attn.norm_k.weight", f"{bp}.norm.key_norm.scale")
+        w = np.asarray(sd[f"{bp}.linear1.weight"])
+        parts = np.split(w, [h, 2 * h, 3 * h], axis=0)
+        for n, pw in zip(["attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp"],
+                         parts):
+            d[f"{dp}.{n}.weight"] = pw
+        if f"{bp}.linear1.bias" in sd:
+            for n, pb in zip(
+                ["attn.to_q", "attn.to_k", "attn.to_v", "proj_mlp"],
+                np.split(np.asarray(sd[f"{bp}.linear1.bias"]), [h, 2 * h, 3 * h]),
+            ):
+                d[f"{dp}.{n}.bias"] = pb
+
+    return convert_diffusers_flux(d, config)

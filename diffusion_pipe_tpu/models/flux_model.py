@@ -375,8 +375,10 @@ class FluxTransformer(nn.Module):
         out = x[:, txt_len:]
         if img_seq_len is not None:
             out = out[:, :img_seq_len]
-        # AdaLayerNormContinuous: x*(1+scale)+shift with LN (no affine)
+        # AdaLayerNormContinuous: x*(1+scale)+shift with LN (no affine);
+        # diffusers chunk order is (SCALE, shift) — matters for converted
+        # pretrained weights
         mod = self.norm_out_linear(nn.silu(temb))
-        shift, scale = jnp.split(mod, 2, axis=-1)
+        scale, shift = jnp.split(mod, 2, axis=-1)
         out = modulate(layer_norm_no_affine(out), shift, scale)
         return self.proj_out(out)

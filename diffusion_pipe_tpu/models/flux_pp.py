@@ -79,7 +79,7 @@ def _head(cfg: FluxConfig, p: Dict[str, Any], x, temb, txt_len: int,
     mod = _dense(cfg, 2 * cfg.hidden_size).apply(
         {"params": p["norm_out_linear"]}, nn.silu(temb)
     )
-    shift, scale = jnp.split(mod, 2, axis=-1)
+    scale, shift = jnp.split(mod, 2, axis=-1)  # diffusers (scale, shift)
     out = modulate(layer_norm_no_affine(out), shift, scale)
     return _dense(cfg, cfg.out_channels).apply({"params": p["proj_out"]}, out)
 

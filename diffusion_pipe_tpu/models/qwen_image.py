@@ -137,7 +137,7 @@ class QwenImageTransformer(nn.Module):
         if img_seq_len is not None:
             out = out[:, :img_seq_len]
         mod = LoraDense(2 * dim, name="norm_out_linear", **dd)(temb)
-        shift, scale = jnp.split(mod, 2, axis=-1)
+        scale, shift = jnp.split(mod, 2, axis=-1)  # diffusers (scale, shift)
         out = modulate(layer_norm_no_affine(out), shift, scale)
         return LoraDense(cfg.out_channels, name="proj_out", **dd)(out)
 

@@ -240,7 +240,7 @@ class SD3Transformer(nn.Module):
                                     name="final_block")((img, txt), temb)
 
         mod = LoraDense(2 * dim, name="norm_out_linear", **dd)(nn.silu(temb))
-        shift, scale = jnp.split(mod, 2, axis=-1)
+        scale, shift = jnp.split(mod, 2, axis=-1)  # diffusers (scale, shift)
         img = modulate(layer_norm_no_affine(img), shift, scale)
         out = LoraDense(p * p * cfg.out_channels, name="proj_out", **dd)(img)
         out = out.reshape(b, gh, gw, p, p, cfg.out_channels)

@@ -247,13 +247,21 @@ class SDXLPipeline(BasePipeline):
         return jnp.mean(loss * w)
 
     def load_weights(self):
-        """diffusers-folder UNet weights + HF text encoders -> our params."""
-        from .sdxl_convert import convert_diffusers_sdxl_unet
+        """diffusers-folder OR original-SD single-file UNet weights + HF
+        text encoders -> our params."""
+        from .sdxl_convert import (
+            convert_diffusers_sdxl_unet,
+            convert_sd_unet_to_diffusers,
+        )
         from .weights import load_safetensors_dir
 
         mc = self.model_config
-        path = mc.get("unet_path") or str(Path(mc["diffusers_path"]) / "unet")
+        path = (mc.get("unet_path") or mc.get("checkpoint_path")
+                or str(Path(mc["diffusers_path"]) / "unet"))
         sd = load_safetensors_dir(path)
+        if any("model.diffusion_model." in k or k.startswith("input_blocks.")
+               for k in sd):
+            sd = convert_sd_unet_to_diffusers(sd)
         unet = convert_diffusers_sdxl_unet(sd, self.unet_config)
         te1, te2 = self._text_encoders()
         return {

@@ -166,3 +166,110 @@ def export_sdxl_lora_kohya(trainable, cfg: SDXLConfig) -> Dict[str, np.ndarray]:
                 f"up_{i}_attn_{j}", f"up_blocks_{i}_attentions_{j}", rev[i]
             )
     return out
+
+
+# --- original SD-format (single-file) key conversion -------------------------
+# Tables mirror the reference's kohya-derived maps (models/sdxl.py:24-113).
+
+SD_HF_TOP = [
+    ("time_embed.0.weight", "time_embedding.linear_1.weight"),
+    ("time_embed.0.bias", "time_embedding.linear_1.bias"),
+    ("time_embed.2.weight", "time_embedding.linear_2.weight"),
+    ("time_embed.2.bias", "time_embedding.linear_2.bias"),
+    ("input_blocks.0.0.weight", "conv_in.weight"),
+    ("input_blocks.0.0.bias", "conv_in.bias"),
+    ("out.0.weight", "conv_norm_out.weight"),
+    ("out.0.bias", "conv_norm_out.bias"),
+    ("out.2.weight", "conv_out.weight"),
+    ("out.2.bias", "conv_out.bias"),
+    ("label_emb.0.0.weight", "add_embedding.linear_1.weight"),
+    ("label_emb.0.0.bias", "add_embedding.linear_1.bias"),
+    ("label_emb.0.2.weight", "add_embedding.linear_2.weight"),
+    ("label_emb.0.2.bias", "add_embedding.linear_2.bias"),
+]
+SD_HF_RESNET = [
+    ("in_layers.0", "norm1"),
+    ("in_layers.2", "conv1"),
+    ("out_layers.0", "norm2"),
+    ("out_layers.3", "conv2"),
+    ("emb_layers.1", "time_emb_proj"),
+    ("skip_connection", "conv_shortcut"),
+]
+
+
+def _sd_hf_layer_map():
+    """Unambiguous (sd_prefix, hf_prefix) pairs. SDXL up stages have 3
+    resnets (j 0..2); the up0 upsampler shares output_blocks.2 with
+    attention j=2, living at .2.conv (kohya's special case,
+    reference sdxl.py:90)."""
+    m = []
+    for i in range(3):
+        for j in range(2):
+            m.append((f"input_blocks.{3*i + j + 1}.0.",
+                      f"down_blocks.{i}.resnets.{j}."))
+            if i > 0:
+                m.append((f"input_blocks.{3*i + j + 1}.1.",
+                          f"down_blocks.{i}.attentions.{j}."))
+        for j in range(3):
+            m.append((f"output_blocks.{3*i + j}.0.",
+                      f"up_blocks.{i}.resnets.{j}."))
+            if i < 2:
+                m.append((f"output_blocks.{3*i + j}.1.",
+                          f"up_blocks.{i}.attentions.{j}."))
+        if i < 2:
+            m.append((f"input_blocks.{3*(i+1)}.0.op.",
+                      f"down_blocks.{i}.downsamplers.0.conv."))
+    m.append(("output_blocks.2.2.conv.", "up_blocks.0.upsamplers.0.conv."))
+    m.append(("output_blocks.5.2.", "up_blocks.1.upsamplers.0."))
+    m.append(("middle_block.1.", "mid_block.attentions.0."))
+    for j in range(2):
+        m.append((f"middle_block.{2*j}.", f"mid_block.resnets.{j}."))
+    return m
+
+
+def convert_sd_unet_to_diffusers(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Original SD-format SDXL UNet keys (optionally prefixed with
+    model.diffusion_model.) -> diffusers keys."""
+    sd = {k.removeprefix("model.diffusion_model."): v for k, v in sd.items()
+          if "diffusion_model" in k or not k.startswith(
+              ("first_stage_model.", "conditioner."))}
+    top = dict(SD_HF_TOP)
+    # longest prefixes first so e.g. output_blocks.2.2. wins over .2.
+    layer = sorted(_sd_hf_layer_map(), key=lambda kv: -len(kv[0]))
+    out = {}
+    for k, v in sd.items():
+        if k in top:
+            out[top[k]] = v
+            continue
+        nk = k
+        for sd_p, hf_p in layer:
+            if nk.startswith(sd_p):
+                nk = hf_p + nk[len(sd_p):]
+                break
+        if "resnets" in nk:
+            for sd_p, hf_p in SD_HF_RESNET:
+                nk = nk.replace(sd_p, hf_p)
+        out[nk] = v
+    return out
+
+
+def convert_diffusers_unet_to_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """diffusers SDXL UNet keys -> original SD-format keys (for save_model
+    parity with reference sdxl.py:476-525)."""
+    top = {hf: s for s, hf in SD_HF_TOP}
+    layer = sorted(_sd_hf_layer_map(), key=lambda kv: -len(kv[1]))
+    out = {}
+    for k, v in sd.items():
+        if k in top:
+            out[top[k]] = v
+            continue
+        nk = k
+        if "resnets" in nk:
+            for sd_p, hf_p in SD_HF_RESNET:
+                nk = nk.replace(hf_p, sd_p)
+        for sd_p, hf_p in layer:
+            if nk.startswith(hf_p):
+                nk = sd_p + nk[len(hf_p):]
+                break
+        out[nk] = v
+    return out

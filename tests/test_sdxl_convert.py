@@ -129,3 +129,23 @@ def test_sdxl_kohya_export():
     a = sd["lora_unet_mid_block_attentions_0_transformer_blocks_0_attn1_to_q"
            ".lora_down.weight"]
     assert a.shape[0] == 4
+
+
+def test_sd_single_file_roundtrip():
+    from diffusion_pipe_tpu.models.sdxl_convert import (
+        convert_diffusers_unet_to_sd,
+        convert_sd_unet_to_diffusers,
+    )
+
+    cfg = SDXLConfig.tiny()
+    model, args, params = _init(cfg)
+    dsd = _invert(params, cfg)
+    sd_format = convert_diffusers_unet_to_sd(dsd)
+    back = convert_sd_unet_to_diffusers(sd_format)
+    assert set(back) == set(dsd)
+    for k in dsd:
+        np.testing.assert_array_equal(dsd[k], back[k])
+    conv = {"params": convert_diffusers_sdxl_unet(back, cfg)}
+    out = model.apply(conv, *args)
+    ref = model.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -32,7 +32,7 @@ def stochastic_round(x: jax.Array, seed: jax.Array,
     """Stochastically round a float32 array to target_dtype (TPU kernel;
     rounds to nearest on non-TPU backends)."""
     platform = jax.devices()[0].platform
-    if platform not in ("tpu",):
+    if platform not in ("tpu", "axon"):
         # interpret-mode fallback keeps tests runnable on CPU
         return x.astype(target_dtype)
     orig_shape = x.shape

@@ -65,12 +65,25 @@ def make_train_step(
     gradient_accumulation_steps: int = 1,
     donate: bool = True,
     host_stacks=(),
+    skip_invalid_grads: bool = False,
+    stochastic_rounding: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch leaves are [GAS * mbs, ...]; with GAS > 1 they are reshaped to
     [GAS, mbs, ...] and grads averaged across the scan (reference:
     micro-batches flow the 1F1B schedule; numerics identical).
+
+    skip_invalid_grads: a parameter whose gradient contains Inf/NaN keeps
+    its old value this step (reference optimizers/generic_optim.py:386-388,
+    506 skips the param and warns); its grad is zeroed before the global
+    norm so one bad leaf cannot poison the clip scale of the others.
+
+    stochastic_rounding: bfloat16 params are updated as
+    round_stochastic(p_f32 + u) via the hardware-PRNG Pallas kernel
+    (ops/quant.py), the TPU-native equivalent of the reference's
+    copy_stochastic bit trick / Kahan compensation for bf16 master weights
+    (optimizer_utils.py:142-219, generic_optim.py:487-497).
     """
     loss_fn = make_loss_fn(pipeline)
     grad_fn = jax.value_and_grad(loss_fn)
@@ -104,6 +117,11 @@ def make_train_step(
 
         if host_stacks:
             grads = _move_stack_leaves_to_host(grads, host_stacks)
+        if skip_invalid_grads:
+            finite = jax.tree.map(lambda g: jnp.isfinite(g).all(), grads)
+            grads = jax.tree.map(
+                lambda g, ok: jnp.where(ok, g, 0.0), grads, finite
+            )
         grad_norm = optax.global_norm(grads)
         if gradient_clipping and gradient_clipping > 0:
             scale = jnp.minimum(1.0, gradient_clipping / (grad_norm + 1e-6))
@@ -112,7 +130,14 @@ def make_train_step(
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.trainable
         )
-        trainable = optax.apply_updates(state.trainable, updates)
+        if skip_invalid_grads:
+            updates = jax.tree.map(
+                lambda u, ok: jnp.where(ok, u, jnp.zeros([], u.dtype)),
+                updates, finite,
+            )
+        trainable = _apply_updates(
+            state.trainable, updates, state.step, stochastic_rounding
+        )
         batch_size = jax.tree.leaves(batch)[0].shape[0]
         new_state = state.replace(
             step=state.step + 1,
@@ -121,9 +146,38 @@ def make_train_step(
             examples=state.examples + batch_size,
         )
         metrics = {"loss": loss, "grad_norm": grad_norm}
+        if skip_invalid_grads:
+            metrics["skipped_params"] = sum(
+                (1 - ok.astype(jnp.int32)) for ok in jax.tree.leaves(finite)
+            )
         return new_state, metrics
 
     return train_step
+
+
+def _apply_updates(params, updates, step, stochastic_rounding: bool):
+    """params + updates; with stochastic_rounding, bf16 leaves are updated
+    in fp32 and stochastically rounded back (seeded per step + leaf)."""
+    if not stochastic_rounding:
+        return optax.apply_updates(params, updates)
+    from ..ops.quant import stochastic_round
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_u = treedef.flatten_up_to(updates)
+    out = []
+    for i, (p, u) in enumerate(zip(flat_p, flat_u)):
+        if u is None:
+            out.append(p)
+        elif p.dtype == jnp.bfloat16:
+            seed = step.astype(jnp.int32) * jnp.int32(1000003) + jnp.int32(i)
+            out.append(
+                stochastic_round(
+                    p.astype(jnp.float32) + u.astype(jnp.float32), seed
+                )
+            )
+        else:
+            out.append(jnp.asarray(p + u.astype(p.dtype), p.dtype))
+    return treedef.unflatten(out)
 
 
 def make_eval_step(pipeline):

@@ -232,11 +232,14 @@ def main(argv=None):
     )
 
     # --- jitted steps, cached per bucket shape ------------------------------
+    ocfg = config.get("optimizer", {})
     train_step_raw = make_train_step(
         pipeline, optimizer,
         gradient_clipping=config.get("gradient_clipping", 1.0),
         gradient_accumulation_steps=gas,
         host_stacks=host_stacks,
+        skip_invalid_grads=bool(ocfg.get("skip_invalid_grads", False)),
+        stochastic_rounding=bool(ocfg.get("stochastic_rounding", False)),
     )
     train_step = jax.jit(train_step_raw, donate_argnums=(0,))
     eval_step_raw = make_eval_step(pipeline)
@@ -298,10 +301,12 @@ def main(argv=None):
 
         if step_i % config.get("logging_steps", 1) == 0:
             metrics_writer.write(
-                {"train/loss": float(metrics["loss"]),
-                 "train/grad_norm": float(metrics["grad_norm"])},
+                {f"train/{k}": float(v) for k, v in metrics.items()},
                 step_i, int(state.examples),
             )
+            if int(metrics.get("skipped_params", 0)):
+                print(f"WARNING: {int(metrics['skipped_params'])} parameter "
+                      "updates were skipped due to Inf or NaN.")
 
         if loader.epoch != epoch:
             metrics_writer.write(

@@ -86,5 +86,12 @@ class BasePipeline:
     def save_adapter(self, path, params):
         raise NotImplementedError
 
+    def load_adapter(self, path, params):
+        """Initialize adapter leaves from a previously saved adapter dir
+        (reference adapter.init_from_existing, train.py:525-526)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support adapter.init_from_existing"
+        )
+
     def save_model(self, path, params):
         raise NotImplementedError

@@ -96,9 +96,12 @@ class FluxPipeline(BasePipeline):
         kwargs["offload_blocks"] = offload_stacks_from_config(
             self.config, num_single_layers=38
         )
-        if adapter.get("type") == "lora":
+        if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
                 lora_alpha=float(adapter["alpha"]),
                 lora_dropout=float(adapter.get("dropout", 0.0)),
                 # reference casts trainables to the adapter dtype
@@ -232,6 +235,21 @@ class FluxPipeline(BasePipeline):
 
         sd = export_lora_diffusers(nn.unbox(trainable), self.flux_config)
         save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
+
+    def load_adapter(self, path, params):
+        """adapter.init_from_existing: load a diffusers-lora safetensors dir
+        saved by us (or the reference) into the fresh LoRA factors."""
+        from safetensors.numpy import load_file
+
+        from .flux_convert import import_lora_diffusers
+
+        files = sorted(Path(path).glob("*.safetensors"))
+        if len(files) != 1:
+            raise RuntimeError(
+                f"init_from_existing: expected exactly one safetensors file "
+                f"in {path}, found {len(files)}"
+            )
+        return import_lora_diffusers(load_file(str(files[0])), self.flux_config, params)
 
     # --- pretrained weights -------------------------------------------------
 

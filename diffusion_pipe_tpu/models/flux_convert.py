@@ -109,6 +109,14 @@ def convert_diffusers_flux(sd: Dict[str, np.ndarray], config: FluxConfig):
     return {"params": params}
 
 
+_LOKR_LEAVES = {
+    "lokr_w1": "lokr_w1",
+    "lokr_w2": "lokr_w2",
+    "lokr_w2_a": "lokr_w2_a",
+    "lokr_w2_b": "lokr_w2_b",
+}
+
+
 def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray]:
     """Our trainable (LoRA) tree -> diffusers-lora state dict keys:
     transformer.<block path>.lora_A.weight [r, in] / lora_B.weight [out, r]
@@ -118,26 +126,35 @@ def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray
     p = trainable["params"]
 
     def emit(prefix_theirs, leaf):
-        if leaf is None or "lora_a" not in leaf:
+        if leaf is None:
             return
-        a = np.asarray(leaf["lora_a"])  # [in, r]
-        b = np.asarray(leaf["lora_b"])  # [r, out]
-        out[f"transformer.{prefix_theirs}.lora_A.weight"] = (
-            np.ascontiguousarray(a.T.astype(np.float32))
-        )
-        out[f"transformer.{prefix_theirs}.lora_B.weight"] = (
-            np.ascontiguousarray(b.T.astype(np.float32))
-        )
+        if "lora_a" in leaf:
+            a = np.asarray(leaf["lora_a"])  # [in, r]
+            b = np.asarray(leaf["lora_b"])  # [r, out]
+            out[f"transformer.{prefix_theirs}.lora_A.weight"] = (
+                np.ascontiguousarray(a.T.astype(np.float32))
+            )
+            out[f"transformer.{prefix_theirs}.lora_B.weight"] = (
+                np.ascontiguousarray(b.T.astype(np.float32))
+            )
+        # LoKr factors (PEFT LoKrLayer param names, torch [out, in] orientation)
+        for ours_name, theirs_name in _LOKR_LEAVES.items():
+            if ours_name in leaf:
+                w = np.asarray(leaf[ours_name])
+                out[f"transformer.{prefix_theirs}.{theirs_name}"] = (
+                    np.ascontiguousarray(w.T.astype(np.float32))
+                )
 
     def emit_stacked(tree, count, prefix_fmt, lin_map):
         for ours, theirs in lin_map.items():
             leaf = tree.get(ours)
-            if leaf is None or "lora_a" not in leaf:
+            if leaf is None or not isinstance(leaf, dict):
                 continue
             for i in range(count):
                 emit_single = {
-                    "lora_a": np.asarray(leaf["lora_a"])[i],
-                    "lora_b": np.asarray(leaf["lora_b"])[i],
+                    k: np.asarray(v)[i]
+                    for k, v in leaf.items()
+                    if k == "lora_a" or k == "lora_b" or k in _LOKR_LEAVES
                 }
                 emit(prefix_fmt.format(i=i) + "." + theirs, emit_single)
 
@@ -148,6 +165,72 @@ def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray
         s, config.num_single_layers, "single_transformer_blocks.{i}", _SINGLE_MAP
     )
     return out
+
+
+def import_lora_diffusers(sd: Dict[str, np.ndarray], config: FluxConfig, params):
+    """Inverse of export_lora_diffusers: init lora_a/lora_b leaves from a
+    diffusers-lora (or ComfyUI `diffusion_model.`-prefixed) state dict.
+
+    Implements the reference's adapter.init_from_existing
+    (train.py:525-526 -> models/base.py:313-332): keys present in the file
+    overwrite our stacked per-block LoRA factors; leaves without a
+    corresponding key keep their fresh initialization. Preserves flax
+    Partitioned boxes on the target tree.
+    """
+    import re
+
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    sd = {re.sub(r"^(transformer|diffusion_model)\.", "", k): v for k, v in sd.items()}
+
+    def put(leaf, new):
+        new = np.ascontiguousarray(new)
+        if isinstance(leaf, nn.Partitioned):
+            return leaf.replace(value=jnp.asarray(new, leaf.value.dtype))
+        return jnp.asarray(new, np.asarray(leaf).dtype)
+
+    flat = traverse_util.flatten_dict(params["params"])
+    loaded = 0
+
+    leaf_to_theirs = {
+        "lora_a": "lora_A.weight",
+        "lora_b": "lora_B.weight",
+        **_LOKR_LEAVES,
+    }
+
+    def fill(block_key: str, count: int, prefix_fmt: str, lin_map: Dict[str, str]):
+        nonlocal loaded
+        for ours, theirs in lin_map.items():
+            for leaf_name, their_leaf in leaf_to_theirs.items():
+                key = (block_key, ours, leaf_name)
+                if key not in flat:
+                    continue
+                stack = np.array(nn.unbox(flat[key]), dtype=np.float32, copy=True)
+                hit = False
+                for i in range(count):
+                    k = f"{prefix_fmt.format(i=i)}.{theirs}.{their_leaf}"
+                    if k in sd:
+                        # saved in torch [out, in] orientation; ours is [in, out]
+                        stack[i] = np.asarray(sd[k], np.float32).T
+                        hit = True
+                        loaded += 1
+                if hit:
+                    flat[key] = put(flat[key], stack)
+
+    fill("double_blocks", config.num_layers, "transformer_blocks.{i}", _DOUBLE_MAP)
+    fill(
+        "single_blocks",
+        config.num_single_layers,
+        "single_transformer_blocks.{i}",
+        _SINGLE_MAP,
+    )
+    if loaded == 0:
+        raise RuntimeError(
+            "init_from_existing: no LoRA keys in the file matched this model"
+        )
+    return {**params, "params": traverse_util.unflatten_dict(flat)}
 
 
 def convert_bfl_flux(sd: Dict[str, np.ndarray], config: FluxConfig):

@@ -32,6 +32,28 @@ def _maybe_partition(init: Callable, axes: Optional[Tuple[Optional[str], ...]]):
     return nn.with_partitioning(init, axes)
 
 
+def lokr_factorization(dim: int, factor: int = -1) -> Tuple[int, int]:
+    """Balanced two-factor split of `dim`, LyCORIS semantics.
+
+    Returns (m, n), m <= n, m * n == dim. With factor > 0 and
+    factor | dim, the split is pinned to (factor, dim // factor); otherwise
+    the most-square divisor pair with m <= factor (or unbounded for
+    factor < 0). Mirrors the `decompose_factor` the reference exposes via
+    peft.LoKrConfig (reference models/base.py:216-260 adapter injection).
+    """
+    if factor > 0 and dim % factor == 0:
+        m, n = factor, dim // factor
+        return (m, n) if m <= n else (n, m)
+    cap = dim if factor < 0 else factor
+    m, n = 1, dim
+    cand = 1
+    while cand * cand <= dim:
+        if dim % cand == 0 and cand <= cap:
+            m, n = cand, dim // cand
+        cand += 1
+    return m, n
+
+
 class LoraDense(nn.Module):
     """Dense layer with optional fused LoRA path.
 
@@ -54,6 +76,11 @@ class LoraDense(nn.Module):
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
     lora_dtype: Dtype = jnp.float32
+    # 'lora' (default) or 'lokr' (LyCORIS Kronecker product, the reference's
+    # peft.LoKrConfig path). lokr_factor == reference `decompose_factor`.
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
     kernel_axes: Optional[Tuple[Optional[str], ...]] = None
     kernel_init: Callable = default_kernel_init
 
@@ -82,7 +109,9 @@ class LoraDense(nn.Module):
                 self.param_dtype,
             )
             y = y + jnp.asarray(bias, self.dtype)
-        if self.lora_rank > 0:
+        if self.lora_rank > 0 and self.lora_type == "lokr":
+            y = y + self._lokr_delta(x, in_features, deterministic)
+        elif self.lora_rank > 0:
             # Kaiming-uniform(a=sqrt(5)) over fan_in, like PEFT's reset.
             bound = math.sqrt(6.0 / in_features)
             lora_a = self.param(
@@ -109,6 +138,72 @@ class LoraDense(nn.Module):
             )
             y = y + scaling * delta
         return y
+
+    def _lokr_delta(self, x, in_features: int, deterministic: bool):
+        """LoKr adapter delta: kernel-delta = kron(w1, w2), w2 low-rank.
+
+        Matches the LyCORIS/PEFT LoKr layer the reference injects
+        (models/base.py:216-260 with peft.LoKrConfig): w1 is the small
+        Kronecker factor (zero-init so training starts at the base model),
+        w2 is rank-factored as w2_a @ w2_b when rank < max(in_n, out_n).
+        Never materializes kron(w1, w2): for x reshaped [..., in_m, in_n],
+        x @ kron(w1, w2) == einsum('...ij,ik,jl->...kl', X, w1, w2) — two
+        small MXU matmuls instead of an (in x out) buffer.
+        """
+        in_m, in_n = lokr_factorization(in_features, self.lokr_factor)
+        out_m, out_n = lokr_factorization(self.features, self.lokr_factor)
+        w1 = self.param(
+            "lokr_w1", nn.initializers.zeros_init(), (in_m, out_m), self.lora_dtype
+        )
+        factored = self.lora_rank < max(in_n, out_n)
+        if factored:
+            bound_a = math.sqrt(6.0 / in_n)
+            w2_a = self.param(
+                "lokr_w2_a",
+                nn.initializers.uniform(scale=2 * bound_a),
+                (in_n, self.lora_rank),
+                self.lora_dtype,
+            )
+            bound_b = math.sqrt(6.0 / self.lora_rank)
+            w2_b = self.param(
+                "lokr_w2_b",
+                nn.initializers.uniform(scale=2 * bound_b),
+                (self.lora_rank, out_n),
+                self.lora_dtype,
+            )
+            w2_a = w2_a - bound_a
+            w2_b = w2_b - bound_b
+            if self.lokr_rank_dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - self.lokr_rank_dropout, (self.lora_rank,)
+                )
+                w2_a = w2_a * (
+                    keep.astype(w2_a.dtype) / (1.0 - self.lokr_rank_dropout)
+                )
+            w2 = jnp.dot(
+                w2_a.astype(self.dtype), w2_b.astype(self.dtype)
+            )
+            # LyCORIS scales by alpha/rank only on the rank-factored path.
+            scaling = self.lora_alpha / self.lora_rank
+        else:
+            bound = math.sqrt(6.0 / in_n)
+            w2 = self.param(
+                "lokr_w2",
+                nn.initializers.uniform(scale=2 * bound),
+                (in_n, out_n),
+                self.lora_dtype,
+            )
+            w2 = (w2 - bound).astype(self.dtype)
+            scaling = 1.0
+        h = x.astype(self.dtype)
+        if self.lora_dropout > 0.0 and not deterministic:
+            h = nn.Dropout(rate=self.lora_dropout)(h, deterministic=False)
+        xr = h.reshape(h.shape[:-1] + (in_m, in_n))
+        delta = jnp.einsum(
+            "...ij,ik,jl->...kl", xr, w1.astype(self.dtype), w2
+        )
+        return scaling * delta.reshape(h.shape[:-1] + (self.features,))
 
 
 class RMSNorm(nn.Module):

@@ -58,6 +58,9 @@ class Lumina2Config:
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
     lora_dtype: Any = jnp.float32
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
     remat: bool = False
 
     @property
@@ -73,6 +76,8 @@ class Lumina2Config:
         return dict(
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+            lora_type=self.lora_type, lokr_factor=self.lokr_factor,
+            lokr_rank_dropout=self.lokr_rank_dropout,
         )
 
     @staticmethod
@@ -282,9 +287,12 @@ class Lumina2Pipeline(BasePipeline):
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
         )
-        if adapter.get("type") == "lora":
+        if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
                 lora_alpha=float(adapter["alpha"]),
                 lora_dropout=float(adapter.get("dropout", 0.0)),
                 lora_dtype=dtype_from_string(

@@ -49,6 +49,9 @@ class SD3Config:
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
     lora_dtype: Any = jnp.float32
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
     remat: bool = False
 
     @property
@@ -60,6 +63,8 @@ class SD3Config:
         return dict(
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+            lora_type=self.lora_type, lokr_factor=self.lokr_factor,
+            lokr_rank_dropout=self.lokr_rank_dropout,
         )
 
     @staticmethod

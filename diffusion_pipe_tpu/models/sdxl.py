@@ -64,9 +64,12 @@ class SDXLPipeline(BasePipeline):
             param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
             remat=bool(self.config.get("activation_checkpointing", False)),
         )
-        if adapter.get("type") == "lora":
+        if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
                 lora_alpha=float(adapter["alpha"]),
                 lora_dropout=float(adapter.get("dropout", 0.0)),
                 lora_dtype=dtype_from_string(

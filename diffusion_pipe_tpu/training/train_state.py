@@ -17,8 +17,9 @@ from flax import traverse_util
 
 
 def lora_predicate(path: Tuple[str, ...], _leaf) -> bool:
-    """Trainable iff the param is a LoRA factor (LoraDense lora_a/lora_b)."""
-    return any(p.startswith("lora_") for p in path)
+    """Trainable iff the param is an adapter factor (LoraDense lora_a/lora_b
+    or LoKr lokr_w1/lokr_w2*)."""
+    return any(p.startswith(("lora_", "lokr_")) for p in path)
 
 
 def full_ft_predicate(path: Tuple[str, ...], _leaf) -> bool:

@@ -158,6 +158,10 @@ def main(argv=None):
     except (NotImplementedError, KeyError, FileNotFoundError) as e:
         print(f"WARNING: training from random init ({e})")
         params = pipeline.init_params(jax.random.PRNGKey(config["seed"]))
+    if init_from_existing := config.get("adapter", {}).get("init_from_existing"):
+        # reference train.py:525-526: warm-start adapter factors
+        params = pipeline.load_adapter(init_from_existing, params)
+        print(f"initialized adapter from {init_from_existing}")
     params = shard_params(mesh, params)
     host_stacks = ()
     if config.get("blocks_to_swap"):

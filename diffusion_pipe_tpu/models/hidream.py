@@ -447,6 +447,47 @@ class HiDreamPipeline(BasePipeline):
                 return {k: np.stack(v) for k, v in out.items()}
 
             return [te]
-        raise NotImplementedError(
-            "CLIPx2/T5/Llama encoder wiring pending; provide cached embeds"
+
+        # CLIP-L + CLIP-G pooled (concat), T5-XXL embeds, and Llama-3.1-8B
+        # per-layer hidden states hidden_states[1:] (reference
+        # models/hidream.py:147-214, 333-343). The reference runs Llama
+        # inside the training graph; here it is cached like the others —
+        # same embeddings, no in-graph 8B encoder.
+        from .llm_encoders import LLMTextEncoder
+        from .text_encoders import HFTextEncoder
+
+        clip_l = HFTextEncoder("clip_pooled", mc["clip_l_path"], max_length=77)
+        clip_g = HFTextEncoder("clip_pooled", mc["clip_g_path"], max_length=77)
+        t5 = HFTextEncoder("t5", mc["t5_path"],
+                           max_length=int(mc.get("max_t5_sequence_length", 128)))
+        llama = LLMTextEncoder(
+            mc["llama3_path"],
+            max_length=int(mc.get("max_llama3_sequence_length", 128)),
+            hidden_layer=-1,
         )
+
+        def pooled_fn(caps):
+            a = np.asarray(clip_l.encode(caps))
+            b = np.asarray(clip_g.encode(caps))
+            return {"pooled": np.concatenate([a, b], axis=-1)}
+
+        def t5_fn(caps):
+            return {"t5_embeds": np.asarray(t5.encode(caps))}
+
+        def llama_fn(caps):
+            llama._load()
+            enc = llama._tokenizer(
+                caps, padding="max_length", truncation=True,
+                max_length=llama.max_length, return_tensors="np",
+            )
+            import jax.numpy as jnp
+
+            out, hiddens = llama._model.apply(
+                llama._params, jnp.asarray(enc["input_ids"]),
+                jnp.asarray(enc["attention_mask"]), collect_hidden=True,
+            )
+            # [B, n_layers, S, dim] (transformers hidden_states[1:])
+            states = np.stack([np.asarray(h) for h in hiddens[1:]], axis=1)
+            return {"llama_embeds": states}
+
+        return [pooled_fn, t5_fn, llama_fn]

@@ -172,6 +172,56 @@ class HunyuanVideoPipeline(BasePipeline):
                 ])}
 
             return [llm, clip]
-        raise NotImplementedError(
-            "LLaVA-LLaMA text encoder wiring pending; provide cached embeds"
+
+        # LLaVA-LLaMA-3-8B with the hyvideo dit-llm-encode prompt template:
+        # system preamble + user caption, crop_start tokens dropped from the
+        # hidden states, hidden_state_skip_layer=2 => hidden_states[-3]
+        # (reference models/hunyuan_video.py:215-285, hyvideo PROMPT_TEMPLATE).
+        from .llm_encoders import LLMTextEncoder
+        from .text_encoders import HFTextEncoder
+
+        support_video = bool(mc.get("support_video", True))
+        if support_video:
+            template = (
+                "<|start_header_id|>system<|end_header_id|>\n\nDescribe the "
+                "video by detailing the following aspects: "
+                "1. The main content and theme of the video."
+                "2. The color, shape, size, texture, quantity, text, and "
+                "spatial relationships of the objects."
+                "3. Actions, events, behaviors temporal relationships, "
+                "physical movement changes of the objects."
+                "4. background environment, light, style and atmosphere."
+                "5. camera angles, movements, and transitions used in the "
+                "video:<|eot_id|>"
+                "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+            )
+            crop_start = 95
+        else:
+            template = (
+                "<|start_header_id|>system<|end_header_id|>\n\nDescribe the "
+                "image by detailing the color, shape, size, texture, "
+                "quantity, text, spatial relationships of the objects and "
+                "background:<|eot_id|>"
+                "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>"
+            )
+            crop_start = 36
+        skip = int(mc.get("hidden_state_skip_layer", 2))
+        enc = LLMTextEncoder(
+            mc["llm_path"],
+            max_length=int(mc.get("text_len", 256)),
+            template=template,
+            crop_start=crop_start,
+            hidden_layer=-(skip + 1),
         )
+        clip_enc = HFTextEncoder(
+            "clip_pooled", mc["clip_path"], max_length=77
+        )
+
+        def llm_fn(caps):
+            h, m = enc.encode(caps)
+            return {"text_states": h, "text_mask": m.astype(np.int32)}
+
+        def clip_fn(caps):
+            return {"clip_pooled": np.asarray(clip_enc.encode(caps))}
+
+        return [llm_fn, clip_fn]

@@ -377,6 +377,17 @@ class Lumina2Pipeline(BasePipeline):
                 return {"cap_feats": np.stack(embs), "cap_mask": np.stack(masks)}
 
             return [te]
-        raise NotImplementedError(
-            "Gemma-2-2B encoder wiring pending; provide cached cap_feats"
+
+        # Gemma-2-2B, right padding to 256, hidden_states[-2]
+        # (reference models/lumina_2.py:113-134)
+        from .llm_encoders import LLMTextEncoder
+
+        enc = LLMTextEncoder(
+            mc["text_encoder_path"], max_length=256, hidden_layer=-2,
         )
+
+        def fn(caps):
+            h, m = enc.encode(caps)
+            return {"cap_feats": h, "cap_mask": m.astype(np.int32)}
+
+        return [fn]

@@ -156,6 +156,7 @@ class QwenImagePipeline(BasePipeline):
     def __init__(self, config):
         super().__init__(config)
         self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        self.edit = self.model_config["type"] == "qwen_image_edit"
         self.qi_config = self._build_config()
         self.model = QwenImageTransformer(self.qi_config)
 
@@ -280,6 +281,33 @@ class QwenImagePipeline(BasePipeline):
                         "prompt_embeds_mask": np.stack(masks)}
 
             return [te]
-        raise NotImplementedError(
-            "Qwen2.5-VL encoder wiring pending; provide cached prompt_embeds"
+
+        if self.edit:
+            raise NotImplementedError(
+                "qwen_image_edit caching needs the Qwen2.5-VL vision tower "
+                "(control image through the VLM); cache embeds externally"
+            )
+        # Qwen2.5-VL text tower with the Qwen-Image chat template; the first
+        # drop_idx=34 tokens (system+role scaffold) are dropped from the
+        # hidden states (reference models/qwen_image.py:182-185, 328-380).
+        from .llm_encoders import LLMTextEncoder
+
+        template = (
+            "<|im_start|>system\nDescribe the image by detailing the color, "
+            "shape, size, texture, quantity, text, spatial relationships of "
+            "the objects and background:<|im_end|>\n"
+            "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n"
         )
+        enc = LLMTextEncoder(
+            mc["text_encoder_path"],
+            max_length=int(mc.get("max_sequence_length", 512)),
+            template=template,
+            crop_start=34,
+            hidden_layer=-1,
+        )
+
+        def fn(caps):
+            h, m = enc.encode(caps)
+            return {"prompt_embeds": h, "prompt_embeds_mask": m.astype(np.int32)}
+
+        return [fn]

@@ -21,6 +21,7 @@ def register_model(name: str, *aliases: str):
 
 def get_model_class(name: str):
     # Import plugins lazily so `import diffusion_pipe_tpu.models` stays cheap.
+    from . import auraflow  # noqa: F401
     from . import chroma  # noqa: F401
     from . import cosmos  # noqa: F401
     from . import cosmos_predict2  # noqa: F401

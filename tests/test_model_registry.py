@@ -66,6 +66,11 @@ def _batch_for(name, pipeline):
             "prompt_embeds": jax.random.normal(k, (2, 8, 32)),
             "prompt_attention_mask": jnp.ones((2, 8), jnp.int32),
         }
+    if name == "auraflow":
+        return {
+            "latents": jax.random.normal(k, (2, 4, 8, 8)),
+            "prompt_embeds": jax.random.normal(k, (2, 8, 24)),
+        }
     if name == "lumina_2":
         return {
             "latents": jax.random.normal(k, (2, 16, 8, 8)),
@@ -82,7 +87,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -27,7 +27,9 @@ def get_model_class(name: str):
     from . import cosmos_predict2  # noqa: F401
     from . import flux  # noqa: F401
     from . import hidream  # noqa: F401
+    from . import hunyuan_image  # noqa: F401
     from . import hunyuan_video  # noqa: F401
+    from . import hunyuan_video_15  # noqa: F401
     from . import ltx_video  # noqa: F401
     from . import lumina_2  # noqa: F401
     from . import qwen_image  # noqa: F401

@@ -1,0 +1,366 @@
+"""HunyuanImage-2.1 model family.
+
+Reference: models/hunyuan_image.py (509 LoC) + hunyuan_image_modeling.py
+(vendored Tencent MM blocks). The blocks are the HunyuanVideo MM design
+(joint [img, txt] attention, fused qkv, RMS qk-norm, adaLN-Zero) so this
+file reuses hunyuan_video_model's block modules; the top-level differences
+(reference hunyuan_image.py:90-117, 384-509) are:
+  - 2D latents, 64 channels (32x-compression VAE), patch_size (1, 1)
+  - hidden 3584, 28 heads, 20 double + 40 single blocks, rope dims (64, 64)
+  - conditioning vec = timestep only (guidance_embed=False, no CLIP pooled)
+  - text branch: Qwen2.5-VL hidden_states[-3] through the single-refiner
+    txt_in, PLUS a glyph byT5-small branch projected by byt5_in and merged
+    into the text stream (glyph_byT5_v2, reference :106, :437-439)
+  - flow matching, t*1000 into the model (reference :311-320)
+
+Flagged for real-checkpoint verification: byt5_in mapper internals and the
+dit-llm-encode-v2 prompt template / crop_start (configurable via
+model.prompt_template / model.crop_start).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import register_model
+from .base import BasePipeline
+from .hunyuan_video_model import (
+    HunyuanDoubleBlock,
+    HunyuanSingleBlock,
+    TokenRefinerBlock,
+)
+from .layers import (
+    LoraDense,
+    layer_norm_no_affine,
+    modulate,
+    rope_frequencies,
+    sinusoidal_timestep_embedding,
+)
+from ..training.flow import TimestepDistribution, sample_timesteps
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanImageConfig:
+    in_channels: int = 64
+    out_channels: int = 64
+    patch_size: Tuple[int, int] = (1, 1)
+    num_attention_heads: int = 28
+    attention_head_dim: int = 128
+    num_layers: int = 20
+    num_single_layers: int = 40
+    mlp_ratio: float = 4.0
+    text_dim: int = 3584          # Qwen2.5-VL hidden
+    byt5_dim: int = 1472          # byT5-small hidden
+    byt5_mapper_dim: int = 2048
+    rope_axes_dim: Tuple[int, ...] = (64, 64)
+    rope_theta: float = 256.0
+    refiner_layers: int = 2
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    base_kernel_dtype: Any = None
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
+    remat: bool = False
+
+    @property
+    def hidden_size(self):
+        return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def lora_kwargs(self):
+        return dict(
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+            lora_type=self.lora_type, lokr_factor=self.lokr_factor,
+            lokr_rank_dropout=self.lokr_rank_dropout,
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        d = dict(
+            in_channels=8, out_channels=8, num_attention_heads=4,
+            attention_head_dim=16, num_layers=2, num_single_layers=2,
+            text_dim=32, byt5_dim=16, byt5_mapper_dim=24,
+            rope_axes_dim=(8, 8), refiner_layers=1,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )
+        d.update(kw)
+        return HunyuanImageConfig(**d)
+
+
+class HunyuanImageTransformer(nn.Module):
+    config: HunyuanImageConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x,            # [B, 64, H, W] latents
+        t,            # [B] in [0, 1000]
+        text_states,  # [B, S, text_dim] Qwen2.5-VL hidden_states[-3], cropped
+        text_mask,    # [B, S]
+        byt5_states,  # [B, Sb, byt5_dim] glyph byT5 embeds
+        byt5_mask,    # [B, Sb]
+    ):
+        cfg = self.config
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b, c, h, w = x.shape
+        ph, pw = cfg.patch_size
+        gh, gw = h // ph, w // pw
+        img_len = gh * gw
+
+        xe = jnp.transpose(x, (0, 2, 3, 1)).astype(cfg.dtype)
+        xe = nn.Conv(dim, cfg.patch_size, strides=cfg.patch_size,
+                     padding="VALID", dtype=cfg.dtype,
+                     param_dtype=cfg.param_dtype, name="img_in")(xe)
+        img = xe.reshape(b, img_len, dim)
+
+        # vec = timestep embedding only (guidance_embed=False, no pooled)
+        temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)
+        vec = LoraDense(dim, name="time_in_1", **dd)(temb.astype(cfg.dtype))
+        vec = LoraDense(dim, name="time_in_2", **dd)(nn.silu(vec))
+
+        # single-refiner txt_in (hyvideo-style token refiner)
+        txt = LoraDense(dim, name="txt_in_proj", **dd)(
+            text_states.astype(cfg.dtype)
+        )
+        tm = text_mask.astype(jnp.float32)
+        pooled_txt = jnp.sum(
+            text_states.astype(jnp.float32) * tm[..., None], axis=1
+        ) / jnp.maximum(jnp.sum(tm, axis=1, keepdims=True), 1.0)
+        rc = LoraDense(dim, name="refiner_t_embed_1", **dd)(
+            temb.astype(cfg.dtype))
+        rc = LoraDense(dim, name="refiner_t_embed_2", **dd)(nn.silu(rc))
+        rp = LoraDense(dim, name="refiner_c_embed_1", **dd)(
+            pooled_txt.astype(cfg.dtype))
+        rp = LoraDense(dim, name="refiner_c_embed_2", **dd)(nn.silu(rp))
+        refiner_c = rc + rp
+        for i in range(cfg.refiner_layers):
+            txt = TokenRefinerBlock(cfg, name=f"refiner_{i}")(
+                txt, refiner_c, text_mask
+            )
+
+        # glyph byT5 branch -> merged into the text stream. The reference's
+        # reorder_txt_token packs [valid byt5, valid txt] per sample; with
+        # key-validity masking a static [byt5, txt] concat attends
+        # identically (text has no rope, so token position is irrelevant).
+        g = layer_norm_no_affine(byt5_states.astype(cfg.dtype))
+        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_in_fc1", **dd)(g)
+        g = nn.gelu(g, approximate=True)
+        g = LoraDense(dim, name="byt5_in_fc2", **dd)(g)
+        txt = jnp.concatenate([g, txt], axis=1)
+        full_mask = jnp.concatenate(
+            [byt5_mask.astype(jnp.int32), text_mask.astype(jnp.int32)], axis=1
+        )
+
+        hi = jnp.repeat(jnp.arange(gh), gw)
+        wi = jnp.tile(jnp.arange(gw), gh)
+        ids = jnp.stack([hi, wi], axis=-1)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.rope_axes_dim, cfg.rope_theta
+        )
+
+        block = HunyuanDoubleBlock
+        sblock = HunyuanSingleBlock
+        if cfg.remat:
+            block = nn.remat(block, prevent_cse=False)
+            sblock = nn.remat(sblock, prevent_cse=False)
+        (img, txt), _ = nn.scan(
+            block,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, name="double_blocks")((img, txt), vec, rope_cos, rope_sin,
+                                     full_mask)
+
+        xcat = jnp.concatenate([img, txt], axis=1)
+        kv_mask = jnp.concatenate(
+            [jnp.ones((b, img_len), jnp.int32), full_mask], axis=1
+        )
+        xcat, _ = nn.scan(
+            sblock,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_single_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, img_len, name="single_blocks")(xcat, vec, rope_cos, rope_sin,
+                                              kv_mask)
+        img = xcat[:, :img_len]
+
+        mod = LoraDense(2 * dim, name="final_mod", **dd)(nn.silu(vec))
+        shift, scale = jnp.split(mod, 2, -1)
+        img = modulate(layer_norm_no_affine(img), shift, scale)
+        out = LoraDense(ph * pw * cfg.out_channels, name="final_linear",
+                        dtype=jnp.float32, param_dtype=cfg.param_dtype)(img)
+        out = out.reshape(b, gh, gw, ph, pw, cfg.out_channels)
+        out = jnp.einsum("bhwpqc->bchpwq", out)
+        return out.reshape(b, cfg.out_channels, gh * ph, gw * pw)
+
+
+@register_model("hunyuan_image")
+class HunyuanImagePipeline(BasePipeline):
+    name = "hunyuan_image"
+    cacheable_text_embeddings = (
+        "text_states", "text_mask", "byt5_states", "byt5_mask",
+    )
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
+        self.hi_config = self._build_config()
+        self.model = HunyuanImageTransformer(self.hi_config)
+
+    def _build_config(self) -> HunyuanImageConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        if adapter.get("type") in ("lora", "lokr"):
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return HunyuanImageConfig.tiny(**kwargs)
+        return HunyuanImageConfig(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.hi_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, cfg.in_channels, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 8, cfg.text_dim)),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.zeros((1, 4, cfg.byt5_dim)),
+            jnp.ones((1, 4), jnp.int32),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        if latents.ndim == 5:
+            latents = latents[:, :, 0]
+        b, c, h, w = latents.shape
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )[:, None]
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+        model_inputs = dict(
+            x=x_t,
+            t=t * 1000.0,  # reference hunyuan_image.py:317
+            text_states=batch["text_states"],
+            text_mask=batch["text_mask"].reshape(b, -1),
+            byt5_states=batch["byt5_states"],
+            byt5_mask=batch["byt5_mask"].reshape(b, -1),
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.hi_config
+
+            def te(caps):
+                out = {"text_states": [], "text_mask": [],
+                       "byt5_states": [], "byt5_mask": []}
+                for cap in caps:
+                    r = np.random.default_rng(seed_from_hash(cap))
+                    out["text_states"].append(
+                        r.standard_normal((8, cfg.text_dim)).astype(np.float32))
+                    out["text_mask"].append(np.ones((8,), np.int32))
+                    out["byt5_states"].append(
+                        r.standard_normal((4, cfg.byt5_dim)).astype(np.float32))
+                    out["byt5_mask"].append(np.ones((4,), np.int32))
+                return {k: np.stack(v) for k, v in out.items()}
+
+            return [te]
+
+        # Qwen2.5-VL hidden_states[-3] with chat template + crop
+        # (reference hunyuan_image.py:180-202) and glyph byT5 over quoted
+        # spans (reference :204-242).
+        import re as _re
+
+        from .llm_encoders import LLMTextEncoder
+        from .text_encoders import HFTextEncoder
+
+        template = mc.get(
+            "prompt_template",
+            "<|im_start|>system\nDescribe the image by detailing the color, "
+            "shape, size, texture, quantity, text, spatial relationships of "
+            "the objects and background:<|im_end|>\n"
+            "<|im_start|>user\n{}<|im_end|>\n<|im_start|>assistant\n",
+        )
+        crop_start = int(mc.get("crop_start", 34))
+        qwen = LLMTextEncoder(
+            mc["text_encoder_path"],
+            max_length=int(mc.get("max_sequence_length", 1000 - crop_start)),
+            template=template, crop_start=crop_start, hidden_layer=-3,
+        )
+        byt5 = HFTextEncoder("t5", mc["byt5_path"], max_length=128)
+
+        def qwen_fn(caps):
+            h, m = qwen.encode(caps)
+            return {"text_states": h, "text_mask": m.astype(np.int32)}
+
+        def byt5_fn(caps):
+            formatted, zero_rows = [], []
+            for i, prompt in enumerate(caps):
+                spans = (
+                    _re.findall(r"\"(.*?)\"", prompt)
+                    + _re.findall(r"‘(.*?)’", prompt)
+                    + _re.findall(r"“(.*?)”", prompt)
+                )
+                if not spans:
+                    zero_rows.append(i)
+                formatted.append("".join(f'Text "{s}". ' for s in spans))
+            h, m = byt5.encode(formatted, return_mask=True)
+            h = np.asarray(h)
+            if zero_rows:
+                h[np.asarray(zero_rows)] = 0.0
+            return {"byt5_states": h, "byt5_mask": np.asarray(m, np.int32)}
+
+        return [qwen_fn, byt5_fn]

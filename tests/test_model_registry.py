@@ -66,6 +66,22 @@ def _batch_for(name, pipeline):
             "prompt_embeds": jax.random.normal(k, (2, 8, 32)),
             "prompt_attention_mask": jnp.ones((2, 8), jnp.int32),
         }
+    if name == "hunyuan_image":
+        return {
+            "latents": jax.random.normal(k, (2, 8, 8, 8)),
+            "text_states": jax.random.normal(k, (2, 8, 32)),
+            "text_mask": jnp.ones((2, 8), jnp.int32),
+            "byt5_states": jax.random.normal(k, (2, 4, 16)),
+            "byt5_mask": jnp.ones((2, 4), jnp.int32),
+        }
+    if name == "hunyuan_video_15":
+        return {
+            "latents": jax.random.normal(k, (2, 4, 2, 8, 8)),
+            "text_states": jax.random.normal(k, (2, 8, 32)),
+            "text_mask": jnp.ones((2, 8), jnp.int32),
+            "byt5_states": jax.random.normal(k, (2, 4, 16)),
+            "byt5_mask": jnp.ones((2, 4), jnp.int32),
+        }
     if name == "auraflow":
         return {
             "latents": jax.random.normal(k, (2, 4, 8, 8)),
@@ -87,7 +103,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow", "hunyuan_image", "hunyuan_video_15"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -25,17 +25,21 @@ def get_model_class(name: str):
     from . import chroma  # noqa: F401
     from . import cosmos  # noqa: F401
     from . import cosmos_predict2  # noqa: F401
+    from . import ernie_image  # noqa: F401
     from . import flux  # noqa: F401
+    from . import flux2  # noqa: F401
     from . import hidream  # noqa: F401
     from . import hunyuan_image  # noqa: F401
     from . import hunyuan_video  # noqa: F401
     from . import hunyuan_video_15  # noqa: F401
     from . import ltx_video  # noqa: F401
     from . import lumina_2  # noqa: F401
+    from . import omnigen2  # noqa: F401
     from . import qwen_image  # noqa: F401
     from . import sd3  # noqa: F401
     from . import sdxl  # noqa: F401
     from . import wan  # noqa: F401
+    from . import z_image  # noqa: F401
     if name not in _REGISTRY:
         raise NotImplementedError(f"model type {name!r} not implemented")
     return _REGISTRY[name]

@@ -1,0 +1,334 @@
+"""Ernie-Image model family (Baidu ERNIE image DiT).
+
+Reference: models/ernie_image.py (232 LoC over the ComfyUI model).
+Structure extracted from that wrapper:
+  - single-stream DiT over the [img, text] concatenated sequence
+    (reference :148-150) with SHARED adaLN: one 6-way modulation is
+    computed globally from the time embedding and broadcast to every
+    ErnieImageSharedAdaLNBlock (reference :169-176)
+  - rope ids: text axis-0 = 0..T-1; image tokens axis-0 = T with 2D
+    (row, col); pos_embed over cat([image_ids, text_ids]) matching the
+    [img, text] token order (reference :151-165)
+  - attention mask: image all-valid + text validity (reference :179-181)
+  - x_embedder patchify conv, text_proj on Ministral-3 embeds,
+    time_proj -> time_embedding MLP, final adaLN norm + linear
+  - flow matching, t*1000 into the model, target noise - latents
+    (reference :84-89)
+
+Block internals (qk-norm) flagged for real-checkpoint verification; dims
+are checkpoint-configurable via the model config table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import register_model
+from .base import BasePipeline
+from .layers import (
+    LoraDense,
+    RMSNorm,
+    apply_rope,
+    layer_norm_no_affine,
+    modulate,
+    rope_frequencies,
+    sinusoidal_timestep_embedding,
+)
+from ..ops.attention import dot_product_attention
+from ..training.flow import TimestepDistribution, sample_timesteps
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ErnieImageConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: int = 2
+    hidden_size: int = 2560
+    num_attention_heads: int = 20
+    num_layers: int = 28
+    mlp_ratio: float = 4.0
+    text_dim: int = 3072          # Ministral-3-3B hidden
+    axes_dims_rope: Tuple[int, ...] = (16, 56, 56)
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    base_kernel_dtype: Any = None
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
+    remat: bool = False
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def lora_kwargs(self):
+        return dict(
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+            lora_type=self.lora_type, lokr_factor=self.lokr_factor,
+            lokr_rank_dropout=self.lokr_rank_dropout,
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        d = dict(
+            in_channels=4, out_channels=4, hidden_size=32,
+            num_attention_heads=4, num_layers=2, text_dim=24,
+            axes_dims_rope=(4, 2, 2), dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )
+        d.update(kw)
+        return ErnieImageConfig(**d)
+
+
+class ErnieSharedAdaLNBlock(nn.Module):
+    config: ErnieImageConfig
+
+    @nn.compact
+    def __call__(self, x, mods, rope_cos, rope_sin, kv_mask):
+        cfg = self.config
+        dim = cfg.hidden_size
+        heads, hd = cfg.num_attention_heads, cfg.head_dim
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  kernel_dtype=cfg.base_kernel_dtype)
+        lora = cfg.lora_kwargs
+        b, s = x.shape[:2]
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = mods
+
+        y = modulate(layer_norm_no_affine(x), s_msa, sc_msa)
+        q = LoraDense(dim, use_bias=False, name="attn_q",
+                      kernel_axes=(None, "tensor"), **dd, **lora)(y)
+        k = LoraDense(dim, use_bias=False, name="attn_k",
+                      kernel_axes=(None, "tensor"), **dd, **lora)(y)
+        v = LoraDense(dim, use_bias=False, name="attn_v",
+                      kernel_axes=(None, "tensor"), **dd, **lora)(y)
+        q = q.reshape(b, s, heads, hd)
+        k = k.reshape(b, s, heads, hd)
+        v = v.reshape(b, s, heads, hd)
+        rms = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        q = RMSNorm(name="attn_q_norm", **rms)(q)
+        k = RMSNorm(name="attn_k_norm", **rms)(k)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        attn = dot_product_attention(q, k, v, kv_mask).reshape(b, s, dim)
+        attn = LoraDense(dim, use_bias=False, name="attn_out",
+                         kernel_axes=("tensor", None), **dd, **lora)(attn)
+        x = x + g_msa[:, None] * attn
+
+        y = modulate(layer_norm_no_affine(x), s_mlp, sc_mlp)
+        y = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False, name="mlp_fc1",
+                      kernel_axes=(None, "tensor"), **dd, **lora)(y)
+        y = nn.gelu(y, approximate=True)
+        y = LoraDense(dim, use_bias=False, name="mlp_fc2",
+                      kernel_axes=("tensor", None), **dd, **lora)(y)
+        return x + g_mlp[:, None] * y, None
+
+
+class ErnieImageTransformer(nn.Module):
+    config: ErnieImageConfig
+
+    @nn.compact
+    def __call__(self, x, t, text_embeds, text_mask):
+        """x: [B, C, H, W]; t: [B] in [0, 1000]; text_embeds:
+        [B, T, text_dim]; text_mask: [B, T]."""
+        cfg = self.config
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b, c, hh, ww = x.shape
+        gh, gw = hh // p, ww // p
+        img_len = gh * gw
+        tmax = text_embeds.shape[1]
+
+        xi = x.reshape(b, c, gh, p, gw, p)
+        xi = jnp.einsum("bchpwq->bhwpqc", xi).reshape(b, img_len, p * p * c)
+        img = LoraDense(dim, name="x_embedder", **dd)(xi.astype(cfg.dtype))
+        txt = LoraDense(dim, name="text_proj", **dd)(
+            text_embeds.astype(cfg.dtype))
+        h = jnp.concatenate([img, txt], axis=1)  # [img, text] order
+
+        # rope ids (reference ernie_image.py:151-165)
+        text_ids = np.zeros((tmax, 3), np.float32)
+        text_ids[:, 0] = np.arange(tmax, dtype=np.float32)
+        img_ids = np.zeros((img_len, 3), np.float32)
+        img_ids[:, 0] = float(tmax)
+        img_ids[:, 1] = np.repeat(np.arange(gh, dtype=np.float32), gw)
+        img_ids[:, 2] = np.tile(np.arange(gw, dtype=np.float32), gh)
+        ids = jnp.asarray(np.concatenate([img_ids, text_ids], axis=0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.axes_dims_rope, cfg.rope_theta
+        )
+
+        temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)
+        cvec = LoraDense(dim, name="time_embedding_1", **dd)(
+            temb.astype(cfg.dtype))
+        cvec = LoraDense(dim, name="time_embedding_2", **dd)(nn.silu(cvec))
+        # SHARED adaLN: one global 6-way modulation for all blocks
+        mods = tuple(jnp.split(
+            LoraDense(6 * dim, name="adaLN_modulation", **dd)(nn.silu(cvec)),
+            6, -1,
+        ))
+
+        kv_mask = jnp.concatenate(
+            [jnp.ones((b, img_len), jnp.int32), text_mask.astype(jnp.int32)],
+            axis=1,
+        )
+
+        block = ErnieSharedAdaLNBlock
+        if cfg.remat:
+            block = nn.remat(block, prevent_cse=False)
+        h, _ = nn.scan(
+            block,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, name="layers")(h, mods, rope_cos, rope_sin, kv_mask)
+
+        # final adaLN norm + linear over image tokens
+        mod = LoraDense(2 * dim, name="final_norm_mod", **dd)(nn.silu(cvec))
+        shift, scale = jnp.split(mod, 2, -1)
+        h = modulate(layer_norm_no_affine(h), shift, scale)
+        out = LoraDense(p * p * cfg.out_channels, name="final_linear",
+                        dtype=jnp.float32, param_dtype=cfg.param_dtype)(h)
+        out = out[:, :img_len]
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = jnp.einsum("bhwpqc->bchpwq", out)
+        return out.reshape(b, cfg.out_channels, hh, ww)
+
+
+@register_model("ernie_image")
+class ErnieImagePipeline(BasePipeline):
+    name = "ernie_image"
+    cacheable_text_embeddings = ("text_embeds_0", "attention_mask_0")
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
+        self.ernie_config = self._build_config()
+        self.model = ErnieImageTransformer(self.ernie_config)
+
+    def _build_config(self) -> ErnieImageConfig:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        for knob in ("hidden_size", "num_layers", "num_attention_heads",
+                     "text_dim", "in_channels", "out_channels"):
+            if mc.get(knob) is not None:
+                kwargs[knob] = int(mc[knob])
+        if adapter.get("type") in ("lora", "lokr"):
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return ErnieImageConfig.tiny(**kwargs)
+        return ErnieImageConfig(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.ernie_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, cfg.in_channels, 8, 8)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 8, cfg.text_dim)),
+            jnp.ones((1, 8), jnp.int32),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        if latents.ndim == 5:
+            latents = latents[:, :, 0]
+        b, c, h, w = latents.shape
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )[:, None]
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+        model_inputs = dict(
+            x=x_t,
+            t=t * 1000.0,  # reference ernie_image.py:87
+            text_embeds=batch["text_embeds_0"],
+            text_mask=batch["attention_mask_0"].reshape(b, -1),
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.ernie_config
+
+            def te(caps):
+                embs, masks = [], []
+                for cap in caps:
+                    r = np.random.default_rng(seed_from_hash(cap))
+                    n = min(len(cap) + 1, 8)
+                    e = np.zeros((8, cfg.text_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.text_dim))
+                    m = np.zeros((8,), np.int32)
+                    m[:n] = 1
+                    embs.append(e)
+                    masks.append(m)
+                return {"text_embeds_0": np.stack(embs),
+                        "attention_mask_0": np.stack(masks)}
+
+            return [te]
+
+        from .llm_encoders import LLMTextEncoder
+
+        enc = LLMTextEncoder(
+            mc["text_encoder_path"],
+            max_length=int(mc.get("max_sequence_length", 512)),
+            hidden_layer=-1,
+        )
+
+        def fn(caps):
+            h, m = enc.encode(caps)
+            return {"text_embeds_0": h, "attention_mask_0": m.astype(np.int32)}
+
+        return [fn]

@@ -50,6 +50,9 @@ class Lumina2Config:
     cap_dim: int = 2304           # Gemma-2-2B hidden
     axes_dims_rope: Any = (32, 32, 32)
     rope_theta: float = 10000.0
+    # Z-Image starts caption axis-0 positions at 1 and puts image tokens at
+    # cap_len + 1 (reference z_image.py:188-196); Lumina-2 starts at 0.
+    rope_cap_offset: int = 0
     ffn_dim_multiplier: float = 8.0 / 3.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
@@ -189,13 +192,15 @@ class Lumina2Transformer(nn.Module):
         # position ids (reference lumina_2.py:243-256): caption gets axis-0
         # 0..cap_len (masked rows keep their index harmlessly), image tokens
         # axis0 = cap_len with 2D (row, col)
+        off = cfg.rope_cap_offset
         cap_ids = jnp.stack(
-            [jnp.arange(cap_len), jnp.zeros(cap_len), jnp.zeros(cap_len)], -1
+            [jnp.arange(cap_len) + off, jnp.zeros(cap_len), jnp.zeros(cap_len)],
+            -1,
         )
         row = jnp.repeat(jnp.arange(gh), gw)
         col = jnp.tile(jnp.arange(gw), gh)
         img_ids = jnp.stack(
-            [jnp.full((img_len,), cap_len), row, col], -1
+            [jnp.full((img_len,), cap_len + off), row, col], -1
         )
         cap_cos, cap_sin = rope_frequencies(
             cap_ids, tuple(cfg.axes_dims_rope), cfg.rope_theta

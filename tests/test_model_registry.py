@@ -82,10 +82,33 @@ def _batch_for(name, pipeline):
             "byt5_states": jax.random.normal(k, (2, 4, 16)),
             "byt5_mask": jnp.ones((2, 4), jnp.int32),
         }
+    if name == "ernie_image":
+        return {
+            "latents": jax.random.normal(k, (2, 4, 8, 8)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
+            "attention_mask_0": jnp.ones((2, 8), jnp.int32),
+        }
+    if name == "flux2":
+        return {
+            "latents": jax.random.normal(k, (2, 4, 8, 8)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
+        }
     if name == "auraflow":
         return {
             "latents": jax.random.normal(k, (2, 4, 8, 8)),
             "prompt_embeds": jax.random.normal(k, (2, 8, 24)),
+        }
+    if name == "omnigen2":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)),
+            "prompt_embeds": jax.random.normal(k, (2, 8, 32)),
+            "prompt_attention_mask": jnp.ones((2, 8), jnp.int32),
+        }
+    if name == "z_image":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 8, 8)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 32)),
+            "attention_mask_0": jnp.ones((2, 8), jnp.int32),
         }
     if name == "lumina_2":
         return {
@@ -103,7 +126,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow", "hunyuan_image", "hunyuan_video_15"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow", "hunyuan_image", "hunyuan_video_15", "omnigen2", "z_image", "flux2", "ernie_image"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -30,8 +30,11 @@ def get_model_class(name: str):
     from . import flux2  # noqa: F401
     from . import hidream  # noqa: F401
     from . import hunyuan_image  # noqa: F401
+    from . import ideogram4  # noqa: F401
+    from . import krea2  # noqa: F401
     from . import hunyuan_video  # noqa: F401
     from . import hunyuan_video_15  # noqa: F401
+    from . import ltx2  # noqa: F401
     from . import ltx_video  # noqa: F401
     from . import lumina_2  # noqa: F401
     from . import omnigen2  # noqa: F401

@@ -1,0 +1,449 @@
+"""LTX 2.3 model family (T2I/T2V; audio branch disabled as in reference
+training).
+
+Reference: models/ltx2.py (624 LoC over the ComfyUI LTXAV model). Structure
+extracted from that wrapper:
+  - AV transformer blocks (BasicAVTransformerBlock) with per-block
+    scale_shift_table + global adaLN-single timestep embedding; pre-norms
+    are RMS norms (reference :49-170 patched forward)
+  - training passes EMPTY audio latents (noisy_latents_audio zeros([bs,0]),
+    reference :344-346), so the audio self/cross/FF paths and a2v/v2a
+    cross-attention never run — this implementation builds the video path
+  - Gemma-3-12B caption embeds (projected by the TE-side dual_linear
+    text_embedding_projection, cached) -> caption_projection -> a 1D
+    embeddings CONNECTOR: learnable registers pad the sequence to
+    >= 1024 tokens, transformer_1d blocks with 1D rope, final RMS norm;
+    the connector output mask is all-ones (reference :421-476)
+  - cross attention modulated by a prompt adaLN-single
+    (prompt_scale_shift_table + prompt_timestep, reference :74-79)
+  - rope from pixel coords / framerate 24, video rounded to 32px / 8
+    frames (reference :278-279)
+  - flow matching, target noise - latents; masked MSE/huber loss
+    (get_loss_fn, reference :376-395)
+
+Connector/cross-attention internals flagged for real-checkpoint
+verification; dims checkpoint-configurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import register_model
+from .base import BasePipeline
+from .layers import (
+    LoraDense,
+    RMSNorm,
+    apply_rope,
+    rope_frequencies,
+    sinusoidal_timestep_embedding,
+)
+from ..ops.attention import dot_product_attention
+from ..training.flow import TimestepDistribution, sample_timesteps
+
+Dtype = Any
+
+
+def _rms_noscale(x, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(
+        jnp.mean(xf * xf, -1, keepdims=True) + eps)).astype(x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class LTX2Config:
+    in_channels: int = 128
+    out_channels: int = 128
+    hidden_size: int = 4096
+    num_heads: int = 32
+    num_layers: int = 48
+    mlp_ratio: float = 4.0
+    cross_attention_dim: int = 4096       # video text width (post TE proj)
+    audio_cross_attention_dim: int = 1024
+    connector_registers: int = 128
+    connector_min_len: int = 1024
+    connector_blocks: int = 2
+    rope_axes_dim: Tuple[int, ...] = (32, 48, 48)
+    rope_theta: float = 10000.0
+    timestep_scale_multiplier: float = 1000.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.bfloat16
+    base_kernel_dtype: Any = None
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
+    lora_dropout: float = 0.0
+    lora_dtype: Any = jnp.float32
+    lora_type: str = "lora"
+    lokr_factor: int = -1
+    lokr_rank_dropout: float = 0.0
+    remat: bool = False
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def lora_kwargs(self):
+        return dict(
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout, lora_dtype=self.lora_dtype,
+            lora_type=self.lora_type, lokr_factor=self.lokr_factor,
+            lokr_rank_dropout=self.lokr_rank_dropout,
+        )
+
+    @staticmethod
+    def tiny(**kw):
+        d = dict(
+            in_channels=16, out_channels=16, hidden_size=32, num_heads=4,
+            num_layers=2, cross_attention_dim=24, audio_cross_attention_dim=8,
+            connector_registers=4, connector_min_len=16, connector_blocks=1,
+            rope_axes_dim=(4, 2, 2), dtype=jnp.float32, param_dtype=jnp.float32,
+        )
+        d.update(kw)
+        return LTX2Config(**d)
+
+
+class Connector1D(nn.Module):
+    """Text embeddings connector: register padding + 1D-rope transformer.
+
+    Mirrors reference ltx2.py:421-459: valid (right-padded) tokens keep
+    their content, every other position takes the tiled learnable
+    registers; output mask is all ones."""
+
+    config: LTX2Config
+    width: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cfg = self.config
+        d = self.width
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b, L, _ = x.shape
+        target = max(cfg.connector_min_len, L)
+        reg = self.param("learnable_registers", nn.initializers.normal(0.02),
+                         (cfg.connector_registers, d), cfg.param_dtype)
+        reps = -(-target // cfg.connector_registers)
+        tiled = jnp.tile(jnp.asarray(reg, cfg.dtype), (reps, 1))[:target]
+        if target > L:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(tiled[None, L:], (b, target - L, d))], 1)
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((b, target - L), mask.dtype)], 1)
+        x = jnp.where(mask.astype(bool)[..., None], x, tiled[None])
+
+        pos = jnp.arange(target, dtype=jnp.float32)[:, None]
+        hd = d // max(1, d // 64)
+        heads = d // hd
+        rope_cos, rope_sin = rope_frequencies(pos, (hd,), cfg.rope_theta)
+        for i in range(cfg.connector_blocks):
+            y = _rms_noscale(x)
+            q = LoraDense(d, use_bias=False, name=f"attn_q_{i}", **dd)(y)
+            k = LoraDense(d, use_bias=False, name=f"attn_k_{i}", **dd)(y)
+            v = LoraDense(d, use_bias=False, name=f"attn_v_{i}", **dd)(y)
+            q = apply_rope(q.reshape(b, target, heads, hd), rope_cos, rope_sin)
+            k = apply_rope(k.reshape(b, target, heads, hd), rope_cos, rope_sin)
+            v = v.reshape(b, target, heads, hd)
+            a = dot_product_attention(q, k, v).reshape(b, target, d)
+            x = x + LoraDense(d, use_bias=False, name=f"attn_o_{i}", **dd)(a)
+            y = _rms_noscale(x)
+            y = LoraDense(4 * d, use_bias=False, name=f"mlp_in_{i}", **dd)(y)
+            y = nn.gelu(y, approximate=True)
+            x = x + LoraDense(d, use_bias=False, name=f"mlp_out_{i}", **dd)(y)
+        return _rms_noscale(x)
+
+
+class LTX2Block(nn.Module):
+    """Video path of BasicAVTransformerBlock (audio empty in training)."""
+
+    config: LTX2Config
+
+    @nn.compact
+    def __call__(self, x, timestep_6d, prompt_2d, context, rope_cos, rope_sin):
+        cfg = self.config
+        dim = cfg.hidden_size
+        heads, hd = cfg.num_heads, cfg.head_dim
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                  kernel_dtype=cfg.base_kernel_dtype)
+        lora = cfg.lora_kwargs
+        b, s, _ = x.shape
+
+        table = self.param(
+            "scale_shift_table",
+            lambda k, sh: jax.random.normal(k, sh) / dim**0.5, (6, dim),
+        )
+        mods = (table[None, None].astype(jnp.float32)
+                + timestep_6d.reshape(b, -1, 6, dim).astype(jnp.float32))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            mods[:, :, i] for i in range(6)
+        ]
+
+        def rms(name, y):
+            return RMSNorm(eps=1e-6, dtype=cfg.dtype,
+                           param_dtype=cfg.param_dtype, name=name)(y)
+
+        # gated self attention, RMS pre-norm (reference ltx2.py:68-71)
+        y = _rms_noscale(x).astype(jnp.float32)
+        y = (y * (1 + scale_msa) + shift_msa).astype(cfg.dtype)
+        q = rms("attn1_norm_q", LoraDense(dim, use_bias=False,
+                name="attn1_to_q", **dd, **lora)(y)).reshape(b, s, heads, hd)
+        k = rms("attn1_norm_k", LoraDense(dim, use_bias=False,
+                name="attn1_to_k", **dd, **lora)(y)).reshape(b, s, heads, hd)
+        v = LoraDense(dim, use_bias=False, name="attn1_to_v", **dd,
+                      **lora)(y).reshape(b, s, heads, hd)
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+        y = dot_product_attention(q, k, v).reshape(b, s, dim)
+        y = LoraDense(dim, use_bias=False, name="attn1_to_out", **dd,
+                      **lora)(y)
+        x = x + (gate_msa * y.astype(jnp.float32)).astype(x.dtype)
+
+        # prompt-modulated cross attention (prompt_scale_shift_table +
+        # prompt adaLN-single, reference :74-79)
+        ptable = self.param(
+            "prompt_scale_shift_table",
+            lambda k, sh: jax.random.normal(k, sh) / dim**0.5, (2, dim),
+        )
+        pm = (ptable[None].astype(jnp.float32)
+              + prompt_2d.reshape(b, 2, dim).astype(jnp.float32))
+        p_shift, p_scale = pm[:, 0, None], pm[:, 1, None]
+        lc = context.shape[1]
+        ctx = _rms_noscale(context).astype(jnp.float32)
+        ctx = (ctx * (1 + p_scale) + p_shift).astype(cfg.dtype)
+        y = _rms_noscale(x)
+        qc = rms("attn2_norm_q", LoraDense(dim, use_bias=False,
+                 name="attn2_to_q", **dd, **lora)(y)).reshape(b, s, heads, hd)
+        kc = rms("attn2_norm_k", LoraDense(dim, use_bias=False,
+                 name="attn2_to_k", **dd, **lora)(ctx)).reshape(
+            b, lc, heads, hd)
+        vc = LoraDense(dim, use_bias=False, name="attn2_to_v", **dd,
+                       **lora)(ctx).reshape(b, lc, heads, hd)
+        y = dot_product_attention(qc, kc, vc).reshape(b, s, dim)
+        x = x + LoraDense(dim, use_bias=False, name="attn2_to_out", **dd,
+                          **lora)(y)
+
+        # gated feed-forward
+        y = _rms_noscale(x).astype(jnp.float32)
+        y = (y * (1 + scale_mlp) + shift_mlp).astype(cfg.dtype)
+        y = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False, name="ff_in",
+                      **dd, **lora)(y)
+        y = nn.gelu(y, approximate=True)
+        y = LoraDense(dim, use_bias=False, name="ff_out", **dd, **lora)(y)
+        x = x + (gate_mlp * y.astype(jnp.float32)).astype(x.dtype)
+        return x, None
+
+
+class LTX2Transformer(nn.Module):
+    config: LTX2Config
+
+    @nn.compact
+    def __call__(self, x, prompt_embeds, prompt_mask, t, fractional_coords):
+        """x: [B, S, C] pre-patchified latent tokens; prompt_embeds:
+        [B, T, cross(+audio_cross)] TE-projected Gemma-3 embeds;
+        fractional_coords: [B, 3, S]."""
+        cfg = self.config
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b, s, _ = x.shape
+
+        h = LoraDense(dim, name="patchify_proj", **dd)(x.astype(cfg.dtype))
+
+        ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
+        emb = sinusoidal_timestep_embedding(ts, 256)
+        emb = LoraDense(dim, name="adaln_linear_1", **dd)(emb.astype(cfg.dtype))
+        embedded_timestep = LoraDense(dim, name="adaln_linear_2", **dd)(
+            nn.silu(emb))
+        timestep_6d = LoraDense(6 * dim, name="adaln_proj", **dd)(
+            nn.silu(embedded_timestep))[:, None]
+        prompt_2d = LoraDense(2 * dim, name="prompt_adaln_proj", **dd)(
+            nn.silu(embedded_timestep))
+
+        # video half of the dual text stream (reference :461-474)
+        width = prompt_embeds.shape[-1]
+        if width == cfg.cross_attention_dim + cfg.audio_cross_attention_dim:
+            ctx_vid = prompt_embeds[..., : cfg.cross_attention_dim]
+        else:
+            ctx_vid = prompt_embeds
+        ctx = LoraDense(dim, name="caption_projection", **dd)(
+            ctx_vid.astype(cfg.dtype))
+        ctx = Connector1D(cfg, dim, name="video_embeddings_connector")(
+            ctx, prompt_mask)
+
+        ids = jnp.transpose(fractional_coords[0], (1, 0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.rope_axes_dim, cfg.rope_theta
+        )
+
+        block = LTX2Block
+        if cfg.remat:
+            block = nn.remat(block, prevent_cse=False)
+        h, _ = nn.scan(
+            block,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            in_axes=nn.broadcast, length=cfg.num_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )(cfg, name="blocks")(h, timestep_6d, prompt_2d, ctx, rope_cos,
+                              rope_sin)
+
+        out_table = self.param(
+            "scale_shift_table",
+            lambda k, sh: jax.random.normal(k, sh) / dim**0.5, (2, dim),
+        )
+        mods = (out_table[None, None].astype(jnp.float32)
+                + embedded_timestep[:, None, None, :].astype(jnp.float32))
+        shift, scale = mods[:, :, 0], mods[:, :, 1]
+        h = _rms_noscale(h).astype(jnp.float32)
+        h = h * (1 + scale) + shift
+        return LoraDense(cfg.out_channels, name="proj_out", **dd)(
+            h.astype(cfg.dtype))
+
+
+@register_model("ltx2")
+class LTX2Pipeline(BasePipeline):
+    name = "ltx2"
+    framerate = 24
+    cacheable_text_embeddings = ("text_embeds_0", "attention_mask_0")
+
+    def __init__(self, config):
+        super().__init__(config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
+        self.ltx2_config = self._build_config()
+        self.model = LTX2Transformer(self.ltx2_config)
+
+    def _build_config(self) -> LTX2Config:
+        from ..common import dtype_from_string
+
+        mc = self.model_config
+        adapter = self.config.get("adapter", {})
+        kwargs: Dict[str, Any] = dict(
+            dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
+            base_kernel_dtype=(
+                dtype_from_string(mc["transformer_dtype"])
+                if mc.get("transformer_dtype") else None
+            ),
+            remat=bool(self.config.get("activation_checkpointing", False)),
+        )
+        for knob in ("hidden_size", "num_layers", "num_heads",
+                     "cross_attention_dim", "audio_cross_attention_dim",
+                     "in_channels", "out_channels"):
+            if mc.get(knob) is not None:
+                kwargs[knob] = int(mc[knob])
+        if adapter.get("type") in ("lora", "lokr"):
+            kwargs.update(
+                lora_rank=int(adapter["rank"]),
+                lora_type=adapter["type"],
+                lokr_factor=int(adapter.get("decompose_factor", -1)),
+                lokr_rank_dropout=float(adapter.get("rank_dropout", 0.0)),
+                lora_alpha=float(adapter["alpha"]),
+                lora_dropout=float(adapter.get("dropout", 0.0)),
+                lora_dtype=dtype_from_string(
+                    adapter.get("dtype", mc.get("dtype", "bfloat16"))
+                ),
+            )
+        if mc.get("_tiny", False):
+            return LTX2Config.tiny(**kwargs)
+        return LTX2Config(**kwargs)
+
+    def init_params(self, rng):
+        cfg = self.ltx2_config
+        return jax.jit(self.model.init)(
+            rng,
+            jnp.zeros((1, 8, cfg.in_channels)),
+            jnp.zeros((1, 8, cfg.cross_attention_dim)),
+            jnp.ones((1, 8), jnp.int32),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 3, 8)),
+        )
+
+    def prepare_inputs(self, rng, batch, timestep_quantile=None):
+        latents = batch["latents"].astype(jnp.float32)
+        if latents.ndim == 4:
+            latents = latents[:, :, None]
+        b, c, f, h, w = latents.shape
+        mask = batch.get("mask")
+        if mask is not None:
+            mask = jax.image.resize(
+                mask.astype(jnp.float32), (b, h, w), method="nearest"
+            )
+            mask = jnp.broadcast_to(mask[:, None, None], (b, 1, f, h, w))
+            mask = mask.reshape(b, 1, f * h * w).transpose(0, 2, 1)
+        t_key, n_key = jax.random.split(rng)
+        t = sample_timesteps(
+            t_key, b, self.tdist, quantile=timestep_quantile,
+            image_seq_len=(h // 2) * (w // 2),
+        )
+        noise = jax.random.normal(n_key, latents.shape, jnp.float32)
+        t_exp = t.reshape(b, 1, 1, 1, 1)
+        x_t = (1 - t_exp) * latents + t_exp * noise
+        target = noise - latents
+
+        def tokens(v):
+            return jnp.transpose(v.reshape(b, c, f * h * w), (0, 2, 1))
+
+        target = tokens(target)
+
+        # fractional coords: time / framerate (reference LTX rope semantics)
+        fi = np.repeat(np.arange(f, dtype=np.float32), h * w) / self.framerate
+        hi = np.tile(np.repeat(np.arange(h, dtype=np.float32), w), f)
+        wi = np.tile(np.arange(w, dtype=np.float32), f * h)
+        coords = np.stack([fi, hi, wi], 0)[None].repeat(b, 0)
+
+        model_inputs = dict(
+            x=tokens(x_t),
+            prompt_embeds=batch["text_embeds_0"],
+            prompt_mask=batch["attention_mask_0"].reshape(b, -1),
+            t=t,
+            fractional_coords=jnp.asarray(coords),
+        )
+        return model_inputs, target, mask
+
+    def forward(self, params, model_inputs):
+        return self.model.apply(params, **model_inputs)
+
+    def get_call_text_encoder_fns(self):
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from ..data.bucketing import seed_from_hash
+
+            cfg = self.ltx2_config
+
+            def te(caps):
+                embs, masks = [], []
+                for cap in caps:
+                    r = np.random.default_rng(seed_from_hash(cap))
+                    n = min(len(cap) + 1, 8)
+                    e = np.zeros((8, cfg.cross_attention_dim), np.float32)
+                    e[:n] = r.standard_normal((n, cfg.cross_attention_dim))
+                    m = np.zeros((8,), np.int32)
+                    m[:n] = 1
+                    embs.append(e)
+                    masks.append(m)
+                return {"text_embeds_0": np.stack(embs),
+                        "attention_mask_0": np.stack(masks)}
+
+            return [te]
+
+        # Gemma-3-12B hidden states; the ComfyUI TE applies a dual_linear
+        # text_embedding_projection before caching (reference :27-46) —
+        # provide the raw Gemma states and set cross_attention_dim to the
+        # Gemma width, or cache pre-projected embeds externally.
+        from .llm_encoders import LLMTextEncoder
+
+        enc = LLMTextEncoder(
+            mc["text_encoder_path"],
+            max_length=int(mc.get("max_sequence_length", 512)),
+            hidden_layer=-1,
+        )
+
+        def fn(caps):
+            h, m = enc.encode(caps)
+            return {"text_embeds_0": h, "attention_mask_0": m.astype(np.int32)}
+
+        return [fn]

@@ -36,7 +36,50 @@ WAN_VARIANTS = {
     "ti2v-5b": dict(dim=3072, ffn_dim=14336, num_heads=24, num_layers=30,
                     model_type="ti2v", in_dim=48, out_dim=48,
                     patch_size=(1, 2, 2)),
+    # Wan2.2 I2V A14B (no CLIP k_img branch)
+    "i2v-a14b": dict(dim=5120, ffn_dim=13824, num_heads=40, num_layers=40,
+                     model_type="i2v_v2", in_dim=36),
 }
+
+
+def autodetect_wan_variant(ckpt_dir: str):
+    """Variant autodetect from a checkpoint dir (reference
+    models/wan/wan.py:95-176): reads config.json model_type+dim, sniffs
+    weight keys for the Wan2.2 i2v split, and flags SkyReels (24 FPS) by
+    directory name. Returns (variant_key, skyreels)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    d = _Path(ckpt_dir)
+    cfg_path = d / "config.json"
+    if not cfg_path.exists() and (d / "low_noise_model" / "config.json").exists():
+        cfg_path = d / "low_noise_model" / "config.json"
+    with open(cfg_path) as f:
+        jc = _json.load(f)
+    model_type, dim = jc["model_type"], jc["dim"]
+    skyreels = "skyreels" in d.name.lower()
+    if model_type == "t2v":
+        variant = "t2v-1.3b" if dim == 1536 else "t2v-14b"
+    elif model_type == "i2v":
+        has_k_img = True
+        shards = sorted(d.glob("*.safetensors")) or sorted(
+            d.glob("**/*.safetensors"))
+        if shards:
+            from safetensors import safe_open
+
+            keys = set()
+            for shard in shards:
+                with safe_open(str(shard), framework="np") as f:
+                    keys.update(f.keys())
+            has_k_img = any("cross_attn.k_img." in k for k in keys)
+        variant = "i2v-14b" if has_k_img else "i2v-a14b"
+    elif model_type == "flf2v":
+        variant = "i2v-14b"
+    elif model_type == "ti2v":
+        variant = "ti2v-5b"
+    else:
+        raise RuntimeError(f"Unknown wan model_type {model_type!r}")
+    return variant, skyreels
 
 
 @register_model("wan", "wan21", "wan22")
@@ -48,10 +91,17 @@ class WanPipeline(BasePipeline):
         super().__init__(config)
         mc = self.model_config
         self.tdist = TimestepDistribution.from_model_config(mc)
+        self._skyreels = False
         self.wan_config = self._build_wan_config()
         self.model = WanTransformer(self.wan_config)
-        # reference wan.py: framerate 16, 24 for SkyReels/ti2v
-        self.framerate = 24 if self.wan_config.model_type == "ti2v" else 16
+        # reference wan.py: framerate 16; 24 for SkyReels V2 and ti2v
+        self.framerate = (
+            24 if (self.wan_config.model_type == "ti2v" or self._skyreels)
+            else 16
+        )
+        if self._skyreels:
+            # distinct cache name (reference wan.py:122-124, 142-143)
+            self.name = ("skyreels_v2_i2v" if self.is_i2v else "skyreels_v2")
 
     @property
     def is_i2v(self) -> bool:
@@ -97,7 +147,13 @@ class WanPipeline(BasePipeline):
                 in_dim=36 if mc.get("variant_type") == "i2v" else 16,
                 **kwargs,
             )
-        variant = mc.get("variant", "t2v-1.3b")
+        variant = mc.get("variant")
+        if variant is None and mc.get("ckpt_path"):
+            variant, self._skyreels = autodetect_wan_variant(mc["ckpt_path"])
+        elif variant is None:
+            variant = "t2v-1.3b"
+        if mc.get("skyreels"):
+            self._skyreels = True
         if variant not in WAN_VARIANTS:
             raise NotImplementedError(f"wan variant {variant!r}")
         return WanConfig(**{**WAN_VARIANTS[variant], **kwargs})

@@ -88,6 +88,24 @@ def _batch_for(name, pipeline):
             "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
             "attention_mask_0": jnp.ones((2, 8), jnp.int32),
         }
+    if name == "ideogram4":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 4, 4)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
+            "attention_mask_0": jnp.ones((2, 8), jnp.int32),
+        }
+    if name == "krea2":
+        return {
+            "latents": jax.random.normal(k, (2, 4, 8, 8)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
+            "attention_mask_0": jnp.ones((2, 8), jnp.int32),
+        }
+    if name == "ltx2":
+        return {
+            "latents": jax.random.normal(k, (2, 16, 2, 4, 4)),
+            "text_embeds_0": jax.random.normal(k, (2, 8, 24)),
+            "attention_mask_0": jnp.ones((2, 8), jnp.int32),
+        }
     if name == "flux2":
         return {
             "latents": jax.random.normal(k, (2, 4, 8, 8)),
@@ -126,7 +144,7 @@ def _batch_for(name, pipeline):
     raise NotImplementedError(name)
 
 
-@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow", "hunyuan_image", "hunyuan_video_15", "omnigen2", "z_image", "flux2", "ernie_image"])
+@pytest.mark.parametrize("model_type", ["chroma", "sd3", "hunyuan-video", "qwen_image", "cosmos", "cosmos_predict2", "ltx-video", "lumina_2", "hidream", "auraflow", "hunyuan_image", "hunyuan_video_15", "omnigen2", "z_image", "flux2", "ernie_image", "ideogram4", "krea2", "ltx2"])
 def test_one_train_step(model_type):
     cfg = _cfg(model_type)
     pipeline = get_model_class(model_type)(cfg)

@@ -178,6 +178,15 @@ def get_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
     wd = float(ocfg.get("weight_decay", 0.01))
     eps = float(ocfg.get("eps", 1e-8))
 
+    gas = int(config.get("gradient_accumulation_steps", 1))
+    if ocfg.get("gradient_release") and gas > 1:
+        # one optimizer step per micro-batch: scale EMA decays so the
+        # contribution half-life matches per-batch stepping
+        # (reference train.py:721-728)
+        betas = [b ** (1.0 / gas) for b in betas]
+        if "momentum" in ocfg:
+            ocfg["momentum"] = float(ocfg["momentum"]) ** (1.0 / gas)
+
     if otype in ("adamw", "adamw_optimi", "adamw_kahan"):
         return optax.adamw(
             schedule, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd,
@@ -215,6 +224,28 @@ def get_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
             weight_decay=wd,
             polar_express=bool(ocfg.get("polar_express", False)),
         )
+    if otype in ("genericoptim", "generic", "adafactor", "adagrad"):
+        from .generic_optim import scale_by_generic
+
+        second = ocfg.get("second_moment_type", "ema")
+        if otype == "adafactor":
+            second = "factored"
+        elif otype == "adagrad":
+            second = "adagrad"
+        return optax.chain(
+            scale_by_generic(
+                momentum_type=ocfg.get("momentum_type", "ema"),
+                second_moment_type=second,
+                betas=(betas[0], betas[1]),
+                eps=eps,
+                correct_bias=bool(ocfg.get("correct_bias", True)),
+                rank=int(ocfg.get("rank", 0)),
+                proj_type=ocfg.get("proj_type", "svd"),
+                update_proj_gap=int(ocfg.get("update_proj_gap", 200)),
+            ),
+            optax.add_decayed_weights(wd, mask=_weight_decay_mask),
+            _scale_by_neg_learning_rate(schedule),
+        )
     if otype == "automagic":
         from .automagic import automagic
 
@@ -226,6 +257,36 @@ def get_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
             eps=eps,
             weight_decay=float(ocfg.get("weight_decay", 0.0)),
         )
+    # Fallback: any optax / optax.contrib optimizer by name — the TPU
+    # analogue of the reference's pytorch_optimizer fallback
+    # (train.py:688-690), covering Prodigy, Lion, LAMB, AdaBelief,
+    # DAdapt*, schedule-free, ... Extra table keys pass through as kwargs.
+    import inspect
+
+    import optax.contrib as _contrib
+
+    fn = getattr(optax, otype, None) or getattr(_contrib, otype, None)
+    if fn is None:
+        for mod in (optax, _contrib):
+            for name in dir(mod):
+                if name.lower() == otype:
+                    fn = getattr(mod, name)
+                    break
+            if fn is not None:
+                break
+    if fn is not None and callable(fn):
+        sig = inspect.signature(fn)
+        kwargs = {}
+        if "learning_rate" in sig.parameters:
+            kwargs["learning_rate"] = schedule
+        passthrough = {
+            k: v for k, v in ocfg.items()
+            if k in sig.parameters and k not in ("type", "lr", "learning_rate")
+        }
+        kwargs.update(passthrough)
+        if "weight_decay" in sig.parameters and "weight_decay" not in kwargs:
+            kwargs["weight_decay"] = wd
+        return fn(**kwargs)
     raise NotImplementedError(f"optimizer type {otype!r} not implemented")
 
 

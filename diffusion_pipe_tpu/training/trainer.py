@@ -67,6 +67,7 @@ def make_train_step(
     host_stacks=(),
     skip_invalid_grads: bool = False,
     stochastic_rounding: bool = False,
+    gradient_release: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -88,6 +89,57 @@ def make_train_step(
     loss_fn = make_loss_fn(pipeline)
     grad_fn = jax.value_and_grad(loss_fn)
     gas = gradient_accumulation_steps
+
+    def gradient_release_step(state: TrainState, batch: Dict[str, Any], rng):
+        """One optimizer step PER MICRO-BATCH (reference train.py:694-748
+        gradient release): no gradient accumulator buffer is ever
+        materialized. Pair with factory-side beta scaling **(1/gas)."""
+
+        def micro(carry, xs):
+            trainable, opt_state, acc_loss, acc_norm = carry
+            mb, key = xs
+            loss_i, g_i = grad_fn(trainable, state.frozen, mb, key)
+            if skip_invalid_grads:
+                finite = jax.tree.map(lambda g: jnp.isfinite(g).all(), g_i)
+                g_i = jax.tree.map(
+                    lambda g, ok: jnp.where(ok, g, 0.0), g_i, finite
+                )
+            gn = optax.global_norm(g_i)
+            if gradient_clipping and gradient_clipping > 0:
+                s = jnp.minimum(1.0, gradient_clipping / (gn + 1e-6))
+                g_i = jax.tree.map(lambda g: g * s, g_i)
+            updates, opt_state = optimizer.update(g_i, opt_state, trainable)
+            if skip_invalid_grads:
+                updates = jax.tree.map(
+                    lambda u, ok: jnp.where(ok, u, jnp.zeros([], u.dtype)),
+                    updates, finite,
+                )
+            trainable = _apply_updates(
+                trainable, updates, state.step, stochastic_rounding
+            )
+            return (trainable, opt_state, acc_loss + loss_i, acc_norm + gn), None
+
+        mbs = jax.tree.map(
+            lambda x: x.reshape((gas, x.shape[0] // gas) + x.shape[1:]), batch
+        )
+        keys = jax.random.split(rng, gas)
+        (trainable, opt_state, loss, norm), _ = jax.lax.scan(
+            micro,
+            (state.trainable, state.opt_state, jnp.zeros([], jnp.float32),
+             jnp.zeros([], jnp.float32)),
+            (mbs, keys),
+        )
+        batch_size = jax.tree.leaves(batch)[0].shape[0]
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=trainable,
+            opt_state=opt_state,
+            examples=state.examples + batch_size,
+        )
+        return new_state, {"loss": loss / gas, "grad_norm": norm / gas}
+
+    if gradient_release and gas > 1:
+        return gradient_release_step
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng):
         if gas == 1:

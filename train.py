@@ -244,6 +244,7 @@ def main(argv=None):
         host_stacks=host_stacks,
         skip_invalid_grads=bool(ocfg.get("skip_invalid_grads", False)),
         stochastic_rounding=bool(ocfg.get("stochastic_rounding", False)),
+        gradient_release=bool(ocfg.get("gradient_release", False)),
     )
     train_step = jax.jit(train_step_raw, donate_argnums=(0,))
     eval_step_raw = make_eval_step(pipeline)

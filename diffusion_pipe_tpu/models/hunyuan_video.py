@@ -138,9 +138,33 @@ class HunyuanVideoPipeline(BasePipeline):
                 )}
 
             return fn
-        raise NotImplementedError(
-            "hyvideo 3D causal VAE port pending; cache latents externally"
+
+        # HunyuanVideo 3D causal VAE (hunyuan_vae.py), diffusers-layout
+        # weights at model.vae_path
+        from .hunyuan_vae import (
+            HunyuanVAE,
+            HunyuanVAEConfig,
+            convert_diffusers_hunyuan_vae,
         )
+        from .weights import load_safetensors_dir
+
+        cfg = HunyuanVAEConfig()
+        vae = HunyuanVAE(cfg)
+        params = convert_diffusers_hunyuan_vae(
+            load_safetensors_dir(mc["vae_path"]), cfg
+        )
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32))
+            )}
+
+        return fn
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

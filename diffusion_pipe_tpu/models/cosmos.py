@@ -149,10 +149,35 @@ class CosmosPipeline(BasePipeline):
                 )}
 
             return fn
-        raise NotImplementedError(
-            "Cosmos CausalContinuousVideoTokenizer port pending; cache "
-            "latents externally"
+
+        # Cosmos continuous video tokenizer (cosmos_tokenizer.py). Weight
+        # conversion pending real-checkpoint verification; provide
+        # model.vae_params_path (flax msgpack) for a verified load.
+        from .cosmos_tokenizer import CosmosTokenizerConfig, CosmosVideoTokenizer
+
+        if not mc.get("vae_params_path"):
+            raise NotImplementedError(
+                "Cosmos tokenizer weight conversion pending verification; "
+                "provide model.vae_params_path or cache latents externally"
+            )
+        import flax.serialization
+
+        cfg = CosmosTokenizerConfig()
+        tok = CosmosVideoTokenizer(cfg)
+        with open(mc["vae_params_path"], "rb") as f:
+            params = flax.serialization.msgpack_restore(f.read())
+        encode = jax.jit(
+            lambda px: tok.apply(params, px, method=type(tok).encode)
         )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32))
+            )}
+
+        return fn
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config
@@ -169,6 +194,15 @@ class CosmosPipeline(BasePipeline):
                 ])}
 
             return [te]
-        raise NotImplementedError(
-            "old-T5 encoder wiring pending; provide cached prompt_embeds"
-        )
+
+        # old T5-XXL, max_length 512, padded positions zeroed (reference
+        # cosmos.py text-embedding path mirrors cosmos_predict2.py:155-172)
+        from .text_encoders import HFTextEncoder
+
+        enc = HFTextEncoder("t5", mc["t5_path"], max_length=512)
+
+        def fn(caps):
+            h, m = enc.encode(caps, return_mask=True)
+            return {"prompt_embeds": h * m[..., None].astype(h.dtype)}
+
+        return [fn]

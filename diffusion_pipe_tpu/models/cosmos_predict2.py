@@ -170,6 +170,32 @@ class CosmosPredict2Pipeline(BasePipeline):
                 ])}
 
             return [te]
-        raise NotImplementedError(
-            "old-T5 encoder wiring pending; provide cached t5_embed"
-        )
+
+        # old T5-XXL, max_length 512, padded positions zeroed (reference
+        # cosmos_predict2.py:155-172); Anima's Qwen3 tower routes through
+        # llm_encoders when text_encoder_path points at a causal LM.
+        import json as _json
+        from pathlib import Path as _Path
+
+        path = mc.get("t5_path") or mc["text_encoder_path"]
+        with open(_Path(path) / "config.json") as f:
+            is_t5 = "t5" in _json.load(f).get("model_type", "t5")
+        if is_t5:
+            from .text_encoders import HFTextEncoder
+
+            enc = HFTextEncoder("t5", path, max_length=512)
+
+            def fn(caps):
+                h, m = enc.encode(caps, return_mask=True)
+                return {"t5_embed": h * m[..., None].astype(h.dtype)}
+
+            return [fn]
+        from .llm_encoders import LLMTextEncoder
+
+        enc = LLMTextEncoder(path, max_length=512, hidden_layer=-1)
+
+        def fn(caps):
+            h, m = enc.encode(caps)
+            return {"t5_embed": np.asarray(h) * m[..., None].astype(h.dtype)}
+
+        return [fn]

@@ -370,9 +370,37 @@ class LTXVideoPipeline(BasePipeline):
                 )}
 
             return fn
-        raise NotImplementedError(
-            "LTX causal video VAE port pending; cache latents externally"
+
+        # LTX causal video VAE (ltx_vae.py). Weight conversion is pending
+        # real-checkpoint verification (0.9.x layouts differ); pass
+        # vae_params_path to a pre-converted flax msgpack, else random init
+        # is rejected to avoid silently caching garbage latents.
+        from .ltx_vae import LTXVAEConfig, LTXVideoVAE
+
+        if not mc.get("vae_params_path"):
+            raise NotImplementedError(
+                "LTX VAE weight conversion pending verification; provide "
+                "model.vae_params_path (flax msgpack) or cache latents "
+                "externally"
+            )
+        import flax.serialization
+
+        cfg = LTXVAEConfig()
+        vae = LTXVideoVAE(cfg)
+        with open(mc["vae_params_path"], "rb") as f:
+            params = flax.serialization.msgpack_restore(f.read())
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
         )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32))
+            )}
+
+        return fn
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

@@ -82,6 +82,11 @@ class BasePipeline:
         models/base.py:349-358)."""
         raise NotImplementedError
 
+    def lr_scale_map(self, base_lr):
+        """Per-module LR multipliers by param-path substring (reference
+        param groups, e.g. sdxl unet_lr / cosmos_predict2 llm_adapter_lr)."""
+        return {}
+
     # --- saving ------------------------------------------------------------
     def save_adapter(self, path, params):
         raise NotImplementedError

@@ -28,9 +28,42 @@ class CosmosPredict2Pipeline(BasePipeline):
 
     def __init__(self, config):
         super().__init__(config)
-        self.tdist = TimestepDistribution.from_model_config(self.model_config)
+        mc = self.model_config
+        self.tdist = TimestepDistribution.from_model_config(mc)
         self.cp_config = self._build_config()
         self.model = CosmosPredict2Transformer(self.cp_config)
+        # Anima: Qwen3-0.6B tower + TRAINABLE LLMAdapter mapping its hidden
+        # states into the old-T5 embedding space (reference
+        # cosmos_predict2.py + models/llm_adapter.py:164-199)
+        self.anima = mc["type"] == "anima"
+        if self.anima:
+            from .llm_adapter import LLMAdapter, LLMAdapterConfig
+
+            if mc.get("_tiny", False):
+                acfg = LLMAdapterConfig.tiny(
+                    source_dim=16,
+                    target_dim=self.cp_config.crossattn_emb_channels,
+                    model_dim=32,
+                )
+            else:
+                acfg = LLMAdapterConfig(
+                    source_dim=int(mc.get("llm_hidden_dim", 1024)),
+                    target_dim=self.cp_config.crossattn_emb_channels,
+                    model_dim=int(mc.get("llm_adapter_dim", 1024)),
+                    num_layers=int(mc.get("llm_adapter_layers", 6)),
+                    self_attn=bool(mc.get("llm_adapter_self_attn", False)),
+                )
+            self.adapter_config = acfg
+            self.llm_adapter = LLMAdapter(acfg)
+            self.cacheable_text_embeddings = (
+                "llm_hidden_states", "llm_mask", "t5_input_ids", "t5_mask",
+            )
+
+    def lr_scale_map(self, base_lr):
+        mc = self.model_config
+        if self.anima and mc.get("llm_adapter_lr"):
+            return {"llm_adapter": float(mc["llm_adapter_lr"]) / base_lr}
+        return {}
 
     def _build_config(self) -> CosmosPredict2Config:
         from ..common import dtype_from_string
@@ -64,12 +97,24 @@ class CosmosPredict2Pipeline(BasePipeline):
 
     def init_params(self, rng):
         cfg = self.cp_config
-        return jax.jit(self.model.init)(
+        params = jax.jit(self.model.init)(
             rng,
             jnp.zeros((1, cfg.in_channels, 1, 8, 8)),
             jnp.zeros((1,)),
             jnp.zeros((1, 8, cfg.crossattn_emb_channels)),
         )
+        if self.anima:
+            import flax
+
+            ap = jax.jit(self.llm_adapter.init)(
+                jax.random.fold_in(rng, 1),
+                jnp.zeros((1, 8, self.adapter_config.source_dim)),
+                jnp.zeros((1, 8), jnp.int32),
+            )
+            base = flax.core.unfreeze(params)
+            base["params"]["llm_adapter"] = flax.core.unfreeze(ap)["params"]
+            params = base
+        return params
 
     def prepare_inputs(self, rng, batch, timestep_quantile=None):
         latents = batch["latents"].astype(jnp.float32)
@@ -92,14 +137,35 @@ class CosmosPredict2Pipeline(BasePipeline):
         x_t = (1 - t_exp) * latents + t_exp * noise
         target = noise - latents
 
-        model_inputs = dict(
-            x=x_t.astype(self.cp_config.dtype),
-            t=t,  # RAW [0,1] (reference cosmos_predict2.py:405-408)
-            context=batch["t5_embed"],
-        )
+        if self.anima:
+            model_inputs = dict(
+                x=x_t.astype(self.cp_config.dtype),
+                t=t,
+                llm_hidden_states=batch["llm_hidden_states"],
+                llm_mask=batch["llm_mask"].reshape(b, -1),
+                t5_input_ids=batch["t5_input_ids"].reshape(b, -1)
+                .astype(jnp.int32),
+            )
+        else:
+            model_inputs = dict(
+                x=x_t.astype(self.cp_config.dtype),
+                t=t,  # RAW [0,1] (reference cosmos_predict2.py:405-408)
+                context=batch["t5_embed"],
+            )
         return model_inputs, target, mask
 
     def forward(self, params, model_inputs):
+        if self.anima:
+            mi = dict(model_inputs)
+            p = dict(params["params"])
+            adapter_params = {"params": p.pop("llm_adapter")}
+            context = self.llm_adapter.apply(
+                adapter_params,
+                mi.pop("llm_hidden_states"),
+                mi.pop("t5_input_ids"),
+                source_mask=mi.pop("llm_mask"),
+            )
+            return self.model.apply({"params": p}, context=context, **mi)
         return self.model.apply(params, **model_inputs)
 
     def loss_fn(self, output, target, mask):
@@ -162,6 +228,22 @@ class CosmosPredict2Pipeline(BasePipeline):
 
             cfg = self.cp_config
 
+            if self.anima:
+                def te_anima(caps):
+                    out = {"llm_hidden_states": [], "llm_mask": [],
+                           "t5_input_ids": [], "t5_mask": []}
+                    for c in caps:
+                        r = np.random.default_rng(seed_from_hash(c))
+                        out["llm_hidden_states"].append(
+                            r.standard_normal((8, 16)).astype(np.float32))
+                        out["llm_mask"].append(np.ones((8,), np.int32))
+                        out["t5_input_ids"].append(
+                            r.integers(0, 63, (8,)).astype(np.int32))
+                        out["t5_mask"].append(np.ones((8,), np.int32))
+                    return {k: np.stack(v) for k, v in out.items()}
+
+                return [te_anima]
+
             def te(caps):
                 return {"t5_embed": np.stack([
                     np.random.default_rng(seed_from_hash(c))
@@ -170,6 +252,33 @@ class CosmosPredict2Pipeline(BasePipeline):
                 ])}
 
             return [te]
+
+        if self.anima:
+            # cache Qwen3 hidden states + T5 token ids; the trainable
+            # LLMAdapter runs IN-GRAPH at train time
+            from transformers import AutoTokenizer
+
+            from .llm_encoders import LLMTextEncoder
+
+            qwen = LLMTextEncoder(
+                mc["text_encoder_path"],
+                max_length=int(mc.get("max_sequence_length", 512)),
+                hidden_layer=-1,
+            )
+            t5_tok = AutoTokenizer.from_pretrained(mc["t5_tokenizer_path"])
+
+            def fn(caps):
+                h, m = qwen.encode(caps)
+                tok = t5_tok(caps, padding="max_length", truncation=True,
+                             max_length=512, return_tensors="np")
+                return {
+                    "llm_hidden_states": h,
+                    "llm_mask": m.astype(np.int32),
+                    "t5_input_ids": np.asarray(tok["input_ids"], np.int32),
+                    "t5_mask": np.asarray(tok["attention_mask"], np.int32),
+                }
+
+            return [fn]
 
         # old T5-XXL, max_length 512, padded positions zeroed (reference
         # cosmos_predict2.py:155-172); Anima's Qwen3 tower routes through

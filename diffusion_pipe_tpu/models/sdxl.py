@@ -151,6 +151,21 @@ class SDXLPipeline(BasePipeline):
 
     # --- model --------------------------------------------------------------
 
+    def lr_scale_map(self, base_lr):
+        """unet_lr / text_encoder_1_lr / text_encoder_2_lr param groups
+        (reference models/sdxl.py:602-628). Insertion order matters: the
+        LAST matching substring wins, so text_encoder_2 overrides the
+        text_encoder prefix match for its own leaves."""
+        mc = self.model_config
+        out = {}
+        if mc.get("unet_lr") is not None:
+            out["unet"] = float(mc["unet_lr"]) / base_lr
+        if mc.get("text_encoder_1_lr") is not None:
+            out["text_encoder"] = float(mc["text_encoder_1_lr"]) / base_lr
+        if mc.get("text_encoder_2_lr") is not None:
+            out["text_encoder_2"] = float(mc["text_encoder_2_lr"]) / base_lr
+        return out
+
     def init_params(self, rng):
         cfg = self.unet_config
         te1, te2 = self._text_encoders()

@@ -13,7 +13,7 @@ Supported `optimizer.type` values (reference names kept):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import chex
 import jax
@@ -162,9 +162,44 @@ def build_lr_schedule(config: Dict[str, Any], base_lr: float):
     )
 
 
-def get_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
+def scale_updates_by_path(scales: Dict[str, float]):
+    """Per-module LR groups: multiply updates whose parameter path contains
+    a key substring by the given factor (reference param-group LRs —
+    sdxl unet_lr/text_encoder_N_lr, models/sdxl.py:602-628;
+    cosmos_predict2 llm_adapter_lr, models/cosmos_predict2.py:459-489)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        def scale(path, u):
+            names = [str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path]
+            joined = "/".join(names)
+            factor = 1.0
+            for sub, f in scales.items():
+                if sub in joined:
+                    factor = f
+            return u * factor if u is not None else None
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def get_optimizer(
+    config: Dict[str, Any], lr_scales: Optional[Dict[str, float]] = None
+) -> optax.GradientTransformation:
     """Build the optimizer from config['optimizer'] (reference
-    train.py:640-807 factory semantics; beta2_half_life handled at 648-653)."""
+    train.py:640-807 factory semantics; beta2_half_life handled at 648-653).
+    lr_scales: per-module LR multipliers by path substring (param groups)."""
+    base = _build_optimizer(config)
+    if lr_scales:
+        return optax.chain(base, scale_updates_by_path(lr_scales))
+    return base
+
+
+def _build_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
     ocfg = dict(config.get("optimizer", {"type": "adamw"}))
     otype = ocfg.get("type", "adamw").lower()
     lr = float(ocfg.get("lr", 1e-4))

@@ -27,7 +27,16 @@ def full_ft_predicate(path: Tuple[str, ...], _leaf) -> bool:
 
 
 def predicate_from_config(config: dict) -> Callable:
+    # Anima trains the LLMAdapter alongside the LoRA (reference
+    # cosmos_predict2 llm_adapter param group)
+    extra = ("llm_adapter",) if config.get("model", {}).get("type") == "anima" \
+        else ()
     if "adapter" in config:
+        if extra:
+            return lambda path, leaf: (
+                lora_predicate(path, leaf)
+                or any(e in p for e in extra for p in path)
+            )
         return lora_predicate
     return full_ft_predicate
 

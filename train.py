@@ -149,7 +149,10 @@ def main(argv=None):
     # --- mesh / params / optimizer ------------------------------------------
     mesh = local_mesh_or_default(config)
     dp_world = mesh.shape["data"]
-    optimizer = get_optimizer(config)
+    base_lr = float(config.get("optimizer", {}).get("lr", 1e-4))
+    optimizer = get_optimizer(
+        config, lr_scales=pipeline.lr_scale_map(base_lr)
+    )
     predicate = predicate_from_config(config)
 
     try:

@@ -135,26 +135,63 @@ class DirectoryDataset:
         specs = []
         for p in sorted(self.path.rglob("*")):
             suffix = p.suffix.lower()
-            if suffix in IMAGE_EXTENSIONS or (
+            if suffix == ".tar":
+                # enumerate media members (reference dataset.py:636-639);
+                # captions for tar members come from captions.json keyed by
+                # the full member name
+                import tarfile
+
+                with tarfile.TarFile(p) as tf:
+                    for name in sorted(tf.getnames()):
+                        msuf = Path(name).suffix.lower()
+                        if msuf in IMAGE_EXTENSIONS or (
+                            self.support_video and msuf in VIDEO_EXTENSIONS
+                        ):
+                            specs.append((str(p), name))
+            elif suffix in IMAGE_EXTENSIONS or (
                 self.support_video and suffix in VIDEO_EXTENSIONS
             ):
                 specs.append((None, str(p)))
         return specs
 
-    def _captions_for(self, filepath: str) -> Optional[List[str]]:
+    def _captions_for(self, filepath: str, in_tar: bool = False
+                      ) -> Optional[List[str]]:
         p = Path(filepath)
         if self.captions_dict is not None:
-            key = p.name
+            # tar members are keyed by FULL member name (reference
+            # dataset.py:684-687), plain files by basename
+            key = filepath if in_tar else p.name
             if key in self.captions_dict:
                 caps = self.captions_dict[key]
                 return caps if isinstance(caps, list) else [caps]
+        if in_tar:
+            return None
         txt = p.with_suffix(".txt")
         if txt.exists():
             caption = txt.read_text().strip()
             return [caption]
         return None
 
-    def _probe(self, filepath: str):
+    def _probe(self, filepath: str, tar_path: Optional[str] = None):
+        if tar_path is not None:
+            import tarfile
+
+            if not hasattr(self, "_probe_tars"):
+                self._probe_tars = {}
+            if tar_path not in self._probe_tars:
+                self._probe_tars[tar_path] = tarfile.TarFile(tar_path)
+            f = self._probe_tars[tar_path].extractfile(filepath)
+            suffix = Path(filepath).suffix.lower()
+            if suffix in VIDEO_EXTENSIONS:
+                import imageio.v3 as iio
+
+                frames = sum(1 for _ in iio.imiter(f.read()))
+                f2 = self._probe_tars[tar_path].extractfile(filepath)
+                first = next(iter(iio.imiter(f2.read())))
+                h, w = first.shape[:2]
+                return w, h, max(frames, 1)
+            with Image.open(f) as img:
+                return img.width, img.height, 1
         suffix = Path(filepath).suffix.lower()
         if suffix in VIDEO_EXTENSIONS:
             import imageio.v3 as iio
@@ -188,7 +225,7 @@ class DirectoryDataset:
         groups: Dict[Tuple, List[Record]] = defaultdict(list)
         for spec in self._list_files():
             filepath = spec[1]
-            captions = self._captions_for(filepath)
+            captions = self._captions_for(filepath, in_tar=spec[0] is not None)
             if captions is None:
                 captions = [""]
             if self.skip_empty_caption and all(not c for c in captions):
@@ -198,14 +235,17 @@ class DirectoryDataset:
                 self.caption_prefix,
             )
             try:
-                w, h, frames = self._probe(filepath)
+                w, h, frames = self._probe(filepath, tar_path=spec[0])
             except Exception as e:
                 print(f"skipping unreadable file {filepath}: {e}")
                 continue
+            in_tar = spec[0] is not None
             rec = Record(
                 spec, captions, w, h, frames,
-                mask_path=self._sidecar(self.mask_path, filepath),
-                control_path=self._sidecar(self.control_path, filepath),
+                mask_path=None if in_tar
+                else self._sidecar(self.mask_path, filepath),
+                control_path=None if in_tar
+                else self._sidecar(self.control_path, filepath),
             )
             if self.use_size_buckets:
                 sb = find_closest_size_bucket(self.size_buckets, w, h, frames)

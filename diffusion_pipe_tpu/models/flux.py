@@ -89,6 +89,7 @@ class FluxPipeline(BasePipeline):
             ),
             guidance_embeds=bool(mc.get("guidance_embeds", True)),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            remat_policy=str(self.config.get("remat_policy", "full")),
             sequence_sharding=bool(self.config.get("sequence_sharding", False)),
         )
         from ..parallel.offload import offload_stacks_from_config

@@ -70,6 +70,9 @@ class FluxConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # 'full' recomputes everything; 'dots' saves matmul outputs and
+    # recomputes only elementwise ops (jax dots_with_no_batch_dims_saveable)
+    remat_policy: str = "full"
     # block stacks whose frozen params live in host RAM and stream per
     # iteration (TPU block-swap analogue, parallel/offload.py)
     offload_blocks: Tuple[str, ...] = ()
@@ -292,8 +295,11 @@ class FluxTransformer(nn.Module):
             if "single_blocks" in cfg.offload_blocks:
                 single = stream_params_from_host(single)
         if cfg.remat:
-            double = nn.remat(double, prevent_cse=False)
-            single = nn.remat(single, prevent_cse=False)
+            policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            double = nn.remat(double, prevent_cse=False, policy=policy)
+            single = nn.remat(single, prevent_cse=False, policy=policy)
         self.double_blocks = nn.scan(
             double,
             variable_axes={"params": 0},

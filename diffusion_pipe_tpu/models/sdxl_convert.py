@@ -129,15 +129,30 @@ def export_sdxl_lora_kohya(trainable, cfg: SDXLConfig) -> Dict[str, np.ndarray]:
     p = trainable["params"]["unet"]
 
     def emit(kohya_mod, leaf):
-        if leaf is None or "lora_a" not in leaf:
+        if leaf is None:
             return
-        a = np.asarray(leaf["lora_a"], np.float32)  # [in, r]
-        b = np.asarray(leaf["lora_b"], np.float32)  # [r, out]
-        out[f"lora_unet_{kohya_mod}.lora_down.weight"] = np.ascontiguousarray(a.T)
-        out[f"lora_unet_{kohya_mod}.lora_up.weight"] = np.ascontiguousarray(b.T)
-        out[f"lora_unet_{kohya_mod}.alpha"] = np.asarray(
-            float(cfg.lora_alpha), np.float32
-        )
+        if "lora_a" in leaf:
+            a = np.asarray(leaf["lora_a"], np.float32)  # [in, r]
+            b = np.asarray(leaf["lora_b"], np.float32)  # [r, out]
+            out[f"lora_unet_{kohya_mod}.lora_down.weight"] = (
+                np.ascontiguousarray(a.T))
+            out[f"lora_unet_{kohya_mod}.lora_up.weight"] = (
+                np.ascontiguousarray(b.T))
+            out[f"lora_unet_{kohya_mod}.alpha"] = np.asarray(
+                float(cfg.lora_alpha), np.float32
+            )
+        # LoKr factors (lycoris kohya naming, torch orientation)
+        emitted_lokr = False
+        for name in ("lokr_w1", "lokr_w2", "lokr_w2_a", "lokr_w2_b"):
+            if name in leaf:
+                w = np.asarray(leaf[name], np.float32)
+                out[f"lycoris_unet_{kohya_mod}.{name}"] = (
+                    np.ascontiguousarray(w.T))
+                emitted_lokr = True
+        if emitted_lokr:
+            out[f"lycoris_unet_{kohya_mod}.alpha"] = np.asarray(
+                float(cfg.lora_alpha), np.float32
+            )
 
     def walk_transformer(our_prefix, kohya_prefix, depth):
         tree = p.get(our_prefix)

@@ -490,17 +490,27 @@ def export_wan_lora_comfyui(trainable, cfg: WanConfig) -> Dict[str, np.ndarray]:
     lin = dict(_BLOCK_LINEARS)
     if cfg.model_type in ("i2v", "flf2v"):
         lin.update(_BLOCK_I2V_LINEARS)
+    lokr_leaves = ("lokr_w1", "lokr_w2", "lokr_w2_a", "lokr_w2_b")
     for ours, theirs in lin.items():
         leaf = blocks.get(ours)
-        if leaf is None or "lora_a" not in leaf:
+        if leaf is None:
             continue
-        a_all = np.asarray(leaf["lora_a"])
-        b_all = np.asarray(leaf["lora_b"])
-        for i in range(cfg.num_layers):
-            out[f"diffusion_model.blocks.{i}.{theirs}.lora_A.weight"] = (
-                np.ascontiguousarray(a_all[i].T.astype(np.float32))
-            )
-            out[f"diffusion_model.blocks.{i}.{theirs}.lora_B.weight"] = (
-                np.ascontiguousarray(b_all[i].T.astype(np.float32))
-            )
+        if "lora_a" in leaf:
+            a_all = np.asarray(leaf["lora_a"])
+            b_all = np.asarray(leaf["lora_b"])
+            for i in range(cfg.num_layers):
+                out[f"diffusion_model.blocks.{i}.{theirs}.lora_A.weight"] = (
+                    np.ascontiguousarray(a_all[i].T.astype(np.float32))
+                )
+                out[f"diffusion_model.blocks.{i}.{theirs}.lora_B.weight"] = (
+                    np.ascontiguousarray(b_all[i].T.astype(np.float32))
+                )
+        # LoKr factors (PEFT LoKrLayer names, torch orientation)
+        for name in lokr_leaves:
+            if name in leaf:
+                w_all = np.asarray(leaf[name])
+                for i in range(cfg.num_layers):
+                    out[f"diffusion_model.blocks.{i}.{theirs}.{name}"] = (
+                        np.ascontiguousarray(w_all[i].T.astype(np.float32))
+                    )
     return out

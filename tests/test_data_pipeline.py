@@ -169,3 +169,38 @@ def test_dp_rank_slicing(image_dir):
     ds.post_init(1, 2, micro_batch_size=1, gradient_accumulation_steps=1)
     b1 = [next(PipelineDataLoader(ds))[1]]
     assert not np.array_equal(b0[0]["latents"], b1[0]["latents"])
+
+
+def test_tar_dataset_scan_and_cache(tmp_path):
+    """Images inside a .tar archive with captions.json (reference
+    dataset.py:636-687 tar member enumeration)."""
+    import io
+    import json
+    import tarfile
+
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    captions = {}
+    with tarfile.TarFile(d / "shard.tar", "w") as tf:
+        for i in range(4):
+            arr = rng.integers(0, 255, (256, 256, 3), np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            buf.seek(0)
+            info = tarfile.TarInfo(name=f"sub/img_{i}.png")
+            info.size = len(buf.getvalue())
+            tf.addfile(info, buf)
+            captions[f"sub/img_{i}.png"] = [f"tar caption {i}"]
+    (d / "captions.json").write_text(json.dumps(captions))
+
+    pipeline = FakePipeline()
+    ds = Dataset(_dataset_config(d), pipeline)
+    manager = DatasetManager(pipeline, caching_batch_size=2)
+    manager.register(ds)
+    manager.cache()
+    ds.post_init(0, 1, micro_batch_size=2, gradient_accumulation_steps=1)
+    loader = PipelineDataLoader(ds)
+    sb, batch = next(loader)
+    assert batch["latents"].shape[0] == 2
+    assert "t5_embed" in batch

@@ -158,6 +158,138 @@ def gpipe_phase(
     return jax.tree.map(lambda o: o[:m_total], out)
 
 
+def reverse_perm(s: int):
+    return [(i, (i - 1) % s) for i in range(s)]
+
+
+def pipeline_train_1f1b(
+    stage_fwd: Callable,
+    inject: Callable,
+    loss_head: Callable,
+    num_microbatches: int,
+    num_stages: int,
+    payload_template: Any,
+    local_params: Any,
+):
+    """Interleaved forward/backward (1F1B-family) pipelined loss+grad.
+
+    The reference runs DeepSpeed's 1F1B TrainSchedule (utils/patches.py
+    patched TrainSchedule) so backward of micro-batch m starts as soon as
+    its forward drains, bounding in-flight activations per stage. This is
+    the jax analogue as ONE fused tick loop: every tick does one forward
+    subtick (GPipe ring step, input payload saved to a rotating buffer)
+    and one backward subtick (jax.vjp recompute from the saved input —
+    remat-style — with the cotangent travelling the REVERSE ring; the last
+    stage seeds it from the loss head). In-flight inputs are bounded by
+    2*S slots instead of GPipe-under-AD's M + S - 1 saved tick payloads
+    (true torch 1F1B holds S; the factor 2 buys the uniform SPMD schedule
+    where every device computes both subticks every tick). Bubble fraction
+    is identical to 1F1B: (S-1)/(M+S-1).
+
+    Args (all under the caller's shard_map over the 'stage' axis):
+      stage_fwd(local_params, payload) -> payload  — this stage's blocks.
+      inject(t) -> payload                         — micro-batch t input.
+      loss_head(payload, t) -> scalar              — loss on the LAST stage.
+    Returns (mean_loss, grads) where grads match local_params (each
+    device's grads are for ITS stage's parameters; average over micros).
+    """
+    m_total = num_microbatches
+    s = num_stages
+    nslots = 2 * s
+    ticks = m_total + 2 * (s - 1) + 1
+
+    def to_varying(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.pcast(x, (STAGE_AXIS,), to="varying"), tree
+        )
+
+    zero_payload = to_varying(jax.tree.map(jnp.zeros_like, payload_template))
+    inputs_buf0 = to_varying(jax.tree.map(
+        lambda x: jnp.zeros((nslots,) + x.shape, x.dtype), payload_template
+    ))
+    zero_grads = to_varying(jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), local_params
+    ))
+
+    def g_fn(params, payload, m):
+        out = stage_fwd(params, payload)
+        return out, loss_head(out, m)
+
+    def tick(carry, tau):
+        fwd_buf, inputs_buf, bwd_cot, grads, loss_acc = carry
+        stage = stage_index()
+
+        # ---- forward subtick (GPipe ring step) ----
+        m_f = tau - stage
+        fresh = inject(jnp.clip(tau, 0, m_total - 1))
+        cur_in = jax.tree.map(
+            lambda a, b: jnp.where(stage == 0, a, b), fresh, fwd_buf
+        )
+        inputs_buf = jax.tree.map(
+            lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+                buf, x, tau % nslots, 0
+            ),
+            inputs_buf, cur_in,
+        )
+        cur_out = stage_fwd(local_params, cur_in)
+        fwd_buf = ring_shift(cur_out, s)
+
+        # ---- backward subtick ----
+        m_b = tau - 2 * (s - 1) + stage
+        active_b = jnp.logical_and(m_b >= 0, m_b < m_total)
+        slot = jnp.mod(m_b + stage, nslots)
+        saved_in = jax.tree.map(
+            lambda buf: jax.lax.dynamic_index_in_dim(
+                buf, slot, 0, keepdims=False
+            ),
+            inputs_buf,
+        )
+        m_clamped = jnp.clip(m_b, 0, m_total - 1)
+        (out_p, loss_p), vjp = jax.vjp(
+            lambda p, x: g_fn(p, x, m_clamped), local_params, saved_in
+        )
+        is_last = stage == s - 1
+        # cotangent: ring value for inner stages, loss seed on the last
+        cot_out = jax.tree.map(
+            lambda c, z: jnp.where(is_last, z, c), bwd_cot,
+            jax.tree.map(jnp.zeros_like, bwd_cot),
+        )
+        loss_seed = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
+        dparams, dx = vjp((cot_out, loss_seed))
+        gate = active_b.astype(jnp.float32)
+        grads = jax.tree.map(
+            lambda g, d: g + gate * d.astype(jnp.float32), grads, dparams
+        )
+        loss_acc = loss_acc + jnp.where(
+            jnp.logical_and(is_last, active_b), loss_p, 0.0
+        )
+        # cotangents travel the reverse ring (stage s -> s-1); zero out
+        # inactive contributions so bubbles don't pollute
+        dx = jax.tree.map(lambda d: gate * d, dx)
+        bwd_cot = jax.tree.map(
+            lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)), dx
+        )
+        return (fwd_buf, inputs_buf, bwd_cot, grads, loss_acc), None
+
+    carry0 = (
+        zero_payload,
+        inputs_buf0,
+        to_varying(jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.float32), payload_template
+        )),
+        zero_grads,
+        jax.lax.pcast(jnp.zeros([], jnp.float32), (STAGE_AXIS,), to="varying"),
+    )
+    (fwd_buf, inputs_buf, bwd_cot, grads, loss_acc), _ = jax.lax.scan(
+        tick, carry0, jnp.arange(ticks)
+    )
+    loss = jax.lax.psum(
+        jnp.where(stage_index() == s - 1, loss_acc, 0.0), STAGE_AXIS
+    ) / m_total
+    grads = jax.tree.map(lambda g: g / m_total, grads)
+    return loss, grads
+
+
 def last_stage_scalar(value: jax.Array, num_stages: int):
     """Replicate a scalar computed validly only on the last stage."""
     stage = stage_index()

@@ -66,11 +66,45 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def maybe_init_distributed(config: Optional[dict] = None) -> None:
+    """Multi-host initialization (multi-slice / multi-pod).
+
+    The reference launches one process per GPU under deepspeed's MPI-style
+    env (LOCAL_RANK/WORLD_SIZE, train.py startup). The TPU analogue is one
+    process per HOST: jax.distributed.initialize() discovers coordinator +
+    process ids from the TPU runtime env (or JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID when set). Call before any other
+    jax API on each host. No-op for single-process runs unless
+    `multi_host = true` is set in the config or the coordinator env is
+    present.
+    """
+    import os
+
+    config = config or {}
+    wants = bool(config.get("multi_host")) or bool(
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not wants:
+        return
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    jax.distributed.initialize()
+
+
 def local_mesh_or_default(
     config: Optional[dict] = None, devices=None
 ) -> Mesh:
-    """Mesh from a training config ({pipeline_stages, tensor_parallel})."""
+    """Mesh from a training config ({pipeline_stages, tensor_parallel}).
+
+    Multi-host: uses jax.devices() (all devices across processes). Axis
+    order ('data', 'stage', 'tensor') puts 'data' outermost, so with the
+    default device order the DATA axis spans DCN (slice boundaries) while
+    'stage'/'tensor' collectives stay on ICI within a slice — gradient
+    psum is the only cross-slice traffic, matching the scaling-book
+    recipe for DCN-friendly layouts.
+    """
     config = config or {}
+    maybe_init_distributed(config)
     return make_mesh(
         pipeline_stages=int(config.get("pipeline_stages", 1)),
         tensor_parallel=int(config.get("tensor_parallel", 1)),

@@ -70,6 +70,8 @@ class FluxConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # dynamic W8A8 int8 compute on frozen block kernels (opt-in speed mode)
+    int8_matmul: bool = False
     # 'full' recomputes everything; 'dots' saves matmul outputs and
     # recomputes only elementwise ops (jax dots_with_no_batch_dims_saveable)
     remat_policy: str = "full"
@@ -131,7 +133,8 @@ class FluxDoubleBlock(nn.Module):
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
 
         # adaLN-Zero: SiLU(temb) -> Linear -> 6 chunks, per stream
@@ -231,7 +234,8 @@ class FluxSingleBlock(nn.Module):
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
 
         mod = LoraDense(3 * dim, name="norm_linear", **dd, **lora)(nn.silu(temb))

@@ -32,6 +32,48 @@ def _maybe_partition(init: Callable, axes: Optional[Tuple[Optional[str], ...]]):
     return nn.with_partitioning(init, axes)
 
 
+@jax.custom_vjp
+def int8_dot(x, w):
+    """Dynamic W8A8 matmul for FROZEN kernels: per-token activation and
+    per-output-channel weight absmax int8 quantization, int8 MXU dot
+    (~2.25x bf16 on v5e), f32 rescale. Backward is straight-through in
+    full precision (dx = g @ W^T; frozen base kernels need no wgrad)."""
+    return _int8_dot_fwd_impl(x, w)
+
+
+def _int8_dot_fwd_impl(x, w):
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    w_scale = jnp.max(jnp.abs(wf), axis=0) / 127.0  # [out]
+    x_scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    w8 = jnp.clip(
+        jnp.round(wf / jnp.maximum(w_scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    x8 = jnp.clip(
+        jnp.round(xf / jnp.maximum(x_scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y32.astype(jnp.float32) * x_scale * w_scale[None, :]
+
+
+def _int8_dot_fwd(x, w):
+    return _int8_dot_fwd_impl(x, w), (x, w)
+
+
+def _int8_dot_bwd(res, g):
+    x, w = res
+    gf = g.astype(jnp.float32)
+    dx = jnp.einsum("...o,io->...i", gf, w.astype(jnp.float32)).astype(x.dtype)
+    dw = jnp.zeros_like(w)  # frozen base kernel
+    return dx, dw
+
+
+int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
+
+
 def lokr_factorization(dim: int, factor: int = -1) -> Tuple[int, int]:
     """Balanced two-factor split of `dim`, LyCORIS semantics.
 
@@ -81,6 +123,9 @@ class LoraDense(nn.Module):
     lora_type: str = "lora"
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
+    # Dynamic W8A8 int8 compute for the frozen base kernel (storage dtype
+    # unchanged, e.g. fp8). Opt-in speed mode; LoRA path stays full precision.
+    int8_matmul: bool = False
     kernel_axes: Optional[Tuple[Optional[str], ...]] = None
     kernel_init: Callable = default_kernel_init
 
@@ -99,7 +144,10 @@ class LoraDense(nn.Module):
             (in_features, self.features),
             kdtype,
         )
-        y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
+        if self.int8_matmul:
+            y = int8_dot(x.astype(self.dtype), kernel).astype(self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
         if self.use_bias:
             bias_axes = (self.kernel_axes[-1],) if self.kernel_axes else None
             bias = self.param(

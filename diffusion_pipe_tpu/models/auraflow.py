@@ -63,6 +63,7 @@ class AuraFlowConfig:
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -125,7 +126,8 @@ class AuraFlowJointBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
 
         mod_i = LoraDense(6 * dim, use_bias=False, name="norm1_linear",
@@ -187,7 +189,8 @@ class AuraFlowSingleBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
 
         mod = LoraDense(6 * dim, use_bias=False, name="norm1_linear",
@@ -334,6 +337,7 @@ class AuraFlowPipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         if mc.get("pos_embed_max_size"):
             kwargs["pos_embed_max_size"] = int(mc["pos_embed_max_size"])

@@ -54,6 +54,7 @@ class ChromaConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -149,7 +150,8 @@ class ChromaDoubleBlock(nn.Module):
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
 
         (i_s1, i_c1, i_g1, i_s2, i_c2, i_g2,
@@ -218,7 +220,8 @@ class ChromaSingleBlock(nn.Module):
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s = x.shape[:2]
 

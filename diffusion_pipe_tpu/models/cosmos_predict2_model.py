@@ -47,6 +47,7 @@ class CosmosPredict2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -136,7 +137,8 @@ class CosmosBlock(nn.Module):
         dim = cfg.model_channels
         heads, hd = cfg.num_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype, use_bias=False,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s, _ = x.shape
 

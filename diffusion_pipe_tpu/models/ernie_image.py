@@ -61,6 +61,7 @@ class ErnieImageConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -104,7 +105,8 @@ class ErnieSharedAdaLNBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_attention_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s = x.shape[:2]
         s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = mods
@@ -235,6 +237,7 @@ class ErnieImagePipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "in_channels", "out_channels"):

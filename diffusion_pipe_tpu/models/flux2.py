@@ -69,6 +69,7 @@ class Flux2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -115,7 +116,8 @@ class Flux2DoubleBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         (i_s1, i_sc1, i_g1, i_s2, i_sc2, i_g2,
          t_s1, t_sc1, t_g1, t_s2, t_sc2, t_g2) = mods
@@ -183,7 +185,8 @@ class Flux2SingleBlock(nn.Module):
         heads, hd = cfg.num_attention_heads, cfg.attention_head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s = x.shape[:2]
         shift, scale, gate = mods
@@ -328,6 +331,7 @@ class Flux2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         for knob in ("hidden_size", "num_layers", "num_single_layers",
                      "text_dim", "latent_channels"):

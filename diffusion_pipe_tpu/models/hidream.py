@@ -61,6 +61,7 @@ class HiDreamConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -110,7 +111,8 @@ class MoEFeedForward(nn.Module):
         e = cfg.num_routed_experts
         k = cfg.num_activated_experts
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s, _ = x.shape
 
@@ -159,7 +161,8 @@ class HiDreamDoubleBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         img_s, txt = carry
         # per-block text conditioning: inject this block's llama layer (+T5)
@@ -225,7 +228,8 @@ class HiDreamSingleBlock(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s, _ = x.shape
 
@@ -353,6 +357,7 @@ class HiDreamPipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

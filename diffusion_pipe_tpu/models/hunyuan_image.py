@@ -66,6 +66,7 @@ class HunyuanImageConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -236,6 +237,7 @@ class HunyuanImagePipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

@@ -63,6 +63,7 @@ class HunyuanVideo15Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -227,6 +228,7 @@ class HunyuanVideo15Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         for knob in ("num_layers", "num_attention_heads", "attention_head_dim",
                      "latent_channels", "text_dim"):

@@ -52,6 +52,7 @@ class HunyuanVideoConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -140,7 +141,8 @@ class HunyuanDoubleBlock(nn.Module):
         heads = cfg.num_attention_heads
         hd = cfg.attention_head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, si = img.shape[:2]
         st = txt.shape[1]
@@ -220,7 +222,8 @@ class HunyuanSingleBlock(nn.Module):
         hd = cfg.attention_head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s = x.shape[:2]
 

@@ -64,6 +64,7 @@ class Krea2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -153,7 +154,8 @@ class Krea2Block(nn.Module):
         heads, hd = cfg.num_attention_heads, cfg.head_dim
         mlp_dim = int(dim * cfg.mlp_ratio)
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s = x.shape[:2]
 
@@ -274,6 +276,7 @@ class Krea2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "text_layers", "in_channels", "out_channels"):

@@ -75,6 +75,7 @@ class LTX2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -169,7 +170,8 @@ class LTX2Block(nn.Module):
         dim = cfg.hidden_size
         heads, hd = cfg.num_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s, _ = x.shape
 
@@ -329,6 +331,7 @@ class LTX2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         for knob in ("hidden_size", "num_layers", "num_heads",
                      "cross_attention_dim", "audio_cross_attention_dim",

@@ -57,6 +57,7 @@ class Lumina2Config:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -102,7 +103,8 @@ class Lumina2Block(nn.Module):
         dim = cfg.dim
         heads, kv_heads, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype, use_bias=False,
-                  kernel_dtype=cfg.base_kernel_dtype)
+                  kernel_dtype=cfg.base_kernel_dtype,
+                  int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
         b, s, _ = x.shape
 
@@ -291,6 +293,7 @@ class Lumina2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

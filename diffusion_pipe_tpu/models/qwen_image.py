@@ -49,6 +49,7 @@ class QwenImageConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
     base_kernel_dtype: Any = None
+    int8_matmul: bool = False
     lora_rank: int = 0
     lora_alpha: float = 0.0
     lora_dropout: float = 0.0
@@ -75,6 +76,7 @@ class QwenImageConfig:
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             base_kernel_dtype=self.base_kernel_dtype,
+            int8_matmul=self.int8_matmul,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout,
@@ -173,6 +175,7 @@ class QwenImagePipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
+            int8_matmul=bool(mc.get("int8_matmul", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

@@ -13,7 +13,8 @@ LoRA rank 32 on all block linears, 512px latents (16x64x64 -> 1024 img
 tokens) + 512 T5 tokens, batch 2 per chip, adamw8bit.
 
 Sweep on v5e (samples/sec/chip): bs1 bf16-compute 1.87, bs2 1.92,
-bs3 1.85, bs4 1.79, bs2+int8 2.20.
+bs3 1.85, bs4 1.79, bs2+int8-fwd 2.20, bs2+int8-fwd_bwd 2.30 (the dgrad
+matmul also int8; tiny-flux loss trajectories deviate <0.2% from bf16).
 
 vs_baseline is measured samples/sec divided by 1.0 samples/sec/chip — the
 A100 ballpark for flux-dev LoRA @512 (the reference publishes no numbers;
@@ -40,7 +41,7 @@ def main():
             "type": "flux",
             "dtype": "bfloat16",
             "transformer_dtype": "float8",
-            "int8_matmul": True,
+            "int8_matmul": "fwd_bwd",
             "guidance": 1.0,
         },
         "adapter": {"type": "lora", "rank": 32, "alpha": 32, "dropout": 0.0},

@@ -337,7 +337,7 @@ class AuraFlowPipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         if mc.get("pos_embed_max_size"):
             kwargs["pos_embed_max_size"] = int(mc["pos_embed_max_size"])

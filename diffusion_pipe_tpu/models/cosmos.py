@@ -50,7 +50,7 @@ class CosmosPipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
             # cosmos-1 7B: 4096 channels, 28 blocks, 32 heads; old-T5 1024
             model_channels=int(mc.get("model_channels", 4096)),
             num_blocks=int(mc.get("num_blocks", 28)),

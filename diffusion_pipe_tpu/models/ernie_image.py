@@ -237,7 +237,7 @@ class ErnieImagePipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "in_channels", "out_channels"):

@@ -90,7 +90,7 @@ class FluxPipeline(BasePipeline):
             guidance_embeds=bool(mc.get("guidance_embeds", True)),
             remat=bool(self.config.get("activation_checkpointing", False)),
             remat_policy=str(self.config.get("remat_policy", "full")),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
             sequence_sharding=bool(self.config.get("sequence_sharding", False)),
         )
         from ..parallel.offload import offload_stacks_from_config

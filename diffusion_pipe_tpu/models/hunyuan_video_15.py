@@ -228,7 +228,7 @@ class HunyuanVideo15Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("num_layers", "num_attention_heads", "attention_head_dim",
                      "latent_channels", "text_dim"):

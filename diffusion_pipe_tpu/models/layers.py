@@ -74,6 +74,42 @@ def _int8_dot_bwd(res, g):
 int8_dot.defvjp(_int8_dot_fwd, _int8_dot_bwd)
 
 
+@jax.custom_vjp
+def int8_dot_bwd8(x, w):
+    """int8_dot variant that ALSO quantizes the backward dgrad matmul
+    (per-token cotangent scales x per-input-channel weight scales).
+    Extra quantization noise feeds adapter gradients — opt-in via
+    model.int8_backward."""
+    return _int8_dot_fwd_impl(x, w)
+
+
+def _int8b_fwd(x, w):
+    return _int8_dot_fwd_impl(x, w), (x, w)
+
+
+def _int8b_bwd(res, g):
+    x, w = res
+    gf = g.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    g_scale = jnp.max(jnp.abs(gf), axis=-1, keepdims=True) / 127.0
+    w_scale = jnp.max(jnp.abs(wf), axis=1) / 127.0  # per input channel [in]
+    g8 = jnp.clip(
+        jnp.round(gf / jnp.maximum(g_scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    w8 = jnp.clip(
+        jnp.round(wf / jnp.maximum(w_scale[:, None], 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    dx32 = jax.lax.dot_general(
+        g8, w8, (((g8.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dx = (dx32.astype(jnp.float32) * g_scale * w_scale[None, :]).astype(x.dtype)
+    return dx, jnp.zeros_like(w)
+
+
+int8_dot_bwd8.defvjp(_int8b_fwd, _int8b_bwd)
+
+
 def lokr_factorization(dim: int, factor: int = -1) -> Tuple[int, int]:
     """Balanced two-factor split of `dim`, LyCORIS semantics.
 
@@ -124,8 +160,10 @@ class LoraDense(nn.Module):
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     # Dynamic W8A8 int8 compute for the frozen base kernel (storage dtype
-    # unchanged, e.g. fp8). Opt-in speed mode; LoRA path stays full precision.
-    int8_matmul: bool = False
+    # unchanged, e.g. fp8). Opt-in speed mode; LoRA path stays full
+    # precision. True/'fwd' quantizes forward only; 'fwd_bwd' also
+    # quantizes the backward dgrad matmul.
+    int8_matmul: Any = False
     kernel_axes: Optional[Tuple[Optional[str], ...]] = None
     kernel_init: Callable = default_kernel_init
 
@@ -145,7 +183,8 @@ class LoraDense(nn.Module):
             kdtype,
         )
         if self.int8_matmul:
-            y = int8_dot(x.astype(self.dtype), kernel).astype(self.dtype)
+            fn = int8_dot_bwd8 if self.int8_matmul == "fwd_bwd" else int8_dot
+            y = fn(x.astype(self.dtype), kernel).astype(self.dtype)
         else:
             y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
         if self.use_bias:

@@ -331,7 +331,7 @@ class LTX2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_heads",
                      "cross_attention_dim", "audio_cross_attention_dim",

@@ -259,7 +259,7 @@ class LTXVideoPipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

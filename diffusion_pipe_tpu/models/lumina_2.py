@@ -293,7 +293,7 @@ class Lumina2Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
@@ -353,6 +353,30 @@ class Lumina2Pipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, cap_feats=None, cap_mask=None):
+        """Euler flow sampling. The model predicts latents - noise with time
+        input 1 - t (reference lumina_2.py:173-179), so the sampler's
+        noise->data velocity is the NEGATED model output at 1 - t."""
+        from ..training.sampling import euler_flow_sample
+
+        b = cap_feats.shape[0]
+        h, w = height // 8, width // 8
+
+        def vel(x, t):
+            out = self.model.apply(
+                params, x, 1.0 - t, cap_feats,
+                cap_mask if cap_mask is not None
+                else jnp.ones(cap_feats.shape[:2], jnp.int32),
+            )
+            return -out
+
+        return euler_flow_sample(
+            vel, (b, self.lumina_config.in_channels, h, w), key,
+            num_steps=num_steps, guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
 
     def get_call_vae_fn(self):
         from .flux import FluxPipeline

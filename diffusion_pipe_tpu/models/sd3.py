@@ -49,7 +49,7 @@ class SD3Pipeline(BasePipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
@@ -119,6 +119,57 @@ class SD3Pipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    def _merge_embeds(self, batch):
+        clip = jnp.concatenate(
+            [batch["prompt_embed"], batch["prompt_2_embed"]], axis=-1
+        ).astype(jnp.float32)
+        t5 = batch["t5_prompt_embed"].astype(jnp.float32)
+        clip = jnp.pad(
+            clip, ((0, 0), (0, 0), (0, t5.shape[-1] - clip.shape[-1]))
+        )
+        prompt_embeds = jnp.concatenate([clip, t5], axis=-2)
+        pooled = jnp.concatenate(
+            [batch["pooled_prompt_embed"], batch["pooled_prompt_2_embed"]],
+            axis=-1,
+        ).astype(jnp.float32)
+        return prompt_embeds, pooled
+
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291)."""
+        from ..training.sampling import euler_flow_sample
+
+        prompt_embeds, pooled = self._merge_embeds(embeds)
+        b = prompt_embeds.shape[0]
+        h, w = height // 8, width // 8
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                hidden_states=x,
+                timestep=t * 1000.0,
+                encoder_hidden_states=prompt_embeds,
+                pooled_projections=pooled,
+            ))
+
+        return euler_flow_sample(
+            vel, (b, 16, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift", 3.0),
+        )
+
+    def _load_vae(self):
+        from .autoencoder_kl import AutoencoderKL, VAEConfig, convert_diffusers_vae
+        from .weights import load_safetensors_dir
+
+        mc = self.model_config
+        cfg = VAEConfig(latent_channels=16, scaling_factor=1.5305,
+                        shift_factor=0.0609, use_quant_conv=False)
+        vae = AutoencoderKL(cfg)
+        path = mc.get("vae_path") or str(Path(mc["diffusers_path"]) / "vae")
+        params = convert_diffusers_vae(load_safetensors_dir(path), cfg)
+        return vae, params
 
     def get_call_vae_fn(self):
         from .autoencoder_kl import AutoencoderKL, VAEConfig, convert_diffusers_vae

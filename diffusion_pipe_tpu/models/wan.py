@@ -125,7 +125,7 @@ class WanPipeline(BasePipeline):
                 else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
         )
         from ..parallel.offload import offload_stacks_from_config
 

@@ -47,7 +47,7 @@ class ZImagePipeline(Lumina2Pipeline):
                 if mc.get("transformer_dtype") else None
             ),
             remat=bool(self.config.get("activation_checkpointing", False)),
-            int8_matmul=bool(mc.get("int8_matmul", False)),
+            int8_matmul=mc.get("int8_matmul", False),
             rope_cap_offset=1,
         )
         for knob in ("dim", "num_layers", "num_refiner_layers", "num_heads",

@@ -28,6 +28,17 @@ def test_int8_dot_backward_is_straight_through():
     assert float(jnp.abs(gw).max()) == 0.0
 
 
+def test_int8_bwd8_grad_close():
+    from diffusion_pipe_tpu.models.layers import int8_dot_bwd8
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (32, 16)) * 0.1
+    g = jax.grad(lambda x_: jnp.sum(jnp.sin(int8_dot_bwd8(x_, w))))(x)
+    gref = jax.grad(lambda x_: jnp.sum(jnp.sin(x_ @ w)))(x)
+    rel = float(jnp.abs(g - gref).max() / jnp.abs(gref).max())
+    assert rel < 0.05, rel
+
+
 def test_int8_flux_trains_close_to_bf16():
     from diffusion_pipe_tpu.models import get_model_class
     from diffusion_pipe_tpu.training.optimizers import get_optimizer
@@ -61,7 +72,7 @@ def test_int8_flux_trains_close_to_bf16():
         return out
 
     l_bf = losses(False)
-    l_i8 = losses(True)
+    l_i8 = losses("fwd_bwd")
     assert np.isfinite(l_i8).all()
     assert l_i8[-1] < l_i8[0], l_i8
     # trajectories agree to quantization noise

@@ -84,7 +84,8 @@ def _head(cfg: FluxConfig, p: Dict[str, Any], x, temb, txt_len: int,
     return _dense(cfg, cfg.out_channels).apply({"params": p["proj_out"]}, out)
 
 
-def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int):
+def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
+                           timestep_quantile=None):
     """Returns loss_fn(trainable, frozen, batch, rng) running the flux
     forward as a GPipe pipeline. batch leaves are [M * mbs, ...].
 
@@ -115,7 +116,8 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int):
                 lambda x: x.reshape((m_total, x.shape[0] // m_total) + x.shape[1:])[i],
                 batch,
             )
-            preps.append(pipeline.prepare_inputs(keys[i], mb))
+            preps.append(pipeline.prepare_inputs(
+                keys[i], mb, timestep_quantile=timestep_quantile))
         mi_mb = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in preps])
         target_mb = jnp.stack([p[1] for p in preps])
         mask_mb = (

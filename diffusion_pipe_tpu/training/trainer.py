@@ -68,6 +68,7 @@ def make_train_step(
     skip_invalid_grads: bool = False,
     stochastic_rounding: bool = False,
     gradient_release: bool = False,
+    loss_fn_override=None,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -86,9 +87,11 @@ def make_train_step(
     copy_stochastic bit trick / Kahan compensation for bf16 master weights
     (optimizer_utils.py:142-219, generic_optim.py:487-497).
     """
-    loss_fn = make_loss_fn(pipeline)
+    loss_fn = loss_fn_override or make_loss_fn(pipeline)
     grad_fn = jax.value_and_grad(loss_fn)
-    gas = gradient_accumulation_steps
+    # a pipelined loss consumes the whole [gas*mbs] batch and microbatches
+    # internally, so the outer accumulation scan is disabled
+    gas = 1 if loss_fn_override is not None else gradient_accumulation_steps
 
     def gradient_release_step(state: TrainState, batch: Dict[str, Any], rng):
         """One optimizer step PER MICRO-BATCH (reference train.py:694-748
@@ -232,12 +235,16 @@ def _apply_updates(params, updates, step, stochastic_rounding: bool):
     return treedef.unflatten(out)
 
 
-def make_eval_step(pipeline):
+def make_eval_step(pipeline, loss_builder=None):
     """eval_step(state, batch, rng, quantile) -> loss. Deterministic t via
-    fixed quantiles (reference train.py:176-242)."""
+    fixed quantiles (reference train.py:176-242). loss_builder(quantile)
+    overrides the loss (e.g. the pipelined flux program)."""
 
     def eval_step(state: TrainState, batch, rng, timestep_quantile):
-        loss_fn = make_loss_fn(pipeline, timestep_quantile=timestep_quantile)
+        if loss_builder is not None:
+            loss_fn = loss_builder(timestep_quantile)
+        else:
+            loss_fn = make_loss_fn(pipeline, timestep_quantile=timestep_quantile)
         return loss_fn(state.trainable, state.frozen, batch, rng)
 
     return eval_step

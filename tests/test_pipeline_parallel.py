@@ -94,3 +94,42 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_pp_train_and_eval_step_wiring():
+    """The CLI wiring: make_train_step/make_eval_step with the pipelined
+    loss override runs under the mesh and trains."""
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    stages = 2
+    pipeline, mesh, trainable, frozen, batch = _setup(stages)
+    optimizer = get_optimizer(pipeline.config)
+    pp_loss = make_pipelined_loss_fn(pipeline, mesh, num_microbatches=M)
+    state = init_train_state(
+        pipeline, optimizer, jax.random.PRNGKey(0),
+        lora_predicate, params=None,
+    )
+    state = state.replace(trainable=trainable, frozen=frozen,
+                          opt_state=optimizer.init(trainable))
+    step = jax.jit(make_train_step(
+        pipeline, optimizer, gradient_accumulation_steps=M,
+        loss_fn_override=pp_loss,
+    ))
+    eval_step = jax.jit(make_eval_step(
+        pipeline,
+        loss_builder=lambda q: make_pipelined_loss_fn(
+            pipeline, mesh, num_microbatches=M, timestep_quantile=q),
+    ), static_argnums=(3,))
+    with jax.set_mesh(mesh):
+        losses = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(5 + i))
+            losses.append(float(m["loss"]))
+        ev = float(eval_step(state, batch, jax.random.PRNGKey(9), 0.5))
+    assert np.isfinite(losses).all() and np.isfinite(ev)
+    assert losses[-1] < losses[0] * 1.2, losses

@@ -240,6 +240,22 @@ def main(argv=None):
 
     # --- jitted steps, cached per bucket shape ------------------------------
     ocfg = config.get("optimizer", {})
+    pp_loss = None
+    pp_eval_builder = None
+    if mesh.shape["stage"] > 1:
+        # pipeline parallelism: gradient-accumulation micro-batches flow the
+        # stage ring (reference: GAS == DeepSpeed pipeline micro-batches)
+        if not hasattr(pipeline, "flux_config"):
+            raise NotImplementedError(
+                "pipeline_stages > 1 currently runs the flux PP program; "
+                "other families train with DP/TP (set pipeline_stages = 1)"
+            )
+        from diffusion_pipe_tpu.models.flux_pp import make_pipelined_loss_fn
+
+        pp_loss = make_pipelined_loss_fn(pipeline, mesh, num_microbatches=gas)
+        pp_eval_builder = lambda q: make_pipelined_loss_fn(  # noqa: E731
+            pipeline, mesh, num_microbatches=gas, timestep_quantile=q
+        )
     train_step_raw = make_train_step(
         pipeline, optimizer,
         gradient_clipping=config.get("gradient_clipping", 1.0),
@@ -248,9 +264,10 @@ def main(argv=None):
         skip_invalid_grads=bool(ocfg.get("skip_invalid_grads", False)),
         stochastic_rounding=bool(ocfg.get("stochastic_rounding", False)),
         gradient_release=bool(ocfg.get("gradient_release", False)),
+        loss_fn_override=pp_loss,
     )
     train_step = jax.jit(train_step_raw, donate_argnums=(0,))
-    eval_step_raw = make_eval_step(pipeline)
+    eval_step_raw = make_eval_step(pipeline, loss_builder=pp_eval_builder)
     eval_step = jax.jit(eval_step_raw, static_argnums=(3,))
 
     def run_eval(state, step_i, examples):

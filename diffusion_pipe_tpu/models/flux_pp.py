@@ -258,3 +258,208 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
         )
 
     return loss_fn
+
+
+def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
+                                timestep_quantile=None):
+    """True interleaved 1F1B flux training: returns
+    fn(trainable, frozen, batch, rng) -> (loss, grads) where grads matches
+    the trainable tree. Runs parallel/pipeline.pipeline_train_1f1b_multiphase
+    with TWO phases (doubles, singles) as circular virtual stages — each
+    device hosts one chunk of each phase, the payload (img, txt, temb, tm)
+    stays type-stable across phases, and the backward recomputes from a
+    rotating input buffer, so in-flight activations are bounded by the
+    schedule instead of the micro-batch count (the reference's DeepSpeed
+    1F1B TrainSchedule analogue).
+
+    Adapter-only training: the embedders/head (p_rest) carry no trainables
+    for LoRA/LoKr, so their grads are structurally zero; full fine-tuning
+    raises and should use the AD-GPipe path.
+    """
+    import flax
+
+    from flax import traverse_util
+
+    from ..parallel.pipeline import pipeline_train_1f1b_multiphase
+    from ..training.train_state import lora_predicate
+
+    cfg: FluxConfig = pipeline.flux_config
+    s = mesh.shape[STAGE_AXIS]
+    m_total = num_microbatches
+
+    def grad_fn(trainable, frozen, batch, rng):
+        # sanity: only block-level adapter params may be trainable
+        flat_t = traverse_util.flatten_dict(
+            flax.core.unfreeze(trainable)["params"]
+            if "params" in trainable else trainable
+        )
+        for path, leaf in flat_t.items():
+            if leaf is None:
+                continue
+            if path[0] not in ("double_blocks", "single_blocks"):
+                raise NotImplementedError(
+                    "pipeline_schedule='1f1b' supports adapter (block-level) "
+                    "training; use the GPipe schedule for full fine-tuning"
+                )
+
+        params = merge_params(trainable, frozen)["params"]
+        p_rest = {
+            k: v for k, v in params.items()
+            if k not in ("double_blocks", "single_blocks")
+        }
+        pd_all, en_d, _ = pad_stack_for_stages(
+            params["double_blocks"], cfg.num_layers, s)
+        ps_all, en_s, _ = pad_stack_for_stages(
+            params["single_blocks"], cfg.num_single_layers, s)
+
+        def split(tree):
+            flat = traverse_util.flatten_dict(tree)
+            tr = {k: (v if lora_predicate(k, v) else None)
+                  for k, v in flat.items()}
+            fz = {k: (None if lora_predicate(k, v) else v)
+                  for k, v in flat.items()}
+            return (traverse_util.unflatten_dict(tr),
+                    traverse_util.unflatten_dict(fz))
+
+        pd_t, pd_f = split(pd_all)
+        ps_t, ps_f = split(ps_all)
+
+        # per-microbatch prepared inputs (same as the GPipe path)
+        keys = jax.random.split(rng, m_total)
+        preps = []
+        for i in range(m_total):
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (m_total, x.shape[0] // m_total) + x.shape[1:])[i],
+                batch,
+            )
+            preps.append(pipeline.prepare_inputs(
+                keys[i], mb, timestep_quantile=timestep_quantile))
+        mi_mb = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in preps])
+        target_mb = jnp.stack([p[1] for p in preps])
+        mask_mb = (
+            jnp.stack([p[2] for p in preps]) if preps[0][2] is not None
+            else None
+        )
+        img_seq_len = preps[0][0]["img_seq_len"]
+        has_txt_mask = preps[0][0].get("txt_mask") is not None
+        txt_len = preps[0][0]["encoder_hidden_states"].shape[1]
+        ids = jnp.concatenate(
+            [preps[0][0]["txt_ids"], preps[0][0]["img_ids"]], axis=0
+        )
+
+        def body(p_rest, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb,
+                 target_mb, mask_mb, ids):
+            rope_cos, rope_sin = rope_frequencies(
+                ids, cfg.axes_dims_rope, cfg.rope_theta
+            )
+            dblock = FluxDoubleBlock(cfg)
+            sblock = FluxSingleBlock(cfg)
+
+            def get_mb(t):
+                return jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, t, 0, False),
+                    mi_mb,
+                )
+
+            def inject(t):
+                mi = get_mb(t)
+                img, txt, temb = _embed_microbatch(cfg, p_rest, mi)
+                tm = (
+                    mi["txt_mask"].astype(jnp.int32)
+                    if has_txt_mask
+                    else jnp.ones((txt.shape[0], txt_len), jnp.int32)
+                )
+                return (img, txt, temb, tm)
+
+            def phase_doubles(p_t, payload):
+                img, txt, temb, tm = payload
+                p_full = merge_params(p_t, pd_f)
+                tmask = tm if has_txt_mask else None
+
+                def apply_one(p_i, carry):
+                    (img, txt), _ = dblock.apply(
+                        {"params": p_i}, carry, temb, rope_cos, rope_sin,
+                        tmask,
+                    )
+                    return (img, txt)
+
+                img, txt = apply_local_blocks(
+                    apply_one, p_full, en_d, (img, txt),
+                )
+                return (img, txt, temb, tm)
+
+            def phase_singles(p_t, payload):
+                img, txt, temb, tm = payload
+                p_full = merge_params(p_t, ps_f)
+                x = jnp.concatenate([txt, img], axis=1)
+                kvm = jnp.concatenate(
+                    [tm, jnp.ones((img.shape[0], img.shape[1]), jnp.int32)],
+                    axis=1,
+                )
+                kv_mask = kvm if has_txt_mask else None
+
+                def apply_one(p_i, carry):
+                    y, _ = sblock.apply(
+                        {"params": p_i}, carry, temb, rope_cos, rope_sin,
+                        kv_mask,
+                    )
+                    return y
+
+                x = apply_local_blocks(apply_one, p_full, en_s, x)
+                return (x[:, txt_len:], x[:, :txt_len], temb, tm)
+
+            def loss_head(payload, t):
+                img, txt, temb, _ = payload
+                x = jnp.concatenate([txt, img], axis=1)
+                out = _head(cfg, p_rest, x, temb, txt_len, img_seq_len)
+                target = jax.lax.dynamic_index_in_dim(target_mb, t, 0, False)
+                mask_i = (
+                    jax.lax.dynamic_index_in_dim(mask_mb, t, 0, False)
+                    if mask_mb is not None else None
+                )
+                return pipeline.loss_fn(out, target, mask_i)
+
+            template = jax.eval_shape(inject, jnp.zeros([], jnp.int32))
+            template = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), template
+            )
+            loss, (gd, gs) = pipeline_train_1f1b_multiphase(
+                [phase_doubles, phase_singles], [pd_t, ps_t],
+                inject, loss_head, m_total, s, template,
+            )
+            return loss, gd, gs
+
+        from jax.sharding import PartitionSpec as P
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            axis_names={STAGE_AXIS},
+            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                      P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS), P(), P(),
+                      P(), P()),
+            out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS)),
+        )
+        loss, gd, gs = shard_body(
+            p_rest, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb, target_mb,
+            mask_mb, ids,
+        )
+
+        # unpad [S*k, ...] -> [L, ...] and rebuild the trainable structure
+        gd = jax.tree.map(lambda g: g[: cfg.num_layers], gd)
+        gs = jax.tree.map(lambda g: g[: cfg.num_single_layers], gs)
+        flat_out = {}
+        for path, leaf in flat_t.items():
+            if leaf is None:
+                flat_out[path] = None
+            elif path[0] == "double_blocks":
+                flat_out[path] = traverse_util.flatten_dict(gd)[path[1:]]
+            else:
+                flat_out[path] = traverse_util.flatten_dict(gs)[path[1:]]
+        grads = {"params": traverse_util.unflatten_dict({
+            k[0:]: v for k, v in flat_out.items()
+        })}
+        return loss, grads
+
+    return grad_fn

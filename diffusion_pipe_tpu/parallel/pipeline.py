@@ -290,6 +290,194 @@ def pipeline_train_1f1b(
     return loss, grads
 
 
+def pipeline_train_1f1b_multiphase(
+    phase_fns,
+    phase_params,
+    inject: Callable,
+    loss_head: Callable,
+    num_microbatches: int,
+    num_stages: int,
+    payload_template: Any,
+):
+    """Interleaved 1F1B over P phases of virtual stages (circular layout).
+
+    The flux-style layout hosts one virtual stage per PHASE on every device
+    (device d owns doubles-chunk d and singles-chunk d), so a micro-batch
+    traverses the device ring once per phase — V = P*S virtual stages.
+    Every tick each device runs one forward chunk per phase (ring A..P) and
+    one backward chunk per phase (reverse rings), with jax.vjp recompute
+    from a rotating 2V-slot input buffer per phase. Phase hand-off happens
+    at the ring wrap: device 0's phase-p buffer receives device S-1's
+    phase-(p-1) output. In-flight inputs are bounded by P * 2V slots;
+    bubble is (V-1)/(M+V-1) — the circular-virtual-stage bubble the
+    reference's interleaved DeepSpeed schedules also pay.
+
+    Args (under the caller's shard_map over 'stage'):
+      phase_fns[p](phase_params[p], payload) -> payload — all phases consume
+        and produce the SAME payload structure (e.g. an (img, txt) tuple
+        that single-stream phases concat/split internally).
+      inject(t) -> payload; loss_head(payload, t) -> scalar (last stage,
+        last phase).
+    Returns (mean_loss, [grads_p]) matching phase_params.
+    """
+    m_total = num_microbatches
+    s = num_stages
+    n_phases = len(phase_fns)
+    v_total = n_phases * s
+    nslots = 2 * v_total
+    ticks = m_total + 2 * (v_total - 1) + 1
+
+    def to_varying(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.pcast(x, (STAGE_AXIS,), to="varying"), tree
+        )
+
+    zero_payload = jax.tree.map(jnp.zeros_like, payload_template)
+    fwd_buf0 = to_varying([zero_payload for _ in range(n_phases)])
+    inputs_buf0 = to_varying([
+        jax.tree.map(
+            lambda x: jnp.zeros((nslots,) + x.shape, x.dtype),
+            payload_template,
+        )
+        for _ in range(n_phases)
+    ])
+    cot0 = to_varying([
+        jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32),
+                     payload_template)
+        for _ in range(n_phases)
+    ])
+    grads0 = to_varying([
+        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), pp)
+        for pp in phase_params
+    ])
+
+    def g_fn(p_idx, params, payload, m):
+        # the loss output must be computed on every phase so its vjp seed
+        # carries the device-varying VMA type (seeded nonzero only on the
+        # last phase / last stage)
+        out = phase_fns[p_idx](params, payload)
+        return out, loss_head(out, m)
+
+    # Integer payload leaves (e.g. validity masks) ride the cotangent ring
+    # as f32 zeros; at the vjp boundary they convert to/from float0.
+    import numpy as _onp
+
+    def _to_vjp_cot(cot_tree):
+        return jax.tree.map(
+            lambda c, t: c if jnp.issubdtype(t.dtype, jnp.inexact)
+            else _onp.zeros(t.shape, jax.dtypes.float0),
+            cot_tree, payload_template,
+        )
+
+    def _from_vjp_cot(dx_tree, gate):
+        return jax.tree.map(
+            lambda d, t: (gate * d) if jnp.issubdtype(t.dtype, jnp.inexact)
+            else jnp.zeros(t.shape, jnp.float32),
+            dx_tree, payload_template,
+        )
+
+    def tick(carry, tau):
+        fwd_buf, inputs_buf, bwd_cot, grads, loss_acc = carry
+        stage = stage_index()
+        is_first = stage == 0
+        is_last = stage == s - 1
+
+        # ---- forward subticks, one per phase ----
+        outs = []
+        new_inputs = []
+        fresh = inject(jnp.clip(tau, 0, m_total - 1))
+        for p in range(n_phases):
+            cur_in = fwd_buf[p]
+            if p == 0:
+                cur_in = jax.tree.map(
+                    lambda a, b: jnp.where(is_first, a, b), fresh, cur_in
+                )
+            new_inputs.append(jax.tree.map(
+                lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+                    buf, x, tau % nslots, 0
+                ),
+                inputs_buf[p], cur_in,
+            ))
+            outs.append(phase_fns[p](phase_params[p], cur_in))
+        shifted = [ring_shift(o, s) for o in outs]
+        new_fwd = []
+        for p in range(n_phases):
+            if p == 0:
+                new_fwd.append(shifted[0])
+            else:
+                # device 0's phase-p input is device S-1's phase-(p-1) output
+                new_fwd.append(jax.tree.map(
+                    lambda a, b: jnp.where(is_first, a, b),
+                    shifted[p - 1], shifted[p],
+                ))
+
+        # ---- backward subticks, one per phase ----
+        new_grads = []
+        dxs = []
+        for p in range(n_phases):
+            v_base = p * s  # virtual stage of this phase at device `stage`
+            m_b = tau - 2 * (v_total - 1) + v_base + stage
+            active_b = jnp.logical_and(m_b >= 0, m_b < m_total)
+            slot = jnp.mod(m_b + v_base + stage, nslots)
+            saved_in = jax.tree.map(
+                lambda buf: jax.lax.dynamic_index_in_dim(
+                    buf, slot, 0, keepdims=False
+                ),
+                new_inputs[p],
+            )
+            m_clamped = jnp.clip(m_b, 0, m_total - 1)
+            (out_p, loss_p), vjp = jax.vjp(
+                lambda pr, x, _p=p: g_fn(_p, pr, x, m_clamped),
+                phase_params[p], saved_in,
+            )
+            seed_here = jnp.logical_and(is_last, p == n_phases - 1)
+            cot_out = jax.tree.map(
+                lambda c: jnp.where(seed_here, 0.0, c), bwd_cot[p]
+            )
+            loss_seed = jnp.where(seed_here, 1.0, 0.0).astype(jnp.float32)
+            dparams, dx = vjp((_to_vjp_cot(cot_out), loss_seed))
+            gate = active_b.astype(jnp.float32)
+            new_grads.append(jax.tree.map(
+                lambda g, d: g + gate * d.astype(jnp.float32), grads[p], dparams
+            ))
+            dxs.append(_from_vjp_cot(dx, gate))
+            loss_acc = loss_acc + jnp.where(
+                jnp.logical_and(seed_here, active_b), loss_p, 0.0
+            )
+        rshifted = [
+            jax.tree.map(
+                lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)), d
+            )
+            for d in dxs
+        ]
+        new_cot = []
+        for p in range(n_phases):
+            if p == n_phases - 1:
+                new_cot.append(rshifted[p])
+            else:
+                # device S-1's phase-p cotangent comes from device 0's
+                # phase-(p+1) dx (reverse of the forward phase hand-off)
+                new_cot.append(jax.tree.map(
+                    lambda a, b: jnp.where(is_last, a, b),
+                    rshifted[p + 1], rshifted[p],
+                ))
+
+        return (new_fwd, new_inputs, new_cot, new_grads, loss_acc), None
+
+    carry0 = (
+        fwd_buf0, inputs_buf0, cot0, grads0,
+        jax.lax.pcast(jnp.zeros([], jnp.float32), (STAGE_AXIS,), to="varying"),
+    )
+    (_, _, _, grads, loss_acc), _ = jax.lax.scan(
+        tick, carry0, jnp.arange(ticks)
+    )
+    loss = jax.lax.psum(
+        jnp.where(stage_index() == s - 1, loss_acc, 0.0), STAGE_AXIS
+    ) / m_total
+    grads = [jax.tree.map(lambda g: g / m_total, gp) for gp in grads]
+    return loss, grads
+
+
 def last_stage_scalar(value: jax.Array, num_stages: int):
     """Replicate a scalar computed validly only on the last stage."""
     stage = stage_index()

@@ -69,6 +69,7 @@ def make_train_step(
     stochastic_rounding: bool = False,
     gradient_release: bool = False,
     loss_fn_override=None,
+    grad_fn_override=None,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -88,10 +89,13 @@ def make_train_step(
     (optimizer_utils.py:142-219, generic_optim.py:487-497).
     """
     loss_fn = loss_fn_override or make_loss_fn(pipeline)
-    grad_fn = jax.value_and_grad(loss_fn)
+    # grad_fn_override returns (loss, grads) directly (e.g. the fused
+    # 1F1B pipeline program, which cannot be expressed via jax.grad)
+    grad_fn = grad_fn_override or jax.value_and_grad(loss_fn)
     # a pipelined loss consumes the whole [gas*mbs] batch and microbatches
     # internally, so the outer accumulation scan is disabled
-    gas = 1 if loss_fn_override is not None else gradient_accumulation_steps
+    pipelined = loss_fn_override is not None or grad_fn_override is not None
+    gas = 1 if pipelined else gradient_accumulation_steps
 
     def gradient_release_step(state: TrainState, batch: Dict[str, Any], rng):
         """One optimizer step PER MICRO-BATCH (reference train.py:694-748

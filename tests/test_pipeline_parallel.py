@@ -133,3 +133,67 @@ def test_pp_train_and_eval_step_wiring():
         ev = float(eval_step(state, batch, jax.random.PRNGKey(9), 0.5))
     assert np.isfinite(losses).all() and np.isfinite(ev)
     assert losses[-1] < losses[0] * 1.2, losses
+
+
+def test_1f1b_flux_matches_gpipe_grads():
+    """The interleaved 1F1B flux program reproduces the AD-GPipe loss and
+    LoRA gradients."""
+    from diffusion_pipe_tpu.models.flux_pp import make_pipelined_grad_fn_1f1b
+
+    stages = 2
+    pipeline, mesh, trainable, frozen, batch = _setup(stages)
+    rng = jax.random.PRNGKey(11)
+
+    loss_fn = make_pipelined_loss_fn(pipeline, mesh, M)
+    grad_fn_1f1b = make_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_g, grads_g = jax.jit(jax.value_and_grad(loss_fn))(
+            trainable, frozen, batch, rng)
+        loss_i, grads_i = jax.jit(grad_fn_1f1b)(trainable, frozen, batch, rng)
+
+    np.testing.assert_allclose(float(loss_i), float(loss_g), rtol=2e-5)
+    from flax import traverse_util
+
+    fg = traverse_util.flatten_dict(grads_g)
+    fi = traverse_util.flatten_dict(grads_i)
+    assert set(k for k, v in fg.items() if v is not None) == \
+        set(k for k, v in fi.items() if v is not None)
+    for k, v in fg.items():
+        if v is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fi[k]), np.asarray(v), atol=2e-5,
+            err_msg=str(k),
+        )
+
+
+def test_1f1b_train_step_wiring():
+    """make_train_step with the 1F1B grad override trains."""
+    from diffusion_pipe_tpu.models.flux_pp import make_pipelined_grad_fn_1f1b
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    stages = 2
+    pipeline, mesh, trainable, frozen, batch = _setup(stages)
+    optimizer = get_optimizer(pipeline.config)
+    pp_grad = make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches=M)
+    state = init_train_state(
+        pipeline, optimizer, jax.random.PRNGKey(0), lora_predicate,
+        params=None,
+    )
+    state = state.replace(trainable=trainable, frozen=frozen,
+                          opt_state=optimizer.init(trainable))
+    step = jax.jit(make_train_step(
+        pipeline, optimizer, gradient_accumulation_steps=M,
+        grad_fn_override=pp_grad,
+    ))
+    with jax.set_mesh(mesh):
+        losses = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(5 + i))
+            losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.2, losses

@@ -241,6 +241,7 @@ def main(argv=None):
     # --- jitted steps, cached per bucket shape ------------------------------
     ocfg = config.get("optimizer", {})
     pp_loss = None
+    pp_grad = None
     pp_eval_builder = None
     if mesh.shape["stage"] > 1:
         # pipeline parallelism: gradient-accumulation micro-batches flow the
@@ -250,9 +251,21 @@ def main(argv=None):
                 "pipeline_stages > 1 currently runs the flux PP program; "
                 "other families train with DP/TP (set pipeline_stages = 1)"
             )
-        from diffusion_pipe_tpu.models.flux_pp import make_pipelined_loss_fn
+        from diffusion_pipe_tpu.models.flux_pp import (
+            make_pipelined_grad_fn_1f1b,
+            make_pipelined_loss_fn,
+        )
 
-        pp_loss = make_pipelined_loss_fn(pipeline, mesh, num_microbatches=gas)
+        schedule = str(config.get("pipeline_schedule", "gpipe")).lower()
+        if schedule == "1f1b":
+            # fused interleaved fwd/bwd schedule (adapter training)
+            pp_grad = make_pipelined_grad_fn_1f1b(
+                pipeline, mesh, num_microbatches=gas
+            )
+        else:
+            pp_loss = make_pipelined_loss_fn(
+                pipeline, mesh, num_microbatches=gas
+            )
         pp_eval_builder = lambda q: make_pipelined_loss_fn(  # noqa: E731
             pipeline, mesh, num_microbatches=gas, timestep_quantile=q
         )
@@ -265,6 +278,7 @@ def main(argv=None):
         stochastic_rounding=bool(ocfg.get("stochastic_rounding", False)),
         gradient_release=bool(ocfg.get("gradient_release", False)),
         loss_fn_override=pp_loss,
+        grad_fn_override=pp_grad,
     )
     train_step = jax.jit(train_step_raw, donate_argnums=(0,))
     eval_step_raw = make_eval_step(pipeline, loss_builder=pp_eval_builder)

@@ -353,13 +353,36 @@ class SizeBucketDataset:
         rows = [
             self.records[ri].captions[ci] for ri, ci in self.iteration_order
         ]
+        control_files = [
+            self.records[ri].control_path for ri, _ in self.iteration_order
+        ]
+        # TE fns that condition on the control image (qwen_image_edit VLM)
+        # declare it by accepting a second positional arg (reference
+        # get_call_text_encoder_fn(caption, is_video, control_file)). The
+        # control path rides in the row so cache resume stays aligned.
+        import inspect
 
-        def map_fn(captions: List[str]):
-            out = te_fn(captions)
-            return [
-                ({k: np.asarray(v[i]) for k, v in out.items()}, None)
-                for i in range(len(captions))
-            ]
+        wants_control = len(
+            inspect.signature(te_fn).parameters
+        ) >= 2 and any(c is not None for c in control_files)
+        if wants_control:
+            rows = list(zip(rows, control_files))
+
+            def map_fn(batch):
+                caps = [r[0] for r in batch]
+                ctrl = [r[1] for r in batch]
+                out = te_fn(caps, ctrl)
+                return [
+                    ({k: np.asarray(v[i]) for k, v in out.items()}, None)
+                    for i in range(len(caps))
+                ]
+        else:
+            def map_fn(captions: List[str]):
+                out = te_fn(captions)
+                return [
+                    ({k: np.asarray(v[i]) for k, v in out.items()}, None)
+                    for i in range(len(captions))
+                ]
 
         cache = map_and_cache(
             rows, map_fn, self.cache_dir / f"text_embeddings_{te_idx}",

@@ -55,6 +55,9 @@ class CausalLMConfig:
     sliding_window: int = 0
     # per-layer 'full' | 'sliding'; empty = all full
     layer_types: Tuple[str, ...] = ()
+    # Qwen2.5-VL multimodal rope: contiguous (t, h, w) frequency sections
+    # of head_dim/2; empty = plain 1D rope
+    mrope_section: Tuple[int, ...] = ()
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.bfloat16
 
@@ -89,6 +92,9 @@ class CausalLMConfig:
         layer_types = cfg.get("layer_types")
         if mt in ("qwen2", "qwen2_vl", "qwen2_5_vl", "qwen2_5_vl_text"):
             kw["qkv_bias"] = True
+            rs = cfg.get("rope_scaling") or {}
+            if rs.get("mrope_section"):
+                kw["mrope_section"] = tuple(rs["mrope_section"])
             # HF applies sliding only above max_window_layers; in practice
             # the text towers we cache disable it.
             sliding = 0
@@ -156,6 +162,30 @@ def _rms(x, scale, eps, gemma: bool):
     return (xf * s).astype(x.dtype)
 
 
+def _mrope_cos_sin(position_ids, head_dim: int, theta: float,
+                   sections) -> tuple:
+    """Qwen2.5-VL mrope tables. position_ids: [B, 3, S]; contiguous
+    frequency sections (in head_dim/4 units per transformers convention:
+    sum(sections) == head_dim // 2 // ... here sections are given in
+    frequency-PAIR counts summing to head_dim // 2)."""
+    half = head_dim // 2
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32)
+                           / head_dim))  # [half]
+    axis_of = np.zeros((half,), np.int32)
+    start = 0
+    for ax, n in enumerate(sections):
+        axis_of[start:start + n] = ax
+        start += n
+    pos = jnp.take_along_axis(
+        position_ids.astype(jnp.float32),
+        jnp.asarray(axis_of)[None, :, None].repeat(position_ids.shape[0], 0),
+        axis=1,
+    )  # [B, half, S]
+    freqs = jnp.transpose(pos, (0, 2, 1)) * jnp.asarray(inv)[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [B, S, D]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
 def _rope_cos_sin(positions, head_dim: int, theta: float, scaling: float):
     """HF llama-style rotate-half RoPE tables. positions: [S] float."""
     inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
@@ -165,9 +195,13 @@ def _rope_cos_sin(positions, head_dim: int, theta: float, scaling: float):
 
 
 def _apply_rope(x, cos, sin):
-    """x: [B, S, H, D]; cos/sin: [S, D]."""
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    """x: [B, S, H, D]; cos/sin: [S, D] or per-batch [B, S, D] (mrope)."""
+    if cos.ndim == 3:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
+    else:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
@@ -258,20 +292,34 @@ class CausalLM(nn.Module):
     config: CausalLMConfig
 
     @nn.compact
-    def __call__(self, ids, attn_mask=None, collect_hidden: bool = False):
+    def __call__(self, ids, attn_mask=None, collect_hidden: bool = False,
+                 input_embeds=None, position_ids=None):
+        """position_ids: optional [B, 3, S] multimodal (t, h, w) ids used
+        with cfg.mrope_section (Qwen2.5-VL); input_embeds: optional
+        pre-merged embeddings [B, S, dim] (vision tokens spliced in)."""
         cfg = self.config
-        b, s = ids.shape
         emb = nn.Embed(cfg.vocab, cfg.dim, name="token_embedding",
                        param_dtype=cfg.param_dtype, dtype=cfg.dtype)
-        x = emb(ids)
+        if input_embeds is not None:
+            x = input_embeds.astype(cfg.dtype)
+            b, s = x.shape[:2]
+        else:
+            b, s = ids.shape
+            x = emb(ids)
         if cfg.gemma_norm:
             # HF Gemma rounds the normalizer through the compute dtype
             x = x * jnp.asarray(cfg.dim ** 0.5, cfg.dtype)
 
-        pos = np.arange(s, dtype=np.float32)
-        rope_full = _rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta,
-                                  cfg.rope_scaling_factor)
-        rope_sliding = _rope_cos_sin(pos, cfg.head_dim, cfg.rope_local_theta, 1.0)
+        if position_ids is not None and cfg.mrope_section:
+            rope_full = _mrope_cos_sin(position_ids, cfg.head_dim,
+                                       cfg.rope_theta, cfg.mrope_section)
+            rope_sliding = rope_full
+        else:
+            pos = np.arange(s, dtype=np.float32)
+            rope_full = _rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta,
+                                      cfg.rope_scaling_factor)
+            rope_sliding = _rope_cos_sin(
+                pos, cfg.head_dim, cfg.rope_local_theta, 1.0)
 
         q_idx = jnp.arange(s)[:, None]
         k_idx = jnp.arange(s)[None, :]

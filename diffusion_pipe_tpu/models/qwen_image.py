@@ -286,10 +286,109 @@ class QwenImagePipeline(BasePipeline):
             return [te]
 
         if self.edit:
-            raise NotImplementedError(
-                "qwen_image_edit caching needs the Qwen2.5-VL vision tower "
-                "(control image through the VLM); cache embeds externally"
+            # Full Qwen2.5-VL encode: control image through the vision tower,
+            # spliced into the templated prompt, mrope position ids, final
+            # hidden states with drop_idx 64 cropped (reference
+            # qwen_image.py:328-380; parity: tests/test_vision_tower.py).
+            # Static shapes: the control image is resized to
+            # model.edit_image_size (multiple of 28, default 336).
+            import json as _json
+
+            from transformers import AutoTokenizer
+
+            from .llm_encoders import CausalLM, CausalLMConfig, \
+                convert_hf_causal_lm
+            from .vision_encoders import (
+                QwenVLVisionConfig,
+                QwenVLVisionTower,
+                convert_hf_qwen_vision,
+                image_to_qwen_patches,
+                qwen_vl_rope_index,
             )
+            from .weights import load_safetensors_dir
+
+            path = mc["text_encoder_path"]
+            with open(Path(path) / "config.json") as f:
+                hf_cfg = _json.load(f)
+            img_size = int(mc.get("edit_image_size", 336))
+            assert img_size % 28 == 0, "edit_image_size must be 28-divisible"
+            drop_idx = 64
+            template = (
+                "<|im_start|>system\nDescribe the key features of the input "
+                "image (color, shape, size, texture, objects, background), "
+                "then explain how the user's text instruction should alter "
+                "or modify the image. Generate a new image that meets the "
+                "user's requirements while maintaining consistency with the "
+                "original input where appropriate.<|im_end|>\n"
+                "<|im_start|>user\n<|vision_start|><|image_pad|>"
+                "<|vision_end|>{}<|im_end|>\n<|im_start|>assistant\n"
+            )
+            sd = load_safetensors_dir(path)
+            tcfg = CausalLMConfig.from_hf_config(hf_cfg)
+            vcfg = QwenVLVisionConfig.from_hf_config(hf_cfg,
+                                                     dtype=tcfg.dtype)
+            lm = CausalLM(tcfg)
+            vprefix = ("visual." if any(k.startswith("visual.") for k in sd)
+                       else "model.visual.")
+            tprefix = ("model.language_model."
+                       if any(k.startswith("model.language_model.") for k in sd)
+                       else "model.")
+            tparams = convert_hf_causal_lm(sd, tcfg, prefix=tprefix)
+            vparams = convert_hf_qwen_vision(sd, vcfg, prefix=vprefix)
+            tokenizer = AutoTokenizer.from_pretrained(path)
+            image_token_id = int(hf_cfg.get("image_token_id", 151655))
+            grid = (1, img_size // 14, img_size // 14)
+            tower = QwenVLVisionTower(vcfg, (grid,))
+            n_img = grid[1] * grid[2] // 4
+            max_len = int(mc.get("max_sequence_length", 512)) + drop_idx + n_img
+
+            tower_apply = jax.jit(lambda px: tower.apply(vparams, px))
+            lm_apply = jax.jit(
+                lambda e, m, p: lm.apply(
+                    tparams, None, attn_mask=m, input_embeds=e,
+                    position_ids=p,
+                )[0]
+            )
+            embed_table = tparams["params"]["token_embedding"]["embedding"]
+
+            def fn(caps, control_files):
+                from PIL import Image
+
+                texts = [
+                    template.format(c).replace(
+                        "<|image_pad|>", "<|image_pad|>" * n_img)
+                    for c in caps
+                ]
+                tok = tokenizer(
+                    texts, padding="max_length", truncation=True,
+                    max_length=max_len, return_tensors="np",
+                )
+                embeds_out, mask_out = [], []
+                for i, ctrl in enumerate(control_files):
+                    img = Image.open(ctrl).convert("RGB").resize(
+                        (img_size, img_size), Image.BICUBIC)
+                    arr = np.asarray(img, np.float32).transpose(2, 0, 1)
+                    arr = arr / 127.5 - 1.0
+                    patches, _ = image_to_qwen_patches(arr)
+                    vis = tower_apply(jnp.asarray(patches))
+                    ids_i = tok["input_ids"][i]
+                    emb = np.asarray(embed_table)[ids_i]
+                    img_pos = np.nonzero(ids_i == image_token_id)[0]
+                    emb[img_pos] = np.asarray(vis, emb.dtype)
+                    pos = qwen_vl_rope_index(ids_i, image_token_id, grid,
+                                             merge=2)
+                    h = lm_apply(
+                        jnp.asarray(emb)[None],
+                        jnp.asarray(tok["attention_mask"][i])[None],
+                        jnp.asarray(pos)[None],
+                    )
+                    embeds_out.append(np.asarray(h[0, drop_idx:]))
+                    mask_out.append(
+                        tok["attention_mask"][i][drop_idx:].astype(np.int32))
+                return {"prompt_embeds": np.stack(embeds_out),
+                        "prompt_embeds_mask": np.stack(mask_out)}
+
+            return [fn]
         # Qwen2.5-VL text tower with the Qwen-Image chat template; the first
         # drop_idx=34 tokens (system+role scaffold) are dropped from the
         # hidden states (reference models/qwen_image.py:182-185, 328-380).

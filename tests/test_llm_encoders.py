@@ -135,3 +135,46 @@ def test_attention_mask_blocks_padding():
     np.testing.assert_allclose(
         np.asarray(out_a[:, :-2]), np.asarray(out_b[:, :-2]), atol=1e-6
     )
+
+
+def test_qwen25vl_mrope_parity():
+    """Multimodal rope + inputs_embeds path vs torch Qwen2_5_VLTextModel."""
+    from transformers.models.qwen2_5_vl.configuration_qwen2_5_vl import (
+        Qwen2_5_VLTextConfig,
+    )
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VLTextModel,
+    )
+
+    cfg = Qwen2_5_VLTextConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=1e6, rope_scaling={"type": "mrope",
+                                      "mrope_section": [2, 1, 1]},
+        attn_implementation="eager",
+    )
+    torch.manual_seed(6)
+    m = Qwen2_5_VLTextModel(cfg).eval().float()
+    B, S = 1, 10
+    embeds = torch.randn(B, S, 32)
+    # multimodal-style position ids: text 0..3 then a 2x3 "image" block
+    pos = torch.zeros(3, B, S, dtype=torch.long)
+    pos[:, 0, :4] = torch.arange(4)
+    pos[0, 0, 4:] = 4
+    pos[1, 0, 4:] = torch.tensor([4, 4, 4, 5, 5, 5])
+    pos[2, 0, 4:] = torch.tensor([4, 5, 6, 4, 5, 6])
+    with torch.no_grad():
+        ref = m(inputs_embeds=embeds, position_ids=pos).last_hidden_state
+
+    our_cfg = CausalLMConfig.from_hf_config(cfg.to_dict(), dtype=jnp.float32)
+    assert our_cfg.mrope_section == (2, 1, 1)
+    params = convert_hf_causal_lm(dict(m.state_dict()), our_cfg, prefix="")
+    model = CausalLM(our_cfg)
+    ours, _ = model.apply(
+        params, None,
+        input_embeds=jnp.asarray(embeds.numpy()),
+        position_ids=jnp.asarray(pos.numpy().transpose(1, 0, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.numpy(), atol=3e-4, rtol=1e-3
+    )

@@ -14,7 +14,11 @@ tokens) + 512 T5 tokens, batch 2 per chip, adamw8bit.
 
 Sweep on v5e (samples/sec/chip): bs1 bf16-compute 1.87, bs2 1.92,
 bs3 1.85, bs4 1.79, bs2+int8-fwd 2.20, bs2+int8-fwd_bwd 2.30 (the dgrad
-matmul also int8; tiny-flux loss trajectories deviate <0.2% from bf16).
+matmul also int8; tiny-flux loss trajectories deviate <0.2% from bf16),
+bs2+int8-fwd_bwd+prequantized-kernels 2.61 (frozen kernels quantized
+ONCE at state init — int8 storage + per-channel scales — instead of
+re-quantized on every forward/remat/dgrad; forward bit-identical to
+the dynamic path).
 
 vs_baseline is measured samples/sec divided by 1.0 samples/sec/chip — the
 A100 ballpark for flux-dev LoRA @512 (the reference publishes no numbers;

@@ -110,6 +110,159 @@ def _int8b_bwd(res, g):
 int8_dot_bwd8.defvjp(_int8b_fwd, _int8b_bwd)
 
 
+# --- Pre-quantized int8 kernels -------------------------------------------
+#
+# Frozen base kernels never change during adapter training, so their int8
+# image and per-output-channel scales are constants: quantizing them ONCE at
+# state-init time (training/trainer.py init_train_state ->
+# prequantize_int8_frozen) removes the per-use read-quantize-write pass over
+# the whole kernel that the dynamic int8_dot path pays on every forward,
+# remat recompute, and dgrad (the reference's analogue is fp8 weight STORAGE,
+# models/flux.py:201-203 — storage-side quantization done once at load).
+# Numerics are identical to the dynamic path: same absmax scales from the
+# same frozen weights.
+
+
+def _quant_rows(x):
+    """Per-row (last-dim) absmax int8 quantization -> (x8, scale)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    x8 = jnp.clip(
+        jnp.round(xf / jnp.maximum(scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    return x8, scale
+
+
+def quantize_kernel_int8(w):
+    """Per-output-channel absmax int8 quantization of a [..., in, out] kernel
+    (leading axes, e.g. an nn.scan layer-stack, are preserved).
+
+    Returns (w8 int8 [..., in, out], scale f32 [..., out]). Matches the
+    scales the dynamic int8_dot path computes, so swapping storage changes
+    nothing numerically."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=-2) / 127.0
+    w8 = jnp.clip(
+        jnp.round(wf / jnp.maximum(scale[..., None, :], 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    return w8, scale
+
+
+def _int8pq_fwd_impl(x, w8, w_scale):
+    x8, x_scale = _quant_rows(x)
+    y32 = jax.lax.dot_general(
+        x8, w8, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y32.astype(jnp.float32) * x_scale * w_scale[None, :]
+
+
+def _int8pq_res(x, w8, w_scale):
+    # dx needs only (w8, w_scale); a zero-size marker carries x.dtype.
+    return w8, w_scale, jnp.zeros((0,), x.dtype)
+
+
+def _int8pq_zero_cots(w8, w_scale):
+    import numpy as _np
+
+    return (
+        _np.zeros(w8.shape, jax.dtypes.float0),
+        jnp.zeros(w_scale.shape, w_scale.dtype),
+    )
+
+
+@jax.custom_vjp
+def int8_pq_dot(x, w8, w_scale):
+    """W8A8 matmul against a PRE-quantized frozen kernel (int8 storage +
+    per-output-channel scales). Backward dgrad is a bf16 matmul over the
+    dequantized kernel (the original full-precision weights no longer
+    exist); only the weight-quantization noise enters, no cotangent
+    quantization (contrast int8_pq_dot_bwd8)."""
+    return _int8pq_fwd_impl(x, w8, w_scale)
+
+
+def _int8pq_fwd(x, w8, w_scale):
+    return _int8pq_fwd_impl(x, w8, w_scale), _int8pq_res(x, w8, w_scale)
+
+
+def _int8pq_bwd(res, g):
+    w8, w_scale, xmark = res
+    # dx = g @ (w8 * s_o)^T == (g * s_o) @ w8^T; fold the column scales into
+    # the cotangent so the kernel is read once, as int8.
+    gs = g.astype(jnp.float32) * w_scale[None, :]
+    dx = jax.lax.dot_general(
+        gs.astype(jnp.bfloat16), w8.astype(jnp.bfloat16),
+        (((gs.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xmark.dtype)
+    dw8, dscale = _int8pq_zero_cots(w8, w_scale)
+    return dx, dw8, dscale
+
+
+int8_pq_dot.defvjp(_int8pq_fwd, _int8pq_bwd)
+
+
+@jax.custom_vjp
+def int8_pq_dot_bwd8(x, w8, w_scale):
+    """int8_pq_dot variant with an int8 dgrad: the column scales fold into
+    the cotangent BEFORE its per-token quantization, so backward is a pure
+    int8 MXU matmul over the stored kernel (no dequantize pass)."""
+    return _int8pq_fwd_impl(x, w8, w_scale)
+
+
+def _int8pqb_fwd(x, w8, w_scale):
+    return _int8pq_fwd_impl(x, w8, w_scale), _int8pq_res(x, w8, w_scale)
+
+
+def _int8pqb_bwd(res, g):
+    w8, w_scale, xmark = res
+    gs = g.astype(jnp.float32) * w_scale[None, :]
+    g8, g_scale = _quant_rows(gs)
+    dx32 = jax.lax.dot_general(
+        g8, w8, (((g8.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dx = (dx32.astype(jnp.float32) * g_scale).astype(xmark.dtype)
+    dw8, dscale = _int8pq_zero_cots(w8, w_scale)
+    return dx, dw8, dscale
+
+
+int8_pq_dot_bwd8.defvjp(_int8pqb_fwd, _int8pqb_bwd)
+
+
+def prequantize_int8_tree(tree):
+    """Replace every (kernel, kernel_scale) pair in a nested params dict with
+    int8 storage + real scales. kernel_scale params exist only on LoraDense
+    layers built with int8_matmul enabled, so this is a no-op otherwise.
+    Run on the FROZEN subtree only (trainable kernels need real wgrads)."""
+    from flax import traverse_util
+    from flax.core import meta
+
+    def _unbox(v):
+        return v.unbox() if isinstance(v, meta.AxisMetadata) else v
+
+    def _rebox(box, new):
+        return box.replace_boxed(new) if isinstance(box, meta.AxisMetadata) \
+            else new
+
+    flat = traverse_util.flatten_dict(tree)
+    out = dict(flat)
+    for k, v in flat.items():
+        if k[-1] != "kernel_scale" or v is None:
+            continue
+        kk = k[:-1] + ("kernel",)
+        w = flat.get(kk)
+        if w is None:
+            continue
+        wv = _unbox(w)
+        if not jnp.issubdtype(jnp.asarray(wv).dtype, jnp.floating):
+            continue
+        w8, scale = quantize_kernel_int8(wv)
+        out[kk] = _rebox(w, w8)
+        out[k] = _rebox(v, scale)
+    return traverse_util.unflatten_dict(out)
+
+
 def lokr_factorization(dim: int, factor: int = -1) -> Tuple[int, int]:
     """Balanced two-factor split of `dim`, LyCORIS semantics.
 
@@ -182,11 +335,7 @@ class LoraDense(nn.Module):
             (in_features, self.features),
             kdtype,
         )
-        if self.int8_matmul:
-            fn = int8_dot_bwd8 if self.int8_matmul == "fwd_bwd" else int8_dot
-            y = fn(x.astype(self.dtype), kernel).astype(self.dtype)
-        else:
-            y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
+        bias = None
         if self.use_bias:
             bias_axes = (self.kernel_axes[-1],) if self.kernel_axes else None
             bias = self.param(
@@ -195,9 +344,9 @@ class LoraDense(nn.Module):
                 (self.features,),
                 self.param_dtype,
             )
-            y = y + jnp.asarray(bias, self.dtype)
+        delta = None
         if self.lora_rank > 0 and self.lora_type == "lokr":
-            y = y + self._lokr_delta(x, in_features, deterministic)
+            delta = self._lokr_delta(x, in_features, deterministic)
         elif self.lora_rank > 0:
             # Kaiming-uniform(a=sqrt(5)) over fan_in, like PEFT's reset.
             bound = math.sqrt(6.0 / in_features)
@@ -219,11 +368,39 @@ class LoraDense(nn.Module):
             h = x.astype(self.dtype)
             if self.lora_dropout > 0.0 and not deterministic:
                 h = nn.Dropout(rate=self.lora_dropout)(h, deterministic=False)
-            delta = jnp.dot(
+            delta = scaling * jnp.dot(
                 jnp.dot(h, jnp.asarray(lora_a, self.dtype)),
                 jnp.asarray(lora_b, self.dtype),
             )
-            y = y + scaling * delta
+        if self.int8_matmul:
+            # Companion scale param: ones at init; replaced with the real
+            # per-output-channel scales when the frozen kernel is
+            # pre-quantized to int8 storage (prequantize_int8_tree).
+            # Created LAST so the flax per-scope rng counters — and with
+            # them every other param's init — match the non-int8 config.
+            scale_axes = (self.kernel_axes[-1],) if self.kernel_axes else None
+            kernel_scale = self.param(
+                "kernel_scale",
+                _maybe_partition(nn.initializers.ones_init(), scale_axes),
+                (self.features,),
+                jnp.float32,
+            )
+            if jnp.issubdtype(jnp.asarray(kernel).dtype, jnp.integer):
+                fn = (int8_pq_dot_bwd8 if self.int8_matmul == "fwd_bwd"
+                      else int8_pq_dot)
+                y = fn(x.astype(self.dtype), kernel, kernel_scale).astype(
+                    self.dtype
+                )
+            else:
+                fn = (int8_dot_bwd8 if self.int8_matmul == "fwd_bwd"
+                      else int8_dot)
+                y = fn(x.astype(self.dtype), kernel).astype(self.dtype)
+        else:
+            y = jnp.dot(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
+        if bias is not None:
+            y = y + jnp.asarray(bias, self.dtype)
+        if delta is not None:
+            y = y + delta
         return y
 
     def _lokr_delta(self, x, in_features: int, deterministic: bool):

@@ -56,6 +56,36 @@ def partition_params(params: Any, predicate: Callable):
     )
 
 
+def complete_params(pipeline, params: Any, rng) -> Any:
+    """Fill leaves the model expects but a converted checkpoint lacks.
+
+    Weight converters return only the pretrained tensors; adapter factors
+    (lora_a/lora_b/lokr_*), int8 kernel_scale companions, and trainable
+    from-scratch submodules (e.g. Anima's llm_adapter) exist only in the
+    flax init. The reference gets this for free because PEFT mutates the
+    loaded torch modules in place (models/base.py:216-260); here the missing
+    subtree is materialized from pipeline.init_params under jit, where XLA
+    dead-code-eliminates the (potentially tens-of-GB) init of every leaf the
+    checkpoint already provides — only the missing leaves are computed.
+    """
+    struct = jax.eval_shape(pipeline.init_params, rng)
+    flat_s = traverse_util.flatten_dict(flax.core.unfreeze(struct))
+    flat_p = traverse_util.flatten_dict(flax.core.unfreeze(params))
+    missing = [k for k in flat_s if k not in flat_p]
+    if not missing:
+        return params
+
+    def init_missing(r):
+        full = traverse_util.flatten_dict(
+            flax.core.unfreeze(pipeline.init_params(r))
+        )
+        return {k: full[k] for k in missing}
+
+    vals = jax.jit(init_missing)(rng)
+    flat_p.update(vals)
+    return traverse_util.unflatten_dict(flat_p)
+
+
 def merge_params(trainable: Any, frozen: Any):
     flat_t = traverse_util.flatten_dict(trainable)
     flat_f = traverse_util.flatten_dict(frozen)

@@ -262,6 +262,22 @@ def init_train_state(
     if params is None:
         params = pipeline.init_params(rng)
     trainable, frozen = partition_params(params, predicate)
+    # Frozen kernels under int8_matmul carry a kernel_scale companion param:
+    # quantize them ONCE here (storage becomes int8 + real scales) instead of
+    # re-quantizing on every forward/remat/dgrad. No-op otherwise. Donation
+    # lets XLA alias the (same-byte-width) fp8->int8 buffers, so a 12B-param
+    # model quantizes without 2x weight memory; the caller's original params
+    # tree must not be used afterwards.
+    from flax import traverse_util
+
+    from ..models.layers import prequantize_int8_tree
+
+    has_scales = any(
+        k[-1] == "kernel_scale" and v is not None
+        for k, v in traverse_util.flatten_dict(frozen).items()
+    )
+    if has_scales:
+        frozen = jax.jit(prequantize_int8_tree, donate_argnums=0)(frozen)
     if host_stacks:
         from ..parallel.offload import offload_param_stacks
 

@@ -48,6 +48,13 @@ def test_int8_flux_trains_close_to_bf16():
         make_train_step,
     )
 
+    # Share ONE init across both configs: the int8 config carries extra
+    # kernel_scale params, and under nn.scan's split_rngs any param-count
+    # change reshuffles every layer's init keys — so cross-config init
+    # equality must be established explicitly (flax ignores the extra
+    # kernel_scale leaves when the non-int8 model applies these params).
+    shared = {}
+
     def losses(int8):
         cfg = {
             "save_every_n_epochs": 1,
@@ -58,8 +65,25 @@ def test_int8_flux_trains_close_to_bf16():
         }
         pipe = get_model_class("flux")(cfg)
         opt = get_optimizer(cfg)
+        if "params" not in shared:
+            # init from the int8 config: its params are a superset
+            # (kernel_scale) of the bf16 config's
+            assert int8, "call losses with the int8 config first"
+            shared["params"] = pipe.init_params(jax.random.PRNGKey(0))
+        # copy: init_train_state donates frozen kernels into the int8
+        # prequantization, which would delete the shared leaves
+        params = jax.tree.map(jnp.array, shared["params"])
+        if not int8:
+            # drop the int8-only scale params so the bf16 run neither
+            # prequantizes nor carries unused leaves
+            from flax import traverse_util
+
+            flat = traverse_util.flatten_dict(params)
+            params = traverse_util.unflatten_dict(
+                {k: v for k, v in flat.items() if k[-1] != "kernel_scale"}
+            )
         state = init_train_state(pipe, opt, jax.random.PRNGKey(0),
-                                 lora_predicate)
+                                 lora_predicate, params=params)
         step = jax.jit(make_train_step(pipe, opt))
         k = jax.random.PRNGKey(1)
         batch = {"latents": jax.random.normal(k, (2, 16, 8, 8)) * 0.5,
@@ -71,8 +95,8 @@ def test_int8_flux_trains_close_to_bf16():
             out.append(float(m["loss"]))
         return out
 
-    l_bf = losses(False)
     l_i8 = losses("fwd_bwd")
+    l_bf = losses(False)
     assert np.isfinite(l_i8).all()
     assert l_i8[-1] < l_i8[0], l_i8
     # trajectories agree to quantization noise

@@ -93,3 +93,71 @@ def test_stochastic_rounding_updates_bf16():
     # grad wrt w_good = 2 * mean-scaled... just check it moved toward 0
     assert float(jnp.mean(w.astype(jnp.float32))) < 2.0
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_complete_params_fills_missing_adapter_and_scale_leaves():
+    """Converted checkpoints carry only pretrained tensors; complete_params
+    must materialize lora factors + int8 kernel_scale from the flax init
+    without touching loaded leaves (train.py load path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import traverse_util
+    from flax.core import meta
+
+    from diffusion_pipe_tpu.models import get_model_class
+    from diffusion_pipe_tpu.training.train_state import complete_params
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "float32", "_tiny": True,
+                  "int8_matmul": "fwd_bwd"},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+    }
+    pipe = get_model_class("flux")(cfg)
+    full = pipe.init_params(jax.random.PRNGKey(0))
+    flat = traverse_util.flatten_dict(full)
+    # simulate a converter tree: only pretrained tensors survive
+    pretrained = {
+        k: v for k, v in flat.items()
+        if not any(p.startswith(("lora_", "lokr_")) for p in k)
+        and k[-1] != "kernel_scale"
+    }
+    assert len(pretrained) < len(flat)
+    loaded = traverse_util.unflatten_dict(pretrained)
+
+    out = complete_params(pipe, loaded, jax.random.PRNGKey(3))
+    flat_out = traverse_util.flatten_dict(out)
+    assert set(flat_out) == set(flat)
+    ub = lambda v: np.asarray(
+        v.unbox() if isinstance(v, meta.AxisMetadata) else v
+    )
+    # loaded leaves untouched
+    for k, v in pretrained.items():
+        np.testing.assert_array_equal(ub(flat_out[k]), ub(v))
+    # filled leaves follow the init distributions
+    for k, v in flat_out.items():
+        if k[-1] == "lora_b":
+            assert float(np.abs(ub(v)).max()) == 0.0
+        if k[-1] == "kernel_scale":
+            np.testing.assert_array_equal(ub(v), 1.0)
+        if k[-1] == "lora_a":
+            assert float(np.abs(ub(v)).max()) > 0.0
+    # and the completed tree trains
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    opt = get_optimizer({**cfg, "optimizer": {"type": "adamw", "lr": 1e-3}})
+    state = init_train_state(pipe, opt, jax.random.PRNGKey(0),
+                             lora_predicate, params=out)
+    step = jax.jit(make_train_step(pipe, opt))
+    k = jax.random.PRNGKey(1)
+    batch = {"latents": jax.random.normal(k, (2, 16, 8, 8)) * 0.5,
+             "t5_embed": jax.random.normal(k, (2, 8, 64)),
+             "clip_embed": jax.random.normal(k, (2, 32))}
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))

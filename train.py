@@ -158,6 +158,13 @@ def main(argv=None):
     try:
         params = pipeline.load_weights()
         print("loaded pretrained weights")
+        # converters carry only pretrained tensors; materialize adapter
+        # factors / int8 kernel_scale / from-scratch submodules from init
+        from diffusion_pipe_tpu.training.train_state import complete_params
+
+        params = complete_params(
+            pipeline, params, jax.random.PRNGKey(config["seed"])
+        )
     except (NotImplementedError, KeyError, FileNotFoundError) as e:
         print(f"WARNING: training from random init ({e})")
         params = pipeline.init_params(jax.random.PRNGKey(config["seed"]))
@@ -189,14 +196,20 @@ def main(argv=None):
         params=params, host_stacks=host_stacks,
     )
 
+    # `params` may be stale after init_train_state (int8 prequantization
+    # donates the frozen kernels); always sample from the live state.
+    del params
     if args.test_sample is not None and hasattr(pipeline, "sample"):
+        from diffusion_pipe_tpu.training.train_state import merge_params
+
         te_fns = pipeline.get_call_text_encoder_fns()
         embeds = {}
         for fn in te_fns:
             embeds.update(fn([args.test_sample]))
         sample_kwargs = {k: jnp.asarray(v) for k, v in embeds.items()}
         latents = pipeline.sample(
-            params, width=512, height=512, key=jax.random.PRNGKey(0),
+            merge_params(state.trainable, state.frozen),
+            width=512, height=512, key=jax.random.PRNGKey(0),
             num_steps=int(config.get("sample_steps", 20)), **sample_kwargs,
         )
         vae, vae_params = pipeline._load_vae()

@@ -24,11 +24,43 @@ import jax.numpy as jnp
 from ..parallel.pipeline import (
     STAGE_AXIS,
     apply_local_blocks,
+    counts_from_manual_split,
     gpipe_phase,
     last_stage_scalar,
+    pad_stack_for_manual_split,
     pad_stack_for_stages,
     ring_shift,
 )
+
+
+def _stack_for_stages(pipeline, stacked, num_layers: int, num_stages: int,
+                      phase_offset: int):
+    """Equal chunks by default; with partition_method='manual' +
+    manual_partition_split (reference ManualPipelineModule TOML surface,
+    utils/pipeline.py:11-53) the S-1 boundaries index the COMBINED block
+    sequence (flux: 19 doubles then 38 singles) and are applied per phase by
+    offsetting — boundaries outside a phase clip to empty chunks, which run
+    as identity slots.
+
+    Returns (padded [S*k, ...], enabled [S*k], block_to_slot [L] int32 —
+    the slot holding each original block, for unpadding grads that come
+    back in slot layout)."""
+    config = pipeline.config
+    split = config.get("manual_partition_split")
+    if (str(config.get("partition_method", "")).lower() == "manual"
+            and split is not None):
+        counts = counts_from_manual_split(
+            num_layers, num_stages, [int(b) - phase_offset for b in split]
+        )
+        padded, enabled, k = pad_stack_for_manual_split(
+            stacked, num_layers, num_stages, counts
+        )
+        b2s = []
+        for d, c in enumerate(counts):
+            b2s.extend(range(d * k, d * k + c))
+        return padded, enabled, jnp.asarray(b2s, jnp.int32)
+    padded, enabled, _k = pad_stack_for_stages(stacked, num_layers, num_stages)
+    return padded, enabled, jnp.arange(num_layers, dtype=jnp.int32)
 from ..training.train_state import merge_params
 from .flux_model import FluxConfig, FluxDoubleBlock, FluxSingleBlock
 from .layers import (
@@ -105,8 +137,10 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
             k: v for k, v in params.items()
             if k not in ("double_blocks", "single_blocks")
         }
-        pd, en_d, _ = pad_stack_for_stages(p_double, cfg.num_layers, s)
-        ps, en_s, _ = pad_stack_for_stages(p_single, cfg.num_single_layers, s)
+        pd, en_d, _ = _stack_for_stages(pipeline, p_double, cfg.num_layers, s, 0)
+        ps, en_s, _ = _stack_for_stages(
+            pipeline, p_single, cfg.num_single_layers, s, cfg.num_layers
+        )
 
         # per-microbatch input prep (in-graph noising; M is static)
         keys = jax.random.split(rng, m_total)
@@ -307,10 +341,11 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             k: v for k, v in params.items()
             if k not in ("double_blocks", "single_blocks")
         }
-        pd_all, en_d, _ = pad_stack_for_stages(
-            params["double_blocks"], cfg.num_layers, s)
-        ps_all, en_s, _ = pad_stack_for_stages(
-            params["single_blocks"], cfg.num_single_layers, s)
+        pd_all, en_d, b2s_d = _stack_for_stages(
+            pipeline, params["double_blocks"], cfg.num_layers, s, 0)
+        ps_all, en_s, b2s_s = _stack_for_stages(
+            pipeline, params["single_blocks"], cfg.num_single_layers, s,
+            cfg.num_layers)
 
         def split(tree):
             flat = traverse_util.flatten_dict(tree)
@@ -446,9 +481,10 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             mask_mb, ids,
         )
 
-        # unpad [S*k, ...] -> [L, ...] and rebuild the trainable structure
-        gd = jax.tree.map(lambda g: g[: cfg.num_layers], gd)
-        gs = jax.tree.map(lambda g: g[: cfg.num_single_layers], gs)
+        # unpad slot layout -> [L, ...] (block j's grad lives at slot
+        # b2s[j]; identity slots drop) and rebuild the trainable structure
+        gd = jax.tree.map(lambda g: g[b2s_d], gd)
+        gs = jax.tree.map(lambda g: g[b2s_s], gs)
         flat_out = {}
         for path, leaf in flat_t.items():
             if leaf is None:

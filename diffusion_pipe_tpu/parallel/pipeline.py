@@ -79,6 +79,47 @@ def pad_stack_for_stages(stacked: Any, num_layers: int, num_stages: int):
     return padded, enabled, k
 
 
+def counts_from_manual_split(num_layers: int, num_stages: int, split):
+    """Reference `manual_partition_split` semantics (utils/pipeline.py:11-53):
+    `split` lists the S-1 block indices where stages 1..S-1 begin. Returns
+    per-stage block counts. Boundaries are clipped to [0, num_layers], so a
+    flat split over a multi-phase block sequence can be applied per phase by
+    offsetting (see models/flux_pp.py)."""
+    split = list(split)
+    if len(split) != num_stages - 1:
+        raise ValueError(
+            f"manual_partition_split needs {num_stages - 1} entries for "
+            f"{num_stages} stages, got {len(split)}"
+        )
+    bounds = [0] + [min(max(int(b), 0), num_layers) for b in split] + [num_layers]
+    if any(b < a for a, b in zip(bounds, bounds[1:])):
+        raise ValueError(f"manual_partition_split must be ascending: {split}")
+    return [b - a for a, b in zip(bounds, bounds[1:])]
+
+
+def pad_stack_for_manual_split(stacked: Any, num_layers: int,
+                               num_stages: int, counts):
+    """Uneven stage partitioning: stage d owns `counts[d]` consecutive blocks
+    of the [L, ...] stack (the reference's ManualPipelineModule uneven-VRAM
+    mode). The stack is gathered into [S*k_max, ...] slot layout — stage d's
+    slots are [d*k_max, (d+1)*k_max), the first counts[d] enabled, the rest
+    identity — so the same sharded-scan stage computation runs unmodified.
+    Returns (padded_params, enabled [S*k_max] float32, k_max)."""
+    assert sum(counts) == num_layers, (counts, num_layers)
+    k = max(max(counts), 1)
+    idx = []
+    en = []
+    start = 0
+    for c in counts:
+        idx.extend(range(start, start + c))
+        idx.extend([0] * (k - c))  # dummy gathers, masked off
+        en.extend([1.0] * c + [0.0] * (k - c))
+        start += c
+    idx = jnp.asarray(idx, jnp.int32)
+    padded = jax.tree.map(lambda x: jnp.take(x, idx, axis=0), stacked)
+    return padded, jnp.asarray(en, jnp.float32), k
+
+
 def apply_local_blocks(block_apply: Callable, local_params: Any,
                        local_enabled: jax.Array, carry: Any, *broadcast):
     """Run this stage's k blocks (inner scan), identity for disabled slots.

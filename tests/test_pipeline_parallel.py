@@ -197,3 +197,90 @@ def test_1f1b_train_step_wiring():
             losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.2, losses
+
+
+def _setup_manual(stages, split):
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "float32", "_tiny": True},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+        "pipeline_stages": stages,
+        "partition_method": "manual",
+        "manual_partition_split": split,
+    }
+    pipeline = get_model_class("flux")(cfg)
+    mesh = make_mesh(pipeline_stages=stages, tensor_parallel=1)
+    params = pipeline.init_params(jax.random.PRNGKey(0))
+    params = shard_params(mesh, params)
+    trainable, frozen = partition_params(params, lora_predicate)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (M * 2, 16, 8, 8)),
+        "t5_embed": jax.random.normal(jax.random.PRNGKey(2), (M * 2, 16, 64)),
+        "clip_embed": jax.random.normal(jax.random.PRNGKey(3), (M * 2, 32)),
+    }
+    return pipeline, mesh, trainable, frozen, batch
+
+
+@pytest.mark.parametrize("split", [[1], [3]])
+def test_manual_partition_split_loss_and_grads(split):
+    """Uneven manual stage splits (reference ManualPipelineModule
+    manual_partition_split, utils/pipeline.py:11-53) reproduce the
+    single-device loss and LoRA grads. Tiny flux: 2 doubles + 2 singles;
+    split [1] puts 1 double on each stage and both singles on stage 1;
+    split [3] piles 2 doubles + 1 single on stage 0."""
+    pipeline, mesh, trainable, frozen, batch = _setup_manual(2, split)
+    rng = jax.random.PRNGKey(7)
+    loss_fn = make_pipelined_loss_fn(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(jax.value_and_grad(loss_fn))(
+            trainable, frozen, batch, rng)
+    loss_ref = float(_reference_loss(pipeline, trainable, frozen, batch, rng))
+    np.testing.assert_allclose(float(loss_pp), loss_ref, rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_manual_partition_split_1f1b_matches():
+    """The fused 1F1B schedule under an uneven manual split returns grads in
+    BLOCK order (slot->block unpadding) matching AD-GPipe."""
+    from diffusion_pipe_tpu.models.flux_pp import make_pipelined_grad_fn_1f1b
+
+    pipeline, mesh, trainable, frozen, batch = _setup_manual(2, [1])
+    rng = jax.random.PRNGKey(11)
+    loss_fn = make_pipelined_loss_fn(pipeline, mesh, M)
+    grad_fn_1f1b = make_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_g, grads_g = jax.jit(jax.value_and_grad(loss_fn))(
+            trainable, frozen, batch, rng)
+        loss_i, grads_i = jax.jit(grad_fn_1f1b)(trainable, frozen, batch, rng)
+    np.testing.assert_allclose(float(loss_i), float(loss_g), rtol=2e-5)
+    from flax import traverse_util
+
+    fg = traverse_util.flatten_dict(grads_g)
+    fi = traverse_util.flatten_dict(grads_i)
+    for k, v in fg.items():
+        if v is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fi[k]), np.asarray(v), atol=2e-5, err_msg=str(k)
+        )
+
+
+def test_counts_from_manual_split_validation():
+    from diffusion_pipe_tpu.parallel.pipeline import counts_from_manual_split
+
+    assert counts_from_manual_split(10, 2, [4]) == [4, 6]
+    assert counts_from_manual_split(10, 3, [2, 7]) == [2, 5, 3]
+    # clipping (per-phase offsets can push boundaries outside the phase)
+    assert counts_from_manual_split(10, 2, [-3]) == [0, 10]
+    assert counts_from_manual_split(10, 2, [15]) == [10, 0]
+    with pytest.raises(ValueError):
+        counts_from_manual_split(10, 3, [7, 2])
+    with pytest.raises(ValueError):
+        counts_from_manual_split(10, 2, [1, 2])

@@ -96,8 +96,23 @@ class DirectoryDataset:
         self.enable_ar_bucket = bool(g("enable_ar_bucket", False))
         self.skip_empty_caption = bool(g("skip_empty_caption", True))
         self.cache_shuffle_num = int(g("cache_shuffle_num", 0))
+        # shuffle_tags back-compat: implies one caption shuffle
+        # (reference dataset.py:760-762)
+        if bool(g("shuffle_tags", False)) and self.cache_shuffle_num == 0:
+            self.cache_shuffle_num = 1
         self.cache_shuffle_delimiter = g("cache_shuffle_delimiter", ", ")
         self.caption_prefix = g("caption_prefix", "")
+        # record order within the directory is shuffled by path hash
+        # (reference dataset.py:703-707), default on
+        self.shuffle_metadata = bool(g("shuffle_metadata", True))
+        # fallback mask when a per-image mask is missing
+        # (reference dataset.py:480, 661-662)
+        dmf = self.directory_config.get("default_mask_file")
+        self.default_mask_file = Path(dmf) if dmf else None
+        if self.default_mask_file is not None and not self.default_mask_file.is_file():
+            raise RuntimeError(
+                f"Invalid default_mask_file: {self.default_mask_file}"
+            )
 
         size_buckets = g("size_buckets")
         self.use_size_buckets = size_buckets is not None
@@ -223,7 +238,14 @@ class DirectoryDataset:
     def scan(self) -> Dict[Tuple, List[Record]]:
         """Returns {size_bucket (w,h,f): [records]} after bucket assignment."""
         groups: Dict[Tuple, List[Record]] = defaultdict(list)
-        for spec in self._list_files():
+        specs = self._list_files()
+        if self.shuffle_metadata:
+            # per-directory record shuffle seeded by path hash (reference
+            # dataset.py:703-707); buckets inherit this order before their
+            # own size-bucket-seeded shuffle
+            rng = np.random.default_rng(seed_from_hash(str(self.path)))
+            specs = [specs[i] for i in rng.permutation(len(specs))]
+        for spec in specs:
             filepath = spec[1]
             captions = self._captions_for(filepath, in_tar=spec[0] is not None)
             if captions is None:
@@ -240,10 +262,13 @@ class DirectoryDataset:
                 print(f"skipping unreadable file {filepath}: {e}")
                 continue
             in_tar = spec[0] is not None
+            mask_path = (None if in_tar
+                         else self._sidecar(self.mask_path, filepath))
+            if mask_path is None and self.default_mask_file is not None:
+                mask_path = str(self.default_mask_file)
             rec = Record(
                 spec, captions, w, h, frames,
-                mask_path=None if in_tar
-                else self._sidecar(self.mask_path, filepath),
+                mask_path=mask_path,
                 control_path=None if in_tar
                 else self._sidecar(self.control_path, filepath),
             )
@@ -531,22 +556,37 @@ class Dataset:
             raise RuntimeError(
                 "Dataset is empty after batching; add data or reduce batch size"
             )
+        # fixed bucket interleave, shuffled ONCE with seed 0 and identical
+        # every epoch (reference dataset.py:970-978); subsample_ratio keeps
+        # only the leading fraction (dataset.py:983-985)
+        order = [
+            ci
+            for ci, cd in enumerate(self.concat_datasets)
+            for _ in range(len(cd))
+        ]
+        shuffle_with_seed(order, 0)
+        cum = [0] * len(self.concat_datasets)
+        self.iteration_order = []
+        for ci in order:
+            self.iteration_order.append((ci, cum[ci]))
+            cum[ci] += 1
+        if ratio := self.dataset_config.get("subsample_ratio"):
+            self.iteration_order = self.iteration_order[
+                : int(len(self.iteration_order) * float(ratio))
+            ]
         self.post_initialized = True
 
     def batches_per_epoch(self) -> int:
-        return sum(len(cd) for cd in self.concat_datasets)
+        return len(self.iteration_order)
+
+    def __len__(self) -> int:
+        return len(self.iteration_order)
 
     def iter_epoch(self, epoch: int):
-        """Yield (size_bucket, collated batch) in the fixed seeded interleave
-        order (reference shuffles bucket batch order with a per-epoch seed)."""
+        """Yield (size_bucket, collated batch) in the fixed interleave order
+        (identical each epoch, reference semantics)."""
         assert self.post_initialized
-        order = [
-            (ci, bi)
-            for ci, cd in enumerate(self.concat_datasets)
-            for bi in range(len(cd))
-        ]
-        shuffle_with_seed(order, seed_from_hash(("epoch", epoch)))
-        for ci, bi in order:
+        for ci, bi in self.iteration_order:
             cd = self.concat_datasets[ci]
             examples = cd.get_batch(bi)
             yield cd.size_bucket, collate(examples)

@@ -39,6 +39,8 @@ from .layers import (
     LoraDense,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     sinusoidal_timestep_embedding,
 )
 from ..ops.attention import dot_product_attention
@@ -248,8 +250,8 @@ class AuraFlowTransformer(nn.Module):
 
         joint, single = AuraFlowJointBlock, AuraFlowSingleBlock
         if cfg.remat:
-            joint = nn.remat(joint, prevent_cse=False)
-            single = nn.remat(single, prevent_cse=False)
+            joint = remat_wrap(joint, cfg.remat)
+            single = remat_wrap(single, cfg.remat)
         self.joint_blocks = nn.scan(
             joint, variable_axes={"params": 0}, split_rngs={"params": True},
             in_axes=nn.broadcast, length=cfg.num_layers,
@@ -336,7 +338,7 @@ class AuraFlowPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if mc.get("pos_embed_max_size"):
@@ -399,6 +401,11 @@ class AuraFlowPipeline(BasePipeline):
         mc = self.model_config
         sd = load_safetensors_dir(mc["transformer_path"])
         sd = {k.removeprefix("model."): v for k, v in sd.items()}
+        from .weights import merge_adapters_into_state_dict
+
+        sd = merge_adapters_into_state_dict(
+            sd, mc.get("merge_adapters", [])
+        )
         return convert_diffusers_auraflow(sd, self.af_config)
 
     def get_call_vae_fn(self):

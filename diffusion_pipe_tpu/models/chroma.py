@@ -19,6 +19,7 @@ from . import register_model
 from .base import BasePipeline
 from .chroma_model import ChromaConfig, ChromaTransformer
 from .flux import latent_image_ids, pack_latents, resize_mask_to_latents
+from .layers import remat_spec
 
 
 @register_model("chroma")
@@ -44,7 +45,7 @@ class ChromaPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

@@ -31,6 +31,7 @@ from .layers import (
     RMSNorm,
     apply_rope,
     layer_norm_no_affine,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -285,8 +286,8 @@ class ChromaTransformer(nn.Module):
 
         dblock, sblock = ChromaDoubleBlock, ChromaSingleBlock
         if cfg.remat:
-            dblock = nn.remat(dblock, prevent_cse=False)
-            sblock = nn.remat(sblock, prevent_cse=False)
+            dblock = remat_wrap(dblock, cfg.remat)
+            sblock = remat_wrap(sblock, cfg.remat)
         (img, txt), _ = nn.scan(
             dblock, variable_axes={"params": 0}, split_rngs={"params": True},
             in_axes=(1, nn.broadcast, nn.broadcast, nn.broadcast),

@@ -24,6 +24,7 @@ from ..training.edm import edm_noise, edm_scalings, per_sigma_loss_weights
 from . import register_model
 from .base import BasePipeline
 from .cosmos_predict2_model import CosmosPredict2Config, CosmosPredict2Transformer
+from .layers import remat_spec
 
 
 @register_model("cosmos")
@@ -49,7 +50,7 @@ class CosmosPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
             # cosmos-1 7B: 4096 channels, 28 blocks, 32 heads; old-T5 1024
             model_channels=int(mc.get("model_channels", 4096)),

@@ -18,6 +18,7 @@ from ..training.flow import TimestepDistribution, sample_timesteps
 from . import register_model
 from .base import BasePipeline
 from .cosmos_predict2_model import CosmosPredict2Config, CosmosPredict2Transformer
+from .layers import remat_spec
 
 
 @register_model("cosmos_predict2", "anima")
@@ -60,10 +61,29 @@ class CosmosPredict2Pipeline(BasePipeline):
             )
 
     def lr_scale_map(self, base_lr):
+        """Per-module LR groups (reference cosmos_predict2.py:449-489):
+        self_attn_lr / cross_attn_lr / mlp_lr / mod_lr / llm_adapter_lr.
+        Matching is last-substring-wins, so the adaln-modulation keys come
+        AFTER self_attn/cross_attn/mlp: reference torch names put the
+        modulation tables in their own `.adaln_modulation_*` modules, which
+        group under mod_lr, not the attn/mlp LRs."""
         mc = self.model_config
-        if self.anima and mc.get("llm_adapter_lr"):
-            return {"llm_adapter": float(mc["llm_adapter_lr"]) / base_lr}
-        return {}
+        out = {}
+        for key, sub in (("self_attn_lr", "self_attn"),
+                         ("cross_attn_lr", "cross_attn"),
+                         ("mlp_lr", "mlp_")):
+            if mc.get(key) is not None:
+                out[sub] = float(mc[key]) / base_lr
+        if out or mc.get("mod_lr") is not None:
+            # adaln_modulation_{self_attn,cross_attn,mlp} and the final
+            # layer's modulation belong to the mod group (default base LR)
+            f = (float(mc["mod_lr"]) / base_lr
+                 if mc.get("mod_lr") is not None else 1.0)
+            out["adaln_modulation"] = f
+            out["final_adaln"] = f
+        if self.anima and mc.get("llm_adapter_lr") is not None:
+            out["llm_adapter"] = float(mc["llm_adapter_lr"]) / base_lr
+        return out
 
     def _build_config(self) -> CosmosPredict2Config:
         from ..common import dtype_from_string
@@ -77,7 +97,7 @@ class CosmosPredict2Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):
@@ -169,25 +189,36 @@ class CosmosPredict2Pipeline(BasePipeline):
             return self.model.apply({"params": p}, context=context, **mi)
         return self.model.apply(params, **model_inputs)
 
+    # pixel side-length thresholds gating each successive 2x pooling
+    # (reference cosmos_predict2.py:34-35: [1024 * 0.9])
+    MULTISCALE_LOSS_THRESHOLDS = (1024 * 0.9,)
+
     def loss_fn(self, output, target, mask):
-        """Masked loss + optional multiscale avg-pool term (reference
-        cosmos_predict2.py:491-527)."""
+        """Masked loss + optional multiscale avg-pool terms (reference
+        cosmos_predict2.py:491-527): `model.multiscale_loss_weight` adds a
+        2x-avg-pooled MSE term per threshold the (pixel-space) side length
+        clears, then normalizes by the total weight."""
         base = super().loss_fn(output, target, mask)
-        scales = self.model_config.get("multiscale_loss_scales")
-        if not scales:
+        weight = self.model_config.get("multiscale_loss_weight")
+        if not weight:
             return base
-        total = base
-        for s in scales:
-            o = jax.lax.reduce_window(
-                output.astype(jnp.float32), 0.0, jax.lax.add,
-                (1, 1, 1, s, s), (1, 1, 1, s, s), "VALID",
-            ) / (s * s)
-            tgt = jax.lax.reduce_window(
-                target.astype(jnp.float32), 0.0, jax.lax.add,
-                (1, 1, 1, s, s), (1, 1, 1, s, s), "VALID",
-            ) / (s * s)
-            total = total + jnp.mean((o - tgt) ** 2)
-        return total
+        # [B,C,F,H,W] single-frame latents -> [B,C,H,W]
+        o = output.astype(jnp.float32)[:, :, 0]
+        tgt = target.astype(jnp.float32)[:, :, 0]
+        h, w = tgt.shape[-2:]
+        side_length = float(np.sqrt(h * w)) * 8
+        terms = [base]
+        total_weight = 1.0
+        for thresh in self.MULTISCALE_LOSS_THRESHOLDS:
+            if side_length < thresh:
+                break
+            pool = lambda x: jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+            ) / 4.0
+            o, tgt = pool(o), pool(tgt)
+            terms.append(jnp.mean((o - tgt) ** 2) * weight)
+            total_weight += weight
+        return sum(terms) / total_weight
 
     def get_call_vae_fn(self):
         mc = self.model_config

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import dot_product_attention
-from .layers import LoraDense, RMSNorm
+from .layers import LoraDense, RMSNorm, remat_wrap
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,7 +262,7 @@ class CosmosPredict2Transformer(nn.Module):
 
         block = CosmosBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         xe, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},

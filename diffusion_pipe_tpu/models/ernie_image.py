@@ -37,6 +37,8 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -192,7 +194,7 @@ class ErnieImageTransformer(nn.Module):
 
         block = ErnieSharedAdaLNBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         h, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -236,7 +238,7 @@ class ErnieImagePipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",

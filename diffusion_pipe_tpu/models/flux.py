@@ -29,6 +29,7 @@ from ..training.flow import TimestepDistribution, sample_timesteps
 from . import register_model
 from .base import BasePipeline
 from .flux_model import FluxConfig, FluxTransformer
+from .layers import remat_spec
 
 
 def pack_latents(x):
@@ -69,6 +70,10 @@ class FluxPipeline(BasePipeline):
         super().__init__(config)
         mc = self.model_config
         self.tdist = TimestepDistribution.from_model_config(mc)
+        # FLEX models train with the guidance embedder silenced while its
+        # params stay in the checkpoint (reference flux.py:187-190 +
+        # utils/patches.py bypass_flux_guidance)
+        self._bypass_guidance = bool(mc.get("bypass_guidance_embedding", False))
         self.flux_config = self._build_flux_config()
         self.model = FluxTransformer(self.flux_config)
 
@@ -88,8 +93,7 @@ class FluxPipeline(BasePipeline):
                 else None
             ),
             guidance_embeds=bool(mc.get("guidance_embeds", True)),
-            remat=bool(self.config.get("activation_checkpointing", False)),
-            remat_policy=str(self.config.get("remat_policy", "full")),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
             sequence_sharding=bool(self.config.get("sequence_sharding", False)),
         )
@@ -175,7 +179,11 @@ class FluxPipeline(BasePipeline):
             timestep=t,
             img_ids=img_ids,
             txt_ids=txt_ids,
-            guidance=guidance if self.flux_config.guidance_embeds else None,
+            guidance=(
+                guidance
+                if self.flux_config.guidance_embeds and not self._bypass_guidance
+                else None
+            ),
             txt_mask=batch.get("t5_mask"),
             img_seq_len=image_seq_len,
         )
@@ -206,8 +214,12 @@ class FluxPipeline(BasePipeline):
                     timestep=t,
                     img_ids=img_ids,
                     txt_ids=txt_ids,
-                    guidance=guidance if self.flux_config.guidance_embeds
-                    else None,
+                    guidance=(
+                        guidance
+                        if self.flux_config.guidance_embeds
+                        and not self._bypass_guidance
+                        else None
+                    ),
                     txt_mask=None,
                     img_seq_len=(h // 2) * (w // 2),
                 ))
@@ -270,6 +282,11 @@ class FluxPipeline(BasePipeline):
         if path is None:
             path = str(Path(mc["diffusers_path"]) / "transformer")
         sd = load_safetensors_dir(path)
+        from .weights import merge_adapters_into_state_dict
+
+        sd = merge_adapters_into_state_dict(
+            sd, mc.get("merge_adapters", [])
+        )
         if any(k.startswith("double_blocks.") for k in sd):
             # BFL single-file format (reference flux.py:22-109 key map)
             return convert_bfl_flux(sd, self.flux_config)

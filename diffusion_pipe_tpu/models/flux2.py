@@ -41,6 +41,8 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -270,8 +272,8 @@ class Flux2Transformer(nn.Module):
 
         dblock, sblock = Flux2DoubleBlock, Flux2SingleBlock
         if cfg.remat:
-            dblock = nn.remat(dblock, prevent_cse=False)
-            sblock = nn.remat(sblock, prevent_cse=False)
+            dblock = remat_wrap(dblock, cfg.remat)
+            sblock = remat_wrap(sblock, cfg.remat)
         (img, txt), _ = nn.scan(
             dblock,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -330,7 +332,7 @@ class Flux2Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_single_layers",

@@ -37,6 +37,7 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_wrap,
     rope_frequencies,
 )
 
@@ -299,11 +300,8 @@ class FluxTransformer(nn.Module):
             if "single_blocks" in cfg.offload_blocks:
                 single = stream_params_from_host(single)
         if cfg.remat:
-            policy = None
-            if cfg.remat_policy == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            double = nn.remat(double, prevent_cse=False, policy=policy)
-            single = nn.remat(single, prevent_cse=False, policy=policy)
+            double = remat_wrap(double, cfg.remat)
+            single = remat_wrap(single, cfg.remat)
         self.double_blocks = nn.scan(
             double,
             variable_axes={"params": 0},

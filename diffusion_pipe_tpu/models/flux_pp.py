@@ -46,7 +46,10 @@ def _stack_for_stages(pipeline, stacked, num_layers: int, num_stages: int,
     the slot holding each original block, for unpadding grads that come
     back in slot layout)."""
     config = pipeline.config
-    split = config.get("manual_partition_split")
+    # reference TOML key is `partition_split` (train.py:598);
+    # `manual_partition_split` kept as an alias
+    split = config.get("partition_split",
+                       config.get("manual_partition_split"))
     if (str(config.get("partition_method", "")).lower() == "manual"
             and split is not None):
         counts = counts_from_manual_split(

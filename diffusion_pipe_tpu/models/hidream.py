@@ -38,6 +38,8 @@ from .layers import (
     TimestepEmbedder,
     apply_rope,
     layer_norm_no_affine,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
 )
 
@@ -296,8 +298,8 @@ class HiDreamTransformer(nn.Module):
         dblock = HiDreamDoubleBlock
         sblock = HiDreamSingleBlock
         if cfg.remat:
-            dblock = nn.remat(dblock, prevent_cse=False)
-            sblock = nn.remat(sblock, prevent_cse=False)
+            dblock = remat_wrap(dblock, cfg.remat)
+            sblock = remat_wrap(sblock, cfg.remat)
         llama_per_block = jnp.stack(
             [llama_proj[:, i % n_layers] for i in range(cfg.num_double_layers)],
             axis=1,
@@ -356,7 +358,7 @@ class HiDreamPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

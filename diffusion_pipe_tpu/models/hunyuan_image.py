@@ -39,6 +39,8 @@ from .layers import (
     LoraDense,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -177,8 +179,8 @@ class HunyuanImageTransformer(nn.Module):
         block = HunyuanDoubleBlock
         sblock = HunyuanSingleBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
-            sblock = nn.remat(sblock, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
+            sblock = remat_wrap(sblock, cfg.remat)
         (img, txt), _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -236,7 +238,7 @@ class HunyuanImagePipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

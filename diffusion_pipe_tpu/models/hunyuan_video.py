@@ -20,6 +20,7 @@ from ..training.flow import TimestepDistribution, sample_timesteps
 from . import register_model
 from .base import BasePipeline
 from .hunyuan_video_model import HunyuanVideoConfig, HunyuanVideoTransformer
+from .layers import remat_spec
 
 
 @register_model("hunyuan-video", "hunyuan_video")
@@ -46,7 +47,7 @@ class HunyuanVideoPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

@@ -37,6 +37,8 @@ from .layers import (
     LoraDense,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -181,7 +183,7 @@ class HunyuanVideo15Transformer(nn.Module):
 
         block = HunyuanDoubleBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         (img, txt), _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -227,7 +229,7 @@ class HunyuanVideo15Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("num_layers", "num_attention_heads", "attention_head_dim",

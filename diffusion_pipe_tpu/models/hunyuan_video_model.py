@@ -28,6 +28,7 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -327,8 +328,8 @@ class HunyuanVideoTransformer(nn.Module):
         block = HunyuanDoubleBlock
         sblock = HunyuanSingleBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
-            sblock = nn.remat(sblock, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
+            sblock = remat_wrap(sblock, cfg.remat)
         (img, txt), _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},

@@ -42,6 +42,8 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     sinusoidal_timestep_embedding,
 )
 from ..ops.attention import dot_product_attention
@@ -232,7 +234,7 @@ class Ideogram4Transformer(nn.Module):
 
         block = Ideogram4Block
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         h, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -275,7 +277,7 @@ class Ideogram4Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",

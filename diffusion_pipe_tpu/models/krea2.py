@@ -38,6 +38,8 @@ from .layers import (
     apply_rope,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -231,7 +233,7 @@ class Krea2Transformer(nn.Module):
 
         block = Krea2Block
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         combined, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -275,7 +277,7 @@ class Krea2Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",

@@ -263,6 +263,58 @@ def prequantize_int8_tree(tree):
     return traverse_util.unflatten_dict(out)
 
 
+def remat_spec(config) -> str:
+    """Resolve `activation_checkpointing` to a remat-policy spec string.
+
+    Reference semantics (train.py:578-589): the option is `false`, `true`
+    (plain torch checkpoint) or `'unsloth'` (checkpoint with hidden states
+    offloaded to CPU, utils/unsloth_utils.py:23-71). TPU mapping:
+      false      -> ""            (no remat)
+      true       -> "full"        (recompute everything; or the model-level
+                                   `remat_policy` override, e.g. "dots")
+      "unsloth"  -> "unsloth"     (remat, but matmul residuals are saved and
+                                   offloaded to pinned host memory — XLA
+                                   host-offload replaces CUDA pinned-RAM
+                                   copies)
+      "dots"/"offload_dots" also accepted directly.
+    The returned string is falsy iff remat is off, so model configs can keep
+    `if cfg.remat:` checks while storing the spec in the same field.
+    """
+    ac = config.get("activation_checkpointing", False)
+    if not ac:
+        return ""
+    if ac is True:
+        return str(config.get("remat_policy", "full"))
+    return str(ac)
+
+
+_REMAT_POLICIES: dict = {}
+
+
+def _remat_policy(spec):
+    if spec in ("full", True):
+        return None
+    if spec in _REMAT_POLICIES:
+        return _REMAT_POLICIES[spec]
+    if spec == "dots":
+        pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif spec in ("unsloth", "offload_dots"):
+        # save matmul outputs (no recompute of the MXU work) but move the
+        # saved residuals to pinned host RAM between fwd and bwd
+        pol = jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+            "device", "pinned_host"
+        )
+    else:
+        raise ValueError(f"unknown activation_checkpointing/remat spec {spec!r}")
+    _REMAT_POLICIES[spec] = pol
+    return pol
+
+
+def remat_wrap(block_cls, spec):
+    """nn.remat with the policy resolved from a remat_spec() string."""
+    return nn.remat(block_cls, prevent_cse=False, policy=_remat_policy(spec))
+
+
 def lokr_factorization(dim: int, factor: int = -1) -> Tuple[int, int]:
     """Balanced two-factor split of `dim`, LyCORIS semantics.
 

@@ -41,6 +41,8 @@ from .layers import (
     LoraDense,
     RMSNorm,
     apply_rope,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -283,7 +285,7 @@ class LTX2Transformer(nn.Module):
 
         block = LTX2Block
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         h, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -330,7 +332,7 @@ class LTX2Pipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_heads",

@@ -33,6 +33,8 @@ from .layers import (
     RMSNorm,
     apply_rope,
     layer_norm_no_affine,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -207,7 +209,7 @@ class LTXTransformer(nn.Module):
 
         block = LTXBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         h, _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -258,7 +260,7 @@ class LTXVideoPipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

@@ -26,6 +26,7 @@ import numpy as np
 
 from . import register_model
 from .lumina_2 import Lumina2Config, Lumina2Pipeline
+from .layers import remat_spec
 
 
 @register_model("omnigen2")
@@ -45,7 +46,7 @@ class OmniGen2Pipeline(Lumina2Pipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

@@ -32,6 +32,8 @@ from .layers import (
     TimestepEmbedder,
     layer_norm_no_affine,
     modulate,
+    remat_spec,
+    remat_wrap,
     rope_frequencies,
 )
 
@@ -133,7 +135,7 @@ class QwenImageTransformer(nn.Module):
 
         block = FluxDoubleBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         (img, txt), _ = nn.scan(
             block,
             variable_axes={"params": 0}, split_rngs={"params": True},
@@ -174,7 +176,7 @@ class QwenImagePipeline(BasePipeline):
                 dtype_from_string(mc["transformer_dtype"])
                 if mc.get("transformer_dtype") else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         if adapter.get("type") in ("lora", "lokr"):

@@ -26,6 +26,7 @@ from .layers import (
     TimestepEmbedder,
     layer_norm_no_affine,
     modulate,
+    remat_wrap,
 )
 
 
@@ -233,7 +234,7 @@ class SD3Transformer(nn.Module):
 
         block = SD3JointBlock
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         (img, txt), _ = nn.scan(
             block,
             variable_axes={"params": 0},

@@ -11,8 +11,11 @@ Re-implements reference models/sdxl.py training semantics:
   states concatenated, CLIP-G pooled for add_text_embeds. Trainable in
   full fine-tune (per-module LRs pending), frozen under LoRA.
 - captions flow to the trainer and are tokenized host-side via
-  host_prepare() (strings can't enter jit). Long-prompt 75-token chunking
-  is not yet implemented (tokenizer truncates at 77).
+  host_prepare() (strings can't enter jit). Arbitrary prompt lengths are
+  supported via the reference's 75-token chunking (sdxl.py:742-776): one
+  shared tokenizer, [BOS ... EOS/PAD] per chunk, chunks folded into the
+  batch dim for the TE pass and re-concatenated along the sequence;
+  pooled embeds from the first chunk; `clip_skip` honored.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from ..training.losses import masked_loss
 from . import register_model
 from .base import BasePipeline
 from .sdxl_unet import SDXLConfig, SDXLUNet
+from .layers import remat_spec
 
 
 @register_model("sdxl")
@@ -62,7 +66,7 @@ class SDXLPipeline(BasePipeline):
         kwargs: Dict[str, Any] = dict(
             dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
             param_dtype=dtype_from_string(mc.get("dtype", "bfloat16")),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
@@ -101,6 +105,22 @@ class SDXLPipeline(BasePipeline):
             )
             te1 = FlaxCLIPTextModel(c1, seed=0)
             te2 = FlaxCLIPTextModelWithProjection(c1, seed=1)
+        elif mc.get("_random_te", False):
+            # benchmark hook: full-size CLIP-L + OpenCLIP-bigG at random
+            # init (real shapes, no checkpoint files needed)
+            c1 = CLIPTextConfig(
+                vocab_size=49408, hidden_size=768, intermediate_size=3072,
+                num_hidden_layers=12, num_attention_heads=12,
+                max_position_embeddings=77, projection_dim=768,
+            )
+            c2 = CLIPTextConfig(
+                vocab_size=49408, hidden_size=1280, intermediate_size=5120,
+                num_hidden_layers=32, num_attention_heads=20,
+                max_position_embeddings=77, projection_dim=1280,
+                hidden_act="gelu",
+            )
+            te1 = FlaxCLIPTextModel(c1, seed=0)
+            te2 = FlaxCLIPTextModelWithProjection(c2, seed=1)
         else:
             base = mc["diffusers_path"]
             te1 = FlaxCLIPTextModel.from_pretrained(
@@ -115,38 +135,58 @@ class SDXLPipeline(BasePipeline):
         return self._te
 
     def _tokenize(self, captions):
+        """captions -> int32 [B, n_chunks, 77] CLIP token-id chunks.
+
+        Reference semantics (sdxl.py:579-587, 742-776): ONE shared tokenizer
+        for both TEs (tokenizer_2 is forced to tokenizer, sdxl.py:390-393),
+        tokenized with no truncation / no special tokens, split into
+        75-token chunks, each chunk wrapped as [BOS, ..., PAD*] with the
+        first pad replaced by EOS. Arbitrary prompt lengths supported; the
+        per-batch chunk count is the max over the batch (one XLA program
+        per chunk count, same bounded-recompile regime as size buckets).
+        """
         mc = self.model_config
         if mc.get("_tiny", False):
-            ids = np.zeros((len(captions), 77), np.int32)
+            ids = np.zeros((len(captions), 1, 77), np.int32)
             for i, c in enumerate(captions):
                 for j, ch in enumerate(str(c)[:77]):
-                    ids[i, j] = ord(ch) % 256
-            return ids, ids.copy()
-        if getattr(self, "_tokenizers", None) is None:
+                    ids[i, 0, j] = ord(ch) % 256
+            return ids
+        if getattr(self, "_tokenizer", None) is None:
             from transformers import AutoTokenizer
 
             base = mc["diffusers_path"]
-            self._tokenizers = (
-                AutoTokenizer.from_pretrained(str(Path(base) / "tokenizer")),
-                AutoTokenizer.from_pretrained(str(Path(base) / "tokenizer_2")),
+            self._tokenizer = AutoTokenizer.from_pretrained(
+                str(Path(base) / "tokenizer")
             )
-        out = []
-        for tok in self._tokenizers:
-            out.append(
-                tok(
-                    [str(c) for c in captions], padding="max_length",
-                    truncation=True, max_length=77, return_tensors="np",
-                ).input_ids.astype(np.int32)
-            )
-        return out[0], out[1]
+        tok = self._tokenizer
+        bos, eos, pad = tok.bos_token_id, tok.eos_token_id, tok.pad_token_id
+        if pad is None:
+            pad = eos
+        encoded = [
+            tok(str(c), truncation=False, add_special_tokens=False).input_ids
+            for c in captions
+        ]
+        n_chunks = max(1, max((len(e) + 74) // 75 for e in encoded))
+        out = np.full((len(captions), n_chunks, 77), pad, np.int32)
+        out[:, :, 0] = bos
+        for i, e in enumerate(encoded):
+            for c in range(n_chunks):
+                chunk = e[c * 75:(c + 1) * 75]
+                out[i, c, 1:1 + len(chunk)] = chunk
+                # first pad position becomes EOS (reference sdxl.py:755-757)
+                out[i, c, 1 + len(chunk)] = eos
+        return out
 
     def host_prepare(self, batch):
         """Host-side caption -> token ids (before jit)."""
         if "caption" in batch:
-            ids1, ids2 = self._tokenize(list(batch["caption"]))
+            ids = self._tokenize(list(batch["caption"]))
             batch = {k: v for k, v in batch.items() if k != "caption"}
-            batch["input_ids"] = ids1
-            batch["input_ids_2"] = ids2
+            # one shared tokenization feeds both TEs (reference forces
+            # tokenizer_2 = tokenizer, sdxl.py:390-393)
+            batch["input_ids"] = ids
+            batch["input_ids_2"] = ids
         return batch
 
     # --- model --------------------------------------------------------------
@@ -225,23 +265,42 @@ class SDXLPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         te1, te2 = self._text_encoders()
         p = params["params"]
+        # -2 == penultimate layer; SDXL always indexes from the penultimate
+        # even under clip_skip (reference sdxl.py:771-775)
+        clip_skip = self.model_config.get("clip_skip")
+        layer = -2 if clip_skip is None else -(int(clip_skip) + 2)
 
         def run_te(te, params, ids):
-            b, s = ids.shape
-            return te.module.apply(
+            """ids [B, C, 77]: C 75-token chunks per prompt, encoded
+            independently and re-concatenated along the sequence
+            (reference get_prompt_embeds, sdxl.py:742-776). Chunks fold
+            into the batch so the TE runs once, batched for the MXU."""
+            b, c, s = ids.shape
+            flat = ids.reshape(b * c, s)
+            out = te.module.apply(
                 {"params": params},
-                input_ids=ids,
-                attention_mask=jnp.ones((b, s), jnp.int32),
-                position_ids=jnp.broadcast_to(jnp.arange(s)[None], (b, s)),
+                input_ids=flat,
+                attention_mask=jnp.ones((b * c, s), jnp.int32),
+                position_ids=jnp.broadcast_to(
+                    jnp.arange(s)[None], (b * c, s)
+                ),
                 output_hidden_states=True,
             )
+            hidden = out.hidden_states[layer].reshape(b, c * s, -1)
+            # pooled embedding comes from the FIRST chunk only
+            # (reference sdxl.py:766-767)
+            pooled = getattr(out, "text_embeds", None)
+            if pooled is not None:
+                pooled = pooled.reshape(b, c, -1)[:, 0]
+            return hidden, pooled
 
-        out1 = run_te(te1, p["text_encoder"], model_inputs["input_ids"])
-        out2 = run_te(te2, p["text_encoder_2"], model_inputs["input_ids_2"])
-        ctx = jnp.concatenate(
-            [out1.hidden_states[-2], out2.hidden_states[-2]], axis=-1
-        )
-        pooled = out2.text_embeds
+        ids1 = model_inputs["input_ids"]
+        ids2 = model_inputs["input_ids_2"]
+        if ids1.ndim == 2:  # allow unchunked [B, 77] callers
+            ids1, ids2 = ids1[:, None], ids2[:, None]
+        h1, _ = run_te(te1, p["text_encoder"], ids1)
+        h2, pooled = run_te(te2, p["text_encoder_2"], ids2)
+        ctx = jnp.concatenate([h1, h2], axis=-1)
         pred = self.model.apply(
             {"params": p["unet"]},
             model_inputs["sample"],
@@ -277,6 +336,11 @@ class SDXLPipeline(BasePipeline):
         path = (mc.get("unet_path") or mc.get("checkpoint_path")
                 or str(Path(mc["diffusers_path"]) / "unet"))
         sd = load_safetensors_dir(path)
+        from .weights import merge_adapters_into_state_dict
+
+        sd = merge_adapters_into_state_dict(
+            sd, mc.get("merge_adapters", [])
+        )
         if any("model.diffusion_model." in k or k.startswith("input_blocks.")
                for k in sd):
             sd = convert_sd_unet_to_diffusers(sd)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .layers import LoraDense, sinusoidal_timestep_embedding
+from .layers import LoraDense, remat_wrap, sinusoidal_timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +210,13 @@ class SDXLUNet(nn.Module):
         ctx = encoder_hidden_states.astype(cfg.dtype)
         chs = cfg.block_out_channels
 
+        # activation checkpointing: remat each resnet/transformer sub-block
+        # (reference checkpoints per wrapped layer, train.py:578-594)
+        Res, Attn = ResnetBlock2D, Transformer2DModel
+        if cfg.remat:
+            Res = remat_wrap(Res, cfg.remat)
+            Attn = remat_wrap(Attn, cfg.remat)
+
         h = nn.Conv(chs[0], (3, 3), padding=1, name="conv_in", **dd)(x)
         skips = [h]
 
@@ -217,9 +224,9 @@ class SDXLUNet(nn.Module):
         for i, ch in enumerate(chs):
             depth = cfg.transformer_layers[i]
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock2D(ch, cfg, name=f"down_{i}_res_{j}")(h, temb)
+                h = Res(ch, cfg, name=f"down_{i}_res_{j}")(h, temb)
                 if depth > 0:
-                    h = Transformer2DModel(
+                    h = Attn(
                         ch, depth, cfg, name=f"down_{i}_attn_{j}"
                     )(h, ctx)
                 skips.append(h)
@@ -229,10 +236,10 @@ class SDXLUNet(nn.Module):
                 skips.append(h)
 
         # mid
-        h = ResnetBlock2D(chs[-1], cfg, name="mid_res_0")(h, temb)
-        h = Transformer2DModel(chs[-1], cfg.transformer_layers[-1], cfg,
-                               name="mid_attn")(h, ctx)
-        h = ResnetBlock2D(chs[-1], cfg, name="mid_res_1")(h, temb)
+        h = Res(chs[-1], cfg, name="mid_res_0")(h, temb)
+        h = Attn(chs[-1], cfg.transformer_layers[-1], cfg,
+                   name="mid_attn")(h, ctx)
+        h = Res(chs[-1], cfg, name="mid_res_1")(h, temb)
 
         # up blocks (reversed channels, skip concat, 3 resnets per stage)
         rev = list(reversed(chs))
@@ -241,9 +248,9 @@ class SDXLUNet(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock2D(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
+                h = Res(ch, cfg, name=f"up_{i}_res_{j}")(h, temb)
                 if depth > 0:
-                    h = Transformer2DModel(
+                    h = Attn(
                         ch, depth, cfg, name=f"up_{i}_attn_{j}"
                     )(h, ctx)
             if i < len(rev) - 1:

@@ -27,6 +27,7 @@ from . import register_model
 from .base import BasePipeline
 from .wan_model import WanConfig, WanTransformer
 from .weights import linear, norm_scale, stack_layers
+from .layers import remat_spec
 
 WAN_VARIANTS = {
     "t2v-1.3b": dict(dim=1536, ffn_dim=8960, num_heads=12, num_layers=30),
@@ -102,6 +103,14 @@ class WanPipeline(BasePipeline):
         if self._skyreels:
             # distinct cache name (reference wan.py:122-124, 142-143)
             self.name = ("skyreels_v2_i2v" if self.is_i2v else "skyreels_v2")
+        # cache_text_embeddings=false (reference wan.py:77, 338-342, 442-447):
+        # captions are NOT pre-encoded; the frozen UMT5 runs inside the train
+        # step (the reference runs it in InitialLayer), enabling per-step
+        # caption shuffling/dropout at the cost of keeping T5 resident.
+        self.cache_text = bool(mc.get("cache_text_embeddings", True))
+        if not self.cache_text:
+            self.cacheable_text_embeddings = ()
+            self.pass_captions_to_batch = True
 
     @property
     def is_i2v(self) -> bool:
@@ -124,7 +133,7 @@ class WanPipeline(BasePipeline):
                 if mc.get("transformer_dtype")
                 else None
             ),
-            remat=bool(self.config.get("activation_checkpointing", False)),
+            remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
         from ..parallel.offload import offload_stacks_from_config
@@ -173,10 +182,83 @@ class WanPipeline(BasePipeline):
         )
         return jax.jit(self.model.init)(rng, x, t, ctx, clip_fea)
 
+    # --- uncached text path (cache_text_embeddings = false) -----------------
+
+    def _t5_encoder(self):
+        """(UMT5Encoder, params) for the in-graph text path; params stay out
+        of the train state (frozen by construction, like the reference's
+        requires_grad=False T5 in InitialLayer, wan.py:442-447)."""
+        if getattr(self, "_t5", None) is None:
+            from .umt5 import UMT5Config, UMT5Encoder
+
+            mc = self.model_config
+            if mc.get("_tiny", False):
+                cfg = UMT5Config.tiny()
+                enc = UMT5Encoder(cfg)
+                params = enc.init(
+                    jax.random.PRNGKey(7),
+                    jnp.zeros((1, 4), jnp.int32),
+                    jnp.ones((1, 4), jnp.int32),
+                )
+            else:
+                from .umt5 import convert_umt5_comfy
+                from .weights import load_safetensors_dir
+
+                cfg = UMT5Config.xxl()
+                enc = UMT5Encoder(cfg)
+                params = convert_umt5_comfy(
+                    load_safetensors_dir(mc["llm_path"]), cfg
+                )
+            self._t5 = (enc, params)
+        return self._t5
+
+    def _tokenize_t5(self, captions):
+        mc = self.model_config
+        n = self.wan_config.text_len
+        if mc.get("_tiny", False):
+            ids = np.zeros((len(captions), n), np.int32)
+            mask = np.zeros((len(captions), n), np.int32)
+            for i, c in enumerate(captions):
+                toks = [ord(ch) % 128 for ch in str(c)[: n - 1]] + [1]
+                ids[i, : len(toks)] = toks
+                mask[i, : len(toks)] = 1
+            return ids, mask
+        if getattr(self, "_t5_tok", None) is None:
+            from transformers import AutoTokenizer
+
+            self._t5_tok = AutoTokenizer.from_pretrained(
+                mc.get("llm_tokenizer_path", mc["llm_path"])
+            )
+        t = self._t5_tok(
+            [str(c) for c in captions], padding="max_length",
+            truncation=True, max_length=n, return_tensors="np",
+        )
+        return (t["input_ids"].astype(np.int32),
+                t["attention_mask"].astype(np.int32))
+
+    def host_prepare(self, batch):
+        if "caption" in batch:
+            ids, mask = self._tokenize_t5(list(batch["caption"]))
+            batch = {k: v for k, v in batch.items() if k != "caption"}
+            batch["t5_input_ids"] = ids
+            batch["t5_mask"] = mask
+        return batch
+
     def prepare_inputs(self, rng, batch, timestep_quantile=None):
         """batch: latents [B,C,F,H,W], text_embeddings [B,<=512,4096],
         seq_lens [B], optional mask [B,Hm,Wm], i2v: y [B,16,F,H,W],
-        clip_context [B,257,1280]."""
+        clip_context [B,257,1280]. Uncached-text mode instead carries
+        t5_input_ids/t5_mask and runs UMT5 here, inside the jitted step."""
+        if "text_embeddings" not in batch and "t5_input_ids" in batch:
+            enc, te_params = self._t5_encoder()
+            ids = batch["t5_input_ids"].astype(jnp.int32)
+            mask = batch["t5_mask"].astype(jnp.int32)
+            emb = enc.apply(te_params, ids, mask)
+            batch = dict(batch)
+            batch["text_embeddings"] = (
+                emb.astype(jnp.float32) * mask[..., None]
+            )
+            batch["seq_lens"] = mask.sum(axis=1).astype(jnp.int32)
         latents = batch["latents"].astype(jnp.float32)
         b, c, f, h, w = latents.shape
 
@@ -390,6 +472,11 @@ class WanPipeline(BasePipeline):
             "ckpt_path", self.model_config.get("transformer_path")
         )
         sd = load_safetensors_dir(path)
+        from .weights import merge_adapters_into_state_dict
+
+        sd = merge_adapters_into_state_dict(
+            sd, self.model_config.get("merge_adapters", [])
+        )
         return convert_wan_weights(sd, self.wan_config)
 
     def save_adapter(self, out_dir, trainable):

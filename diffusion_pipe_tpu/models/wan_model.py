@@ -34,6 +34,7 @@ from .layers import (
     LoraDense,
     RMSNorm,
     apply_rope,
+    remat_wrap,
     rope_frequencies,
     sinusoidal_timestep_embedding,
 )
@@ -312,7 +313,7 @@ class WanTransformer(nn.Module):
 
             block = stream_params_from_host(block)
         if cfg.remat:
-            block = nn.remat(block, prevent_cse=False)
+            block = remat_wrap(block, cfg.remat)
         xe, _ = nn.scan(
             block,
             variable_axes={"params": 0},

@@ -29,6 +29,73 @@ def load_safetensors_dir(path) -> Dict[str, np.ndarray]:
     return out
 
 
+def merge_adapters_into_state_dict(
+    sd: Dict[str, np.ndarray], adapter_paths
+) -> Dict[str, np.ndarray]:
+    """Fuse pre-trained LoRA files into a raw (torch-layout) state dict
+    before conversion: W += (alpha/r) * up @ down.
+
+    Reference `model.merge_adapters = [path, ...]` (models/base.py:562-581
+    ComfyPipeline merge + models/ltx2.py:248) — used e.g. to fold the
+    Z-Image turbo training adapter into the base weights. Accepts the
+    ComfyUI (`lora_A`/`lora_B` or `lora_down`/`lora_up`) and kohya
+    (`.alpha` scalar) dialects; keys are matched against the base dict with
+    the common `diffusion_model.`/`transformer.`/`lora_unet_` prefixes
+    stripped.
+    """
+    if not adapter_paths:
+        return sd
+    sd = dict(sd)
+    base_index = {}
+    for k in sd:
+        base_index[k] = k
+    for path in adapter_paths:
+        lora = load_safetensors_dir(path)
+        down_keys = [
+            k for k in lora
+            if ".lora_down." in k or ".lora_A." in k
+            or k.endswith("lora_down.weight") or k.endswith("lora_A.weight")
+        ]
+        merged = 0
+        for dk in down_keys:
+            uk = (dk.replace("lora_down", "lora_up")
+                    .replace("lora_A", "lora_B"))
+            if uk not in lora:
+                continue
+            stem = dk
+            for tok in (".lora_down.weight", ".lora_A.weight",
+                        ".lora_down", ".lora_A"):
+                if tok in stem:
+                    stem = stem.split(tok)[0]
+                    break
+            alpha_key = stem + ".alpha"
+            down = np.asarray(lora[dk], np.float32)
+            up = np.asarray(lora[uk], np.float32)
+            rank = down.shape[0]
+            scale = (
+                float(np.asarray(lora[alpha_key])) / rank
+                if alpha_key in lora else 1.0
+            )
+            # locate the base weight: try the stem as-is, then with common
+            # wrapper prefixes stripped/added
+            candidates = [
+                stem + ".weight", stem,
+                stem.replace("diffusion_model.", "") + ".weight",
+                stem.replace("transformer.", "") + ".weight",
+                "model.diffusion_model." + stem + ".weight",
+            ]
+            target = next((c for c in candidates if c in sd), None)
+            if target is None:
+                continue
+            w = np.asarray(sd[target], np.float32)
+            delta = (up.reshape(up.shape[0], -1)
+                     @ down.reshape(down.shape[0], -1)) * scale
+            sd[target] = (w + delta.reshape(w.shape)).astype(sd[target].dtype)
+            merged += 1
+        print(f"merge_adapters: fused {merged} LoRA pairs from {path}")
+    return sd
+
+
 def linear(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     """torch nn.Linear -> flax Dense params ({weight [O,I]} -> kernel [I,O])."""
     entry = {"kernel": np.ascontiguousarray(np.asarray(sd[f"{prefix}.weight"]).T)}

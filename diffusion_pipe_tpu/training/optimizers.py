@@ -148,15 +148,34 @@ def _scale_by_neg_learning_rate(learning_rate):
 
 
 def build_lr_schedule(config: Dict[str, Any], base_lr: float):
-    """Constant LR with linear warmup (reference train.py:839-852:
-    warmup via SequentialLR + optional force_constant_lr)."""
+    """`lr_scheduler` = constant | linear | cosine with linear warmup
+    (reference train.py:839-852). The linear/cosine horizon is
+    epochs * steps_per_epoch, injected by train.py as `_total_steps`.
+    `force_constant_lr` pins a flat LR regardless (train.py:883-886)."""
+    if "force_constant_lr" in config:
+        return float(config["force_constant_lr"])
+    sched_type = str(config.get("lr_scheduler", "constant"))
+    total = int(config.get("_total_steps", 0))
+    if sched_type == "constant":
+        main = base_lr
+    elif sched_type == "linear":
+        # LinearLR start_factor=1.0 end_factor=0.0 over the full run
+        main = optax.linear_schedule(base_lr, 0.0, max(1, total))
+    elif sched_type == "cosine":
+        # CosineAnnealingLR(T_max=total, eta_min=1e-6)
+        main = optax.cosine_decay_schedule(
+            base_lr, max(1, total), alpha=1e-6 / base_lr if base_lr else 0.0
+        )
+    else:
+        raise NotImplementedError(f"Unknown lr_scheduler: {sched_type}")
     warmup = int(config.get("warmup_steps", 0))
     if warmup <= 0:
-        return base_lr
+        return main
     return optax.join_schedules(
         [
-            optax.linear_schedule(0.0, base_lr, warmup),
-            optax.constant_schedule(base_lr),
+            # LinearLR(start_factor=1/warmup): ramp base/warmup -> base
+            optax.linear_schedule(base_lr / warmup, base_lr, warmup),
+            main if callable(main) else optax.constant_schedule(main),
         ],
         [warmup],
     )

@@ -204,3 +204,78 @@ def test_tar_dataset_scan_and_cache(tmp_path):
     sb, batch = next(loader)
     assert batch["latents"].shape[0] == 2
     assert "t5_embed" in batch
+
+
+def test_subsample_ratio_and_fixed_interleave(image_dir):
+    """subsample_ratio truncates the seed-0 interleave (reference
+    dataset.py:970-985); the order is identical across epochs."""
+    pipeline = FakePipeline()
+    full = Dataset(_dataset_config(image_dir), pipeline)
+    m = DatasetManager(pipeline, caching_batch_size=2)
+    m.register(full)
+    m.cache()
+    full.post_init(0, 1, micro_batch_size=1, gradient_accumulation_steps=1)
+    n_full = full.batches_per_epoch()
+    assert len(full) == n_full
+
+    sub = Dataset(_dataset_config(image_dir, subsample_ratio=0.5), pipeline)
+    m2 = DatasetManager(pipeline, caching_batch_size=2)
+    m2.register(sub)
+    m2.cache()
+    sub.post_init(0, 1, micro_batch_size=1, gradient_accumulation_steps=1)
+    assert sub.batches_per_epoch() == int(n_full * 0.5)
+    # the subsampled order is the truncated prefix of the full order
+    assert sub.iteration_order == full.iteration_order[: len(sub)]
+    # identical order each epoch (reference shuffles ONCE with seed 0)
+    e1 = [sb for sb, _ in full.iter_epoch(1)]
+    e2 = [sb for sb, _ in full.iter_epoch(2)]
+    assert e1 == e2
+
+
+def test_default_mask_file_and_shuffle_metadata(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), np.uint8)
+        ).save(d / f"img_{i}.png")
+        (d / f"img_{i}.txt").write_text(f"cap {i}")
+    mask = tmp_path / "mask.png"
+    Image.fromarray(np.full((64, 64), 255, np.uint8)).save(mask)
+
+    cfg = _dataset_config(d)
+    cfg["directory"][0]["default_mask_file"] = str(mask)
+    ds = Dataset(cfg, FakePipeline())
+    buckets = ds.scan()
+    recs = [r for bs in buckets.values() for b in bs for r in b.records]
+    assert all(r.mask_path == str(mask) for r in recs)
+
+    # shuffle_metadata=False keeps sorted file order at the directory
+    # level (before the per-size-bucket shuffle)
+    cfg2 = _dataset_config(d, shuffle_metadata=False)
+    ds2 = Dataset(cfg2, FakePipeline())
+    g2 = ds2.directories[0].scan()
+    files = [r.spec[1] for recs in g2.values() for r in recs]
+    assert files == sorted(files)
+    # default (shuffle_metadata=True) permutes that order
+    g3 = Dataset(_dataset_config(d), FakePipeline()).directories[0].scan()
+    files3 = [r.spec[1] for recs in g3.values() for r in recs]
+    assert sorted(files3) == sorted(files)
+    assert files3 != files
+
+    # bogus default_mask_file fails fast
+    cfg3 = _dataset_config(d)
+    cfg3["directory"][0]["default_mask_file"] = str(tmp_path / "nope.png")
+    with pytest.raises(RuntimeError):
+        Dataset(cfg3, FakePipeline())
+
+
+def test_shuffle_tags_backcompat(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(d / "a.png")
+    (d / "a.txt").write_text("tag1, tag2, tag3")
+    cfg = _dataset_config(d, shuffle_tags=True)
+    ds = Dataset(cfg, FakePipeline())
+    assert ds.directories[0].cache_shuffle_num == 1

@@ -112,3 +112,57 @@ def test_sdxl_v_pred_and_weights_run():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     state, m = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sdxl_long_prompt_chunking():
+    """_tokenize splits >75-token prompts into [BOS ... EOS pad*] chunks and
+    shares ONE tokenizer between TEs (reference sdxl.py:390-393, 742-776)."""
+
+    class StubTok:
+        bos_token_id, eos_token_id, pad_token_id = 490, 491, 0
+
+        def __call__(self, text, truncation, add_special_tokens):
+            assert truncation is False and add_special_tokens is False
+            ids = [10 + (i % 100) for i in range(len(text.split()))]
+            return type("E", (), {"input_ids": ids})()
+
+    cfg = _config()
+    cfg["model"]["_tiny"] = False  # force the real tokenizer path
+    pipeline = get_model_class("sdxl")(cfg)
+    pipeline._tokenizer = StubTok()
+
+    short = "word " * 10
+    long = "word " * 100  # 100 tokens -> 2 chunks
+    ids = pipeline._tokenize([short.strip(), long.strip()])
+    assert ids.shape == (2, 2, 77)
+    # every chunk starts with BOS
+    assert (ids[:, :, 0] == 490).all()
+    # short prompt: first chunk has 10 tokens then EOS; second chunk empty
+    assert ids[0, 0, 11] == 491 and (ids[0, 0, 12:] == 0).all()
+    assert ids[0, 1, 1] == 491  # EOS right after BOS in the empty chunk
+    # long prompt: first chunk full 75 tokens + EOS in last slot
+    assert (ids[1, 0, 1:76] != 0).all() and ids[1, 0, 76] == 491
+    # second chunk has the remaining 25 tokens then EOS
+    assert (ids[1, 1, 1:26] != 0).all() and ids[1, 1, 26] == 491
+
+    batch = pipeline.host_prepare({"caption": ["a", "b"]})
+    assert batch["input_ids"] is batch["input_ids_2"]  # shared tokenizer
+
+
+def test_sdxl_multi_chunk_forward():
+    """The tiny model accepts [B, C, 77] chunked ids: context length C*77."""
+    cfg = _config()
+    pipeline = get_model_class("sdxl")(cfg)
+    optimizer = get_optimizer(cfg)
+    state = init_train_state(pipeline, optimizer, jax.random.PRNGKey(0),
+                             lora_predicate)
+    step = jax.jit(make_train_step(pipeline, optimizer))
+    b = 2
+    ids = np.random.default_rng(0).integers(0, 255, (b, 2, 77)).astype(np.int32)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16, 16)),
+        "input_ids": jnp.asarray(ids),
+        "input_ids_2": jnp.asarray(ids),
+    }
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))

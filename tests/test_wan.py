@@ -144,3 +144,32 @@ def test_wan_lora_export():
     assert sd["diffusion_model.blocks.0.self_attn.q.lora_A.weight"].shape == (
         4, pipeline.wan_config.dim,
     )
+
+
+def test_wan_uncached_text_embeddings():
+    """cache_text_embeddings=false: captions tokenized host-side, frozen
+    UMT5 runs inside the jitted step (reference wan.py:77, 338-342,
+    442-447); T5 params stay out of the train state."""
+    cfg = _config()
+    cfg["model"]["cache_text_embeddings"] = False
+    pipeline = get_model_class("wan")(cfg)
+    assert pipeline.cacheable_text_embeddings == ()
+    assert pipeline.pass_captions_to_batch
+    optimizer = get_optimizer(cfg)
+    state = init_train_state(pipeline, optimizer, jax.random.PRNGKey(0),
+                             lora_predicate)
+    assert "t5" not in str(jax.tree_util.tree_structure(state.trainable))
+    step = jax.jit(make_train_step(pipeline, optimizer))
+    batch = pipeline.host_prepare({
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (2, 16, 5, 16, 16))
+        * 0.5,
+        "caption": np.array(["a cat swims", "dog"]),
+    })
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    assert batch["t5_input_ids"].shape == (2, 16)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(3))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

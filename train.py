@@ -150,9 +150,29 @@ def main(argv=None):
     mesh = local_mesh_or_default(config)
     dp_world = mesh.shape["data"]
     base_lr = float(config.get("optimizer", {}).get("lr", 1e-4))
-    optimizer = get_optimizer(
-        config, lr_scales=pipeline.lr_scale_map(base_lr)
+    # linear/cosine lr_scheduler horizons need steps-per-epoch
+    # (reference train.py:837-846); post_init fixes the per-epoch batch
+    # count, so it runs before the optimizer is built
+    gas = config["gradient_accumulation_steps"]
+    train_data.post_init(
+        0, dp_world, bs_maps["train"], gas,
+        image_micro_batch_size=bs_maps["image"],
     )
+    for _, ds in eval_datasets:
+        ds.post_init(
+            0, dp_world, bs_maps["eval"],
+            config["eval_gradient_accumulation_steps"],
+            image_micro_batch_size=bs_maps["eval_image"],
+        )
+    steps_per_epoch = max(1, len(train_data) // gas)
+    config["_total_steps"] = int(config.get("epochs", 1)) * steps_per_epoch
+    # force_constant_lr overrides every LR group with one constant
+    # (reference train.py:883-886 sets all param-group lrs)
+    lr_scales = (
+        {} if "force_constant_lr" in config
+        else pipeline.lr_scale_map(base_lr)
+    )
+    optimizer = get_optimizer(config, lr_scales=lr_scales)
     predicate = predicate_from_config(config)
 
     try:
@@ -222,17 +242,6 @@ def main(argv=None):
         Image.fromarray(arr.transpose(1, 2, 0)).save(out_path)
         print(f"test sample written to {out_path}")
 
-    gas = config["gradient_accumulation_steps"]
-    train_data.post_init(
-        0, dp_world, bs_maps["train"], gas,
-        image_micro_batch_size=bs_maps["image"],
-    )
-    for _, ds in eval_datasets:
-        ds.post_init(
-            0, dp_world, bs_maps["eval"],
-            config["eval_gradient_accumulation_steps"],
-            image_micro_batch_size=bs_maps["eval_image"],
-        )
     loader = PipelineDataLoader(train_data, gas)
 
     saver = Saver(config, run_dir, pipeline, dataloader=loader)

@@ -32,9 +32,12 @@ from flax import traverse_util
 
 def stream_params_from_host(block_cls):
     """Wrap a (to-be-scanned) block module so its params are copied to
-    device memory at use time. No-op for already-device-resident params."""
+    device memory at use time. No-op for already-device-resident params
+    and on backends without a distinct host memory space (CPU)."""
 
     def to_device(tree):
+        if jax.default_backend() == "cpu":
+            return tree
         return jax.tree.map(
             lambda x: jax.device_put(x, jax.memory.Space.Device), tree
         )
@@ -49,9 +52,11 @@ def offload_param_stacks(tree: Any, stack_names: Sequence[str]):
     """Move param leaves under the named block stacks to host memory.
 
     Apply to BOTH partitions of the train state (scan inputs must share one
-    memory space). None leaves preserved.
+    memory space). None leaves preserved. No-op on backends without a
+    distinct host memory space (CPU), where host-annotated avals would
+    poison downstream dot_generals.
     """
-    if not stack_names:
+    if not stack_names or jax.default_backend() == "cpu":
         return tree
     flat = traverse_util.flatten_dict(tree)
     out = {}

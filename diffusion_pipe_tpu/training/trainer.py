@@ -32,26 +32,48 @@ def make_loss_fn(pipeline, timestep_quantile=None):
     return loss_fn
 
 
-def _offload_opt_state(opt_state, host_stacks):
+def _backend_has_host_memory() -> bool:
+    # the CPU backend aliases host==device and cannot lower in-graph
+    # annotate_device_placement custom calls; treat moves as no-ops there
+    return jax.default_backend() != "cpu"
+
+
+def _move_opt_state_stacks(opt_state, host_stacks,
+                           space=jax.memory.Space.Host):
     """Move optimizer-state leaves whose tree path passes through an
     offloaded stack name (works through optax NamedTuple states)."""
+    if not _backend_has_host_memory():
+        return opt_state
+
     def move(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
         if any(s in names for s in host_stacks):
-            return jax.device_put(leaf, jax.memory.Space.Host)
+            return jax.device_put(leaf, space)
         return leaf
 
     return jax.tree_util.tree_map_with_path(move, opt_state)
 
 
-def _move_stack_leaves_to_host(tree, host_stacks):
-    """Match grads/updates to host-resident offloaded params (scan inputs and
-    elementwise optimizer math must not mix memory spaces)."""
+# backwards-compatible name used by init_train_state
+def _offload_opt_state(opt_state, host_stacks):
+    return _move_opt_state_stacks(opt_state, host_stacks)
+
+
+def _move_stack_leaves(tree, host_stacks, space=jax.memory.Space.Host):
+    """Move leaves under the named stacks to the given memory space.
+
+    The XLA host-offload legalizer only splits SINGLE-operand ops across
+    the host/device boundary — elementwise math mixing host and device
+    operands is a compile-time CHECK failure on the axon runtime. So the
+    train step keeps every multiply/add on DEVICE and uses this helper for
+    clean one-operand transfers at the boundaries."""
+    if not _backend_has_host_memory():
+        return tree
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(tree)
     out = {
-        k: (jax.device_put(v, jax.memory.Space.Host)
+        k: (jax.device_put(v, space)
             if v is not None and any(s in k for s in host_stacks) else v)
         for k, v in flat.items()
     }
@@ -174,8 +196,19 @@ def make_train_step(
             loss = loss / gas
             grads = jax.tree.map(lambda g: g / gas, grads)
 
+        # grads come back on DEVICE; all optimizer math stays on device even
+        # for host-offloaded stacks (mixed host/device elementwise ops crash
+        # XLA's host-offload legalizer — see _move_stack_leaves). Offloaded
+        # params/opt-state are copied device-side for the update, then the
+        # refreshed leaves are copied back to pinned host memory.
+        src_trainable, src_opt = state.trainable, state.opt_state
         if host_stacks:
-            grads = _move_stack_leaves_to_host(grads, host_stacks)
+            src_trainable = _move_stack_leaves(
+                src_trainable, host_stacks, jax.memory.Space.Device
+            )
+            src_opt = _move_opt_state_stacks(
+                src_opt, host_stacks, jax.memory.Space.Device
+            )
         if skip_invalid_grads:
             finite = jax.tree.map(lambda g: jnp.isfinite(g).all(), grads)
             grads = jax.tree.map(
@@ -186,17 +219,18 @@ def make_train_step(
             scale = jnp.minimum(1.0, gradient_clipping / (grad_norm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
 
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.trainable
-        )
+        updates, opt_state = optimizer.update(grads, src_opt, src_trainable)
         if skip_invalid_grads:
             updates = jax.tree.map(
                 lambda u, ok: jnp.where(ok, u, jnp.zeros([], u.dtype)),
                 updates, finite,
             )
         trainable = _apply_updates(
-            state.trainable, updates, state.step, stochastic_rounding
+            src_trainable, updates, state.step, stochastic_rounding
         )
+        if host_stacks:
+            trainable = _move_stack_leaves(trainable, host_stacks)
+            opt_state = _move_opt_state_stacks(opt_state, host_stacks)
         batch_size = jax.tree.leaves(batch)[0].shape[0]
         new_state = state.replace(
             step=state.step + 1,
@@ -254,6 +288,23 @@ def make_eval_step(pipeline, loss_builder=None):
     return eval_step
 
 
+def jit_train_step(step_fn, state, donate=True):
+    """jax.jit a train step with entry-output layouts pinned to each state
+    leaf's CURRENT memory kind. Required for host-offloaded stacks
+    (blocks_to_swap analogue): updated params/opt-state computed for
+    pinned_host leaves are moved back to host inside the graph, and XLA
+    demands the matching output layout annotation — plain jax.jit fails
+    with "moved to host ... but the layout for this output is not set"."""
+    out_sh = jax.tree.map(
+        lambda l: l.sharding if isinstance(l, jax.Array) else None, state
+    )
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+        out_shardings=(out_sh, None),
+    )
+
+
 def init_train_state(
     pipeline, optimizer, rng, predicate, params=None, host_stacks=()
 ) -> TrainState:
@@ -281,9 +332,14 @@ def init_train_state(
     if host_stacks:
         from ..parallel.offload import offload_param_stacks
 
+        # init the optimizer BEFORE moving params host-side: optax init runs
+        # eager zeros_like-style ops, and the runtime cannot target host
+        # memory from eager compute (outputs inherit the pinned_host
+        # sharding but land in device buffers). Device-init then d2h-move
+        # both params and the mirroring opt-state leaves.
+        opt_state = optimizer.init(trainable)
         trainable = offload_param_stacks(trainable, host_stacks)
         frozen = offload_param_stacks(frozen, host_stacks)
-        opt_state = optimizer.init(trainable)
         # optimizer-state leaves mirroring offloaded params go host-side too
         # (elementwise optimizer math must not mix memory spaces)
         opt_state = _offload_opt_state(opt_state, host_stacks)

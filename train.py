@@ -205,12 +205,7 @@ def main(argv=None):
                 getattr(pipeline, "flux_config", None), "num_single_layers", 0
             ) or 0,
         )
-        print(
-            f"host-offloading block stacks: {host_stacks} "
-            "(EXPERIMENTAL: per-block host->HBM streaming verifies in "
-            "isolation, but the current axon PJRT runtime can reject "
-            "memory-kind outputs; unset blocks_to_swap if the step fails)"
-        )
+        print(f"host-offloading block stacks: {host_stacks}")
     state = init_train_state(
         pipeline, optimizer, jax.random.PRNGKey(config["seed"]), predicate,
         params=params, host_stacks=host_stacks,
@@ -302,7 +297,14 @@ def main(argv=None):
         loss_fn_override=pp_loss,
         grad_fn_override=pp_grad,
     )
-    train_step = jax.jit(train_step_raw, donate_argnums=(0,))
+    if host_stacks:
+        # entry-output layouts must carry the pinned_host memory kinds of
+        # the offloaded leaves (trainer.jit_train_step)
+        from diffusion_pipe_tpu.training.trainer import jit_train_step
+
+        train_step = jit_train_step(train_step_raw, state)
+    else:
+        train_step = jax.jit(train_step_raw, donate_argnums=(0,))
     eval_step_raw = make_eval_step(pipeline, loss_builder=pp_eval_builder)
     eval_step = jax.jit(eval_step_raw, static_argnums=(3,))
 

@@ -9,7 +9,8 @@ Re-implements reference models/sdxl.py training semantics:
 - text encoders run IN-GRAPH (reference get_text_encoders -> [] means
   "don't cache": sdxl.py:426-428); CLIP-L + CLIP-G penultimate hidden
   states concatenated, CLIP-G pooled for add_text_embeds. Trainable in
-  full fine-tune (per-module LRs pending), frozen under LoRA.
+  full fine-tune (unet_lr / text_encoder_{1,2}_lr LR groups via
+  lr_scale_map), frozen under LoRA.
 - captions flow to the trainer and are tokenized host-side via
   host_prepare() (strings can't enter jit). Arbitrary prompt lengths are
   supported via the reference's 75-token chunking (sdxl.py:742-776): one

@@ -27,20 +27,93 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 from flax import traverse_util
+
+
+# Sub-32-bit host DMA is broken in the axon PJRT runtime (bf16/fp8/int8
+# host-resident scan inputs crash compile or execution; float32 streams
+# fine at ~8 GB/s). Workaround: host copies of narrow-dtype leaves are
+# BIT-PACKED into uint32 and unpacked on device right after the per-block
+# transfer. The logical dtype/shape is encoded STATICALLY in the storage
+# key name so the unpacking trans_in_fn needs no side-channel:
+#   {"kernel": bf16[a, b]}  ->  {"kernel": {"__packed__|bfloat16|a,b|p":
+#                                           uint32[..., ceil(a*b/2)]}}
+# (p = pad elements added to fill the last word).
+_PACK_TAG = "__packed__"
+
+
+def _pack_key(dtype, shape, pad) -> str:
+    dims = ",".join(str(d) for d in shape)
+    return f"{_PACK_TAG}|{jnp.dtype(dtype).name}|{dims}|{pad}"
+
+
+def _parse_pack_key(key: str):
+    _, dtype, dims, pad = key.split("|")
+    shape = tuple(int(d) for d in dims.split(",")) if dims else ()
+    return jnp.dtype(dtype), shape, int(pad)
+
+
+def _pack_leaf(x, lead_axes: int):
+    """x [lead..., rest...] -> uint32 [lead..., packed] preserving the
+    leading (scan-stacked) axes; returns (packed, key) or (x, None) when
+    packing is unnecessary (>=4-byte dtypes)."""
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if itemsize >= 4:
+        return x, None
+    ratio = 4 // itemsize
+    lead = x.shape[:lead_axes]
+    rest = x.shape[lead_axes:]
+    n = 1
+    for d in rest:
+        n *= d
+    pad = (-n) % ratio
+    flat = jnp.reshape(x, lead + (n,))
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros(lead + (pad,), x.dtype)], axis=-1
+        )
+    words = jax.lax.bitcast_convert_type(
+        jnp.reshape(flat, lead + ((n + pad) // ratio, ratio)), jnp.uint32
+    )
+    return words, _pack_key(x.dtype, rest, pad)
+
+
+def _unpack_leaf(words, key: str):
+    """Inverse of _pack_leaf for a PER-BLOCK slice (leading axes consumed
+    by the scan): uint32 [packed] -> dtype [rest...]."""
+    dtype, rest, pad = _parse_pack_key(key)
+    flat = jax.lax.bitcast_convert_type(words, dtype).reshape(-1)
+    if pad:
+        flat = flat[: flat.shape[0] - pad]
+    return flat.reshape(rest)
+
+
+def _unpack_tree(tree):
+    """Storage format -> logical format, device-resident."""
+    if isinstance(tree, dict):
+        if len(tree) == 1:
+            (k, v), = tree.items()
+            if isinstance(k, str) and k.startswith(_PACK_TAG):
+                return _unpack_leaf(
+                    jax.device_put(v, jax.memory.Space.Device), k
+                )
+        return {k: _unpack_tree(v) for k, v in tree.items()}
+    return jax.tree.map(
+        lambda x: jax.device_put(x, jax.memory.Space.Device), tree
+    )
 
 
 def stream_params_from_host(block_cls):
     """Wrap a (to-be-scanned) block module so its params are copied to
-    device memory at use time. No-op for already-device-resident params
-    and on backends without a distinct host memory space (CPU)."""
+    device memory at use time (unpacking uint32-packed narrow dtypes).
+    No-op for already-device-resident params and on backends without a
+    distinct host memory space (CPU)."""
 
     def to_device(tree):
         if jax.default_backend() == "cpu":
             return tree
-        return jax.tree.map(
-            lambda x: jax.device_put(x, jax.memory.Space.Device), tree
-        )
+        return _unpack_tree(tree)
 
     return nn.map_variables(
         block_cls, "params", trans_in_fn=to_device,
@@ -48,21 +121,36 @@ def stream_params_from_host(block_cls):
     )
 
 
-def offload_param_stacks(tree: Any, stack_names: Sequence[str]):
-    """Move param leaves under the named block stacks to host memory.
+def offload_param_stacks(tree: Any, stack_names: Sequence[str],
+                         lead_axes: int = 1):
+    """Move param leaves under the named block stacks to host memory,
+    bit-packing sub-32-bit dtypes (see _PACK_TAG note above).
 
-    Apply to BOTH partitions of the train state (scan inputs must share one
-    memory space). None leaves preserved. No-op on backends without a
+    Apply to the FROZEN partition only — the reference's block swap
+    likewise keeps optimizer-stepped (LoRA) params on the accelerator
+    (utils/offloading.py:54-61), and the packed storage is not
+    differentiable. None leaves preserved. No-op on backends without a
     distinct host memory space (CPU), where host-annotated avals would
     poison downstream dot_generals.
     """
     if not stack_names or jax.default_backend() == "cpu":
         return tree
+    from flax.core import meta
+
     flat = traverse_util.flatten_dict(tree)
     out = {}
     for k, v in flat.items():
         if v is not None and any(name in k for name in stack_names):
-            v = jax.device_put(v, jax.memory.Space.Host)
+            boxed = isinstance(v, meta.AxisMetadata)
+            arr = v.unbox() if boxed else v
+            packed, key = _pack_leaf(arr, lead_axes)
+            packed = jax.device_put(packed, jax.memory.Space.Host)
+            if key is not None:
+                # sharding metadata does not survive packing; host-resident
+                # single-buffer storage has no use for it anyway
+                out[k + (key,)] = packed
+                continue
+            v = v.replace_boxed(packed) if boxed else packed
         out[k] = v
     return traverse_util.unflatten_dict(out)
 

@@ -93,6 +93,11 @@ def merge_params(trainable: Any, frozen: Any):
         k: (flat_t.get(k) if flat_t.get(k) is not None else flat_f.get(k))
         for k in set(flat_t) | set(flat_f)
     }
+    # drop placeholder Nones: every real leaf lives in exactly one
+    # partition, and packed host storage (offload_param_stacks) nests an
+    # extra key level under the original path, whose None twin from the
+    # other partition would otherwise shadow the subtree
+    merged = {k: v for k, v in merged.items() if v is not None}
     return traverse_util.unflatten_dict(merged)
 
 

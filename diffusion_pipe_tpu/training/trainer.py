@@ -32,54 +32,6 @@ def make_loss_fn(pipeline, timestep_quantile=None):
     return loss_fn
 
 
-def _backend_has_host_memory() -> bool:
-    # the CPU backend aliases host==device and cannot lower in-graph
-    # annotate_device_placement custom calls; treat moves as no-ops there
-    return jax.default_backend() != "cpu"
-
-
-def _move_opt_state_stacks(opt_state, host_stacks,
-                           space=jax.memory.Space.Host):
-    """Move optimizer-state leaves whose tree path passes through an
-    offloaded stack name (works through optax NamedTuple states)."""
-    if not _backend_has_host_memory():
-        return opt_state
-
-    def move(path, leaf):
-        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
-        if any(s in names for s in host_stacks):
-            return jax.device_put(leaf, space)
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(move, opt_state)
-
-
-# backwards-compatible name used by init_train_state
-def _offload_opt_state(opt_state, host_stacks):
-    return _move_opt_state_stacks(opt_state, host_stacks)
-
-
-def _move_stack_leaves(tree, host_stacks, space=jax.memory.Space.Host):
-    """Move leaves under the named stacks to the given memory space.
-
-    The XLA host-offload legalizer only splits SINGLE-operand ops across
-    the host/device boundary — elementwise math mixing host and device
-    operands is a compile-time CHECK failure on the axon runtime. So the
-    train step keeps every multiply/add on DEVICE and uses this helper for
-    clean one-operand transfers at the boundaries."""
-    if not _backend_has_host_memory():
-        return tree
-    from flax import traverse_util
-
-    flat = traverse_util.flatten_dict(tree)
-    out = {
-        k: (jax.device_put(v, space)
-            if v is not None and any(s in k for s in host_stacks) else v)
-        for k, v in flat.items()
-    }
-    return traverse_util.unflatten_dict(out)
-
-
 def make_train_step(
     pipeline,
     optimizer: optax.GradientTransformation,
@@ -196,19 +148,12 @@ def make_train_step(
             loss = loss / gas
             grads = jax.tree.map(lambda g: g / gas, grads)
 
-        # grads come back on DEVICE; all optimizer math stays on device even
-        # for host-offloaded stacks (mixed host/device elementwise ops crash
-        # XLA's host-offload legalizer — see _move_stack_leaves). Offloaded
-        # params/opt-state are copied device-side for the update, then the
-        # refreshed leaves are copied back to pinned host memory.
+        # grads come back on DEVICE and the whole optimizer path stays on
+        # device: host offload applies to the FROZEN partition only (the
+        # reference's block swap likewise keeps optimizer-stepped LoRA
+        # params on the accelerator, utils/offloading.py:54-61), so
+        # trainable params and optimizer state never leave HBM.
         src_trainable, src_opt = state.trainable, state.opt_state
-        if host_stacks:
-            src_trainable = _move_stack_leaves(
-                src_trainable, host_stacks, jax.memory.Space.Device
-            )
-            src_opt = _move_opt_state_stacks(
-                src_opt, host_stacks, jax.memory.Space.Device
-            )
         if skip_invalid_grads:
             finite = jax.tree.map(lambda g: jnp.isfinite(g).all(), grads)
             grads = jax.tree.map(
@@ -228,9 +173,6 @@ def make_train_step(
         trainable = _apply_updates(
             src_trainable, updates, state.step, stochastic_rounding
         )
-        if host_stacks:
-            trainable = _move_stack_leaves(trainable, host_stacks)
-            opt_state = _move_opt_state_stacks(opt_state, host_stacks)
         batch_size = jax.tree.leaves(batch)[0].shape[0]
         new_state = state.replace(
             step=state.step + 1,
@@ -332,17 +274,11 @@ def init_train_state(
     if host_stacks:
         from ..parallel.offload import offload_param_stacks
 
-        # init the optimizer BEFORE moving params host-side: optax init runs
-        # eager zeros_like-style ops, and the runtime cannot target host
-        # memory from eager compute (outputs inherit the pinned_host
-        # sharding but land in device buffers). Device-init then d2h-move
-        # both params and the mirroring opt-state leaves.
+        # only the FROZEN partition offloads (reference block-swap keeps
+        # optimizer-stepped params resident); optax init runs eager
+        # zeros_like-style ops which must see device-resident params
         opt_state = optimizer.init(trainable)
-        trainable = offload_param_stacks(trainable, host_stacks)
         frozen = offload_param_stacks(frozen, host_stacks)
-        # optimizer-state leaves mirroring offloaded params go host-side too
-        # (elementwise optimizer math must not mix memory spaces)
-        opt_state = _offload_opt_state(opt_state, host_stacks)
     else:
         opt_state = optimizer.init(trainable)
     return TrainState(

@@ -86,6 +86,20 @@ def main(argv=None):
     # --- caching phase ------------------------------------------------------
     train_data = Dataset(dataset_config, pipeline,
                          support_video=pipeline.framerate is not None)
+    if not args.i_know_what_i_am_doing:
+        # reference DirectoryDataset.validate (dataset.py:521-529): many
+        # resolutions multiplies the bucket count (and here, the number of
+        # compiled XLA programs) — refuse unless explicitly overridden
+        for d in train_data.directories:
+            n_res = len(d.resolutions or [])
+            if n_res > 3:
+                print(
+                    f"WARNING: {d.path} configures {n_res} resolutions. "
+                    "Each resolution multiplies the size-bucket count and "
+                    "the number of compiled train-step programs. Re-run "
+                    "with --i_know_what_i_am_doing to proceed anyway."
+                )
+                return 1
     eval_datasets = []
     for eval_cfg_path in config.get("eval_datasets", []):
         name = Path(eval_cfg_path).stem

@@ -32,6 +32,18 @@ def _use_flash(q, k) -> bool:
     return q.shape[1] >= _MIN_SEQ_FOR_FLASH
 
 
+def _pick_block(s: int, pref: int) -> int:
+    """Largest multiple of LANES <= pref that divides s (so the kernel runs
+    the unmasked, unpadded path); falls back to pref when s has no usable
+    divisor (or is smaller than one lane tile)."""
+    best = 0
+    top = min(s, pref)
+    for m in range(LANES, top + 1, LANES):
+        if s % m == 0:
+            best = m
+    return best or min(pref, round_up_to_multiple(s, LANES))
+
+
 def _xla_attention(q, k, v, kv_mask, scale):
     """Reference XLA implementation, [B, S, H, D] layout, f32 softmax."""
     logits = jnp.einsum(
@@ -82,9 +94,16 @@ def dot_product_attention(
 
     # (512, 2048) measured best on v5e at 8k tokens: large K blocks amortize
     # the per-block online-softmax bookkeeping against MXU work
-    # (52 -> 103 TFLOP/s forward)
-    block_q = min(512, round_up_to_multiple(sq, LANES))
-    block_k = min(2048, round_up_to_multiple(skv, LANES))
+    # (52 -> 103 TFLOP/s forward). When the lengths don't divide the
+    # preferred blocks, prefer DIVISOR blocks over pad+mask: the masked
+    # kernel runs ~2.6x slower (jnp.where on every [bq, bk] tile breaks the
+    # MXU pipeline; measured 38 vs 100+ TFLOP/s on 21504-token wan video
+    # self-attention, which 2048 does not divide).
+    block_q = _pick_block(sq, 512)
+    block_k = _pick_block(skv, 2048)
+    if block_q * block_k > 512 * 2048:
+        # scoped-VMEM budget: the f32 [bq, bk] score/prob tiles dominate
+        block_q = _pick_block(sq, 512 * 2048 // block_k)
     sq_pad = round_up_to_multiple(sq, block_q)
     skv_pad = round_up_to_multiple(skv, block_k)
 

@@ -107,6 +107,10 @@ def _fwd_kernel(
 def _flash_forward(q, k, v, kvmask, scale, block_q, block_k):
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
+    assert sq % block_q == 0 and skv % block_k == 0, (
+        f"sequence ({sq}, {skv}) must divide blocks ({block_q}, {block_k}); "
+        "use ops.attention.dot_product_attention for arbitrary lengths"
+    )
     nq = sq // block_q
     nk = skv // block_k
 
@@ -294,6 +298,7 @@ def _dkv_kernel_nomask(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref,
 def _flash_backward(q, k, v, kvmask, o, lse, do, scale, block_q, block_k):
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
+    assert sq % block_q == 0 and skv % block_k == 0
     nq = sq // block_q
     nk = skv // block_k
 

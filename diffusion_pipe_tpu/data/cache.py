@@ -56,6 +56,7 @@ class Cache:
         self.db.commit()
 
     def clear(self):
+        self._invalidate_reader()
         self.db.execute("DELETE FROM items")
         self.db.execute("DELETE FROM meta")
         self.db.commit()
@@ -94,17 +95,65 @@ class Cache:
             (idx, shard, offset, len(blob)),
         )
         self.db.commit()
+        self._invalidate_reader()
+
+    def _native_reader(self):
+        """mmap + prefetch-thread reader (native/cache_reader.cpp); None
+        when the toolchain is unavailable. Rebuilt lazily after writes."""
+        if getattr(self, "_reader", None) is not None:
+            return self._reader
+        if getattr(self, "_reader_failed", False):
+            return None
+        try:
+            from .native_cache import MISSING, NativeCacheReader, available
+
+            if not available():
+                raise RuntimeError("no native reader")
+            rows = self.db.execute(
+                "SELECT idx, shard, offset, size FROM items"
+            ).fetchall()
+            if not rows:
+                raise RuntimeError("empty cache")
+            n = max(r[0] for r in rows) + 1
+            items = np.full((n, 3), MISSING, np.uint64)
+            max_shard = 0
+            for i, shard, offset, size in rows:
+                items[i] = (shard, offset, size)
+                max_shard = max(max_shard, shard)
+            paths = [self._shard_path(s) for s in range(max_shard + 1)]
+            self._reader = NativeCacheReader(paths, items)
+        except Exception:
+            self._reader_failed = True
+            self._reader = None
+        return self._reader
+
+    def _invalidate_reader(self):
+        if getattr(self, "_reader", None) is not None:
+            self._reader.close()
+        self._reader = None
+        self._reader_failed = False
+
+    def prefetch(self, indices):
+        """Warm pages for upcoming records (no-op without the native lib)."""
+        r = self._native_reader()
+        if r is not None:
+            r.prefetch(indices)
 
     def read(self, idx: int, with_metadata: bool = False):
-        row = self.db.execute(
-            "SELECT shard, offset, size FROM items WHERE idx=?", (idx,)
-        ).fetchone()
-        if row is None:
-            raise KeyError(idx)
-        shard, offset, size = row
-        with open(self._shard_path(shard), "rb") as f:
-            f.seek(offset)
-            blob = f.read(size)
+        blob = None
+        r = self._native_reader()
+        if r is not None:
+            blob = r.read(idx)
+        if blob is None:
+            row = self.db.execute(
+                "SELECT shard, offset, size FROM items WHERE idx=?", (idx,)
+            ).fetchone()
+            if row is None:
+                raise KeyError(idx)
+            shard, offset, size = row
+            with open(self._shard_path(shard), "rb") as f:
+                f.seek(offset)
+                blob = f.read(size)
         tensors = st_load(blob)
         if not with_metadata:
             return tensors
@@ -132,6 +181,7 @@ class Cache:
         return n if max_idx == n - 1 else 0
 
     def close(self):
+        self._invalidate_reader()
         self.db.close()
 
 

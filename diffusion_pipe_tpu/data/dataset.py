@@ -432,6 +432,15 @@ class SizeBucketDataset:
             item["caption"] = np.str_(self.records[rec_i].captions[cap_i])
         return item
 
+    def prefetch(self, indices):
+        """Page-warm upcoming records (native reader; no-op otherwise)."""
+        n = len(self.iteration_order)
+        order = [self.iteration_order[i % n] for i in indices]
+        self.latent_cache.prefetch([rec_i for rec_i, _ in order])
+        for cache in self.te_caches:
+            if cache is not None:
+                cache.prefetch([i % n for i in indices])
+
 
 class ConcatenatedBatchedDataset:
     """Same size bucket across directories, sliced into global batches
@@ -464,14 +473,27 @@ class ConcatenatedBatchedDataset:
         return self.num_global_batches
 
     def get_batch(self, batch_idx: int) -> List[Dict[str, np.ndarray]]:
-        """This DP rank's examples for one step: gas*mbs examples."""
+        """This DP rank's examples for one step: gas*mbs examples. Warms
+        the NEXT batch's cache pages through the native reader's prefetch
+        threads (Cache.prefetch; no-op without the C++ lib) so large video
+        latents stream from the page cache while the step runs."""
         assert self.post_initialized
-        start = batch_idx * self.global_batch
         per_rank = self.mbs * self.gas
-        sl = self.index[
-            start + self.dp_rank * per_rank : start + (self.dp_rank + 1) * per_rank
-        ]
-        return [self.buckets[bi][i] for bi, i in sl]
+
+        def rank_slice(bidx):
+            start = bidx * self.global_batch
+            return self.index[
+                start + self.dp_rank * per_rank
+                : start + (self.dp_rank + 1) * per_rank
+            ]
+
+        if batch_idx + 1 < self.num_global_batches:
+            pending = {}
+            for bi, i in rank_slice(batch_idx + 1):
+                pending.setdefault(bi, []).append(i)
+            for bi, idxs in pending.items():
+                self.buckets[bi].prefetch(idxs)
+        return [self.buckets[bi][i] for bi, i in rank_slice(batch_idx)]
 
 
 def collate(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -465,6 +465,35 @@ class WanPipeline(BasePipeline):
 
         return [te]
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (t2v preview;
+        reference CommonPipeline.sample, models/base.py:263-291). Returns
+        latents [B, 16, F, h, w]."""
+        from ..training.sampling import euler_flow_sample
+
+        ctx = embeds["text_embeddings"].astype(jnp.float32)
+        pad = self.wan_config.text_len - ctx.shape[1]
+        if pad > 0:
+            ctx = jnp.pad(ctx, ((0, 0), (0, pad), (0, 0)))
+        b = ctx.shape[0]
+        f = max(1, (int(num_frames) - 1) // 4 + 1)  # VAE 4x temporal
+        h, w = height // 8, width // 8
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                x=x.astype(self.wan_config.dtype),
+                t=t * 1000.0,
+                context=ctx,
+                clip_fea=None,
+            ))
+
+        return euler_flow_sample(
+            vel, (b, 16, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift", 3.0),
+        )
+
     def load_weights(self):
         from .weights import load_safetensors_dir
 

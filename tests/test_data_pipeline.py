@@ -279,3 +279,35 @@ def test_shuffle_tags_backcompat(tmp_path):
     cfg = _dataset_config(d, shuffle_tags=True)
     ds = Dataset(cfg, FakePipeline())
     assert ds.directories[0].cache_shuffle_num == 1
+
+
+def test_native_cache_reader_matches_python(tmp_path):
+    """The mmap+prefetch C++ reader (native/cache_reader.cpp) returns
+    byte-identical records to the Python read path and tolerates missing
+    indices, invalidation-on-write, and prefetch calls."""
+    from diffusion_pipe_tpu.data import native_cache
+
+    if not native_cache.available():
+        import pytest
+
+        pytest.skip("no C++ toolchain for the native reader")
+    c = Cache(tmp_path / "c", "fp1", shard_size=4096)  # force multi-shard
+    rng = np.random.default_rng(0)
+    tensors = []
+    for i in range(12):
+        t = {"a": rng.standard_normal((64, 8)).astype(np.float32),
+             "b": rng.integers(0, 100, (5,)).astype(np.int32)}
+        tensors.append(t)
+        c.write(i, t, {"caption": f"cap {i}"})
+    assert c._native_reader() is not None  # built and loaded
+    c.prefetch(np.arange(12))
+    for i in range(12):
+        out = c.read(i)
+        np.testing.assert_array_equal(out["a"], tensors[i]["a"])
+        np.testing.assert_array_equal(out["b"], tensors[i]["b"])
+    _, meta = c.read(3, with_metadata=True)
+    assert meta["caption"] == "cap 3"
+    # write invalidates; reader rebuilds with the new record
+    c.write(12, {"a": np.ones((2, 2), np.float32)})
+    np.testing.assert_array_equal(c.read(12)["a"], np.ones((2, 2)))
+    c.close()

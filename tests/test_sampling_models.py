@@ -44,3 +44,16 @@ def test_lumina2_sample_shape_finite():
     )
     assert lat.shape == (1, 16, 8, 8)
     assert np.isfinite(np.asarray(lat)).all()
+
+
+def test_wan_sample_shape_finite():
+    pipe = get_model_class("wan")(_cfg("wan"))
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    k = jax.random.PRNGKey(1)
+    lat = pipe.sample(
+        params, width=64, height=64, key=jax.random.PRNGKey(2), num_steps=4,
+        num_frames=5,
+        text_embeddings=jax.random.normal(k, (1, 10, 32)),
+    )
+    assert lat.shape == (1, 16, 2, 8, 8)
+    assert np.isfinite(np.asarray(lat)).all()

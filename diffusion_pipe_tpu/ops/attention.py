@@ -32,16 +32,21 @@ def _use_flash(q, k) -> bool:
     return q.shape[1] >= _MIN_SEQ_FOR_FLASH
 
 
-def _pick_block(s: int, pref: int) -> int:
+def _pick_block(s: int, pref: int, min_divisor: int = 1024) -> int:
     """Largest multiple of LANES <= pref that divides s (so the kernel runs
-    the unmasked, unpadded path); falls back to pref when s has no usable
-    divisor (or is smaller than one lane tile)."""
+    the unmasked, unpadded path). A too-small divisor costs more in
+    per-block online-softmax bookkeeping than ragged-tail padding does
+    (e.g. 18900 tokens: divisor 512 runs at 63 TFLOP/s vs ~100 for 2048
+    blocks + tail_len), so below min_divisor we fall back to the preferred
+    block and let the dispatcher pad + tail-mask the last block."""
     best = 0
     top = min(s, pref)
     for m in range(LANES, top + 1, LANES):
         if s % m == 0:
             best = m
-    return best or min(pref, round_up_to_multiple(s, LANES))
+    if best and (best >= min_divisor or best == top):
+        return best
+    return min(pref, round_up_to_multiple(s, LANES))
 
 
 def _xla_attention(q, k, v, kv_mask, scale):
@@ -99,7 +104,7 @@ def dot_product_attention(
     # kernel runs ~2.6x slower (jnp.where on every [bq, bk] tile breaks the
     # MXU pipeline; measured 38 vs 100+ TFLOP/s on 21504-token wan video
     # self-attention, which 2048 does not divide).
-    block_q = _pick_block(sq, 512)
+    block_q = _pick_block(sq, 512, min_divisor=256)
     block_k = _pick_block(skv, 2048)
     if block_q * block_k > 512 * 2048:
         # scoped-VMEM budget: the f32 [bq, bk] score/prob tiles dominate
@@ -109,16 +114,21 @@ def dot_product_attention(
 
     if sq_pad != sq:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
-    if skv_pad != skv or kv_mask is not None:
-        if kv_mask is None:
-            kv_mask = jnp.ones((b, skv), jnp.int32)
-        kv_mask = jnp.pad(kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv)))
+    tail_len = None
+    if kv_mask is not None:
+        kv_mask = jnp.pad(
+            kv_mask.astype(jnp.int32), ((0, 0), (0, skv_pad - skv))
+        )
+    elif skv_pad != skv:
+        # ragged tail: only the LAST kv block carries padded keys, masked
+        # in-kernel by tail_len — the full mask tensor path costs ~2.6x
+        tail_len = skv - (skv_pad // block_k - 1) * block_k
     if skv_pad != skv:
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, skv_pad - skv), (0, 0)))
 
     out = flash_attention(
-        qt, kt, vt, kv_mask, scale, block_q, block_k
+        qt, kt, vt, kv_mask, scale, block_q, block_k, tail_len
     )
     if sq_pad != sq:
         out = out[:, :, :sq, :]

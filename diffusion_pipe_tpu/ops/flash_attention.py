@@ -328,7 +328,9 @@ def _flash_backward(q, k, v, kvmask, o, lse, do, scale, block_q, block_k):
         args.append(kvmask)
         dq_kern = functools.partial(_dq_kernel, scale=scale, num_k_blocks=nk)
     else:
-        dq_kern = functools.partial(_dq_kernel_nomask, scale=scale, num_k_blocks=nk)
+        dq_kern = functools.partial(
+            _dq_kernel_nomask, scale=scale, num_k_blocks=nk
+        )
 
     dq = pl.pallas_call(
         dq_kern,
@@ -396,7 +398,7 @@ def _flash_backward(q, k, v, kvmask, o, lse, do, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -405,6 +407,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 512,
     block_k: int = 2048,
+    tail_len: Optional[int] = None,
 ) -> jax.Array:
     """Blockwise flash attention on TPU.
 
@@ -414,9 +417,14 @@ def flash_attention(
         ops/attention.py pads + masks arbitrary lengths).
       kv_mask: optional [B, Skv] int32/bool; nonzero = valid key position.
       scale: softmax scale, default 1/sqrt(D).
+      tail_len: number of VALID keys in the LAST kv block (ragged padding
+        to a block multiple); exclusive with kv_mask. Only the last block
+        pays any masking cost.
     Returns [B, H, Sq, D] in q.dtype.
     """
-    o, _ = _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k)
+    o, _ = _flash_attention_fwd_res(
+        q, k, v, kv_mask, scale, block_q, block_k, tail_len
+    )
     return o
 
 
@@ -427,26 +435,99 @@ def _prep_mask(kv_mask):
     return jnp.broadcast_to(m[:, None, :], (m.shape[0], SUBLANES, m.shape[1]))
 
 
-def _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k):
+def _split_tail(k, block_k, tail_len):
+    """Static split point: the ragged region is the final kv block."""
+    skv = k.shape[2]
+    main = skv - block_k
+    assert 0 < tail_len <= block_k and main % block_k == 0 and main > 0
+    return main
+
+
+def _tail_mask_tensor(batch, block_k, tail_len):
+    idx = jnp.arange(block_k)[None, :]
+    return jnp.broadcast_to(idx < tail_len, (batch, block_k)).astype(jnp.int32)
+
+
+def _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k,
+                             tail_len=None):
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     block_q = min(block_q, q.shape[2])
     block_k = min(block_k, k.shape[2])
+    if tail_len is not None and k.shape[2] <= block_k:
+        # single-block sequence: masked kernel over one block is cheap; the
+        # synthetic mask stays OUT of the residuals (primal kv_mask is None
+        # and _flash_attention_bwd rebuilds it from tail_len)
+        tmask = _prep_mask(
+            _tail_mask_tensor(q.shape[0], k.shape[2], tail_len)
+        )
+        o, lse = _flash_forward(q, k, v, tmask, scale, block_q, block_k)
+        return o, (q, k, v, kv_mask, o, lse)
+    if tail_len is not None and tail_len < k.shape[2]:
+        # Ragged lengths: run the hot MASKLESS kernel over the full-block
+        # prefix and a single masked block over the padded tail, then merge
+        # the two partial softmaxes by logsumexp. The per-tile jnp.where of
+        # the masked kernel (2.6x slowdown) is thus paid only on one tail
+        # block instead of the whole sequence.
+        main = _split_tail(k, block_k, tail_len)
+        o1, lse1 = _flash_forward(
+            q, k[:, :, :main], v[:, :, :main], None, scale, block_q, block_k
+        )
+        tmask = _prep_mask(_tail_mask_tensor(q.shape[0], block_k, tail_len))
+        o2, lse2 = _flash_forward(
+            q, k[:, :, main:], v[:, :, main:], tmask, scale, block_q, block_k
+        )
+        m = jnp.maximum(lse1, lse2)
+        w1 = jnp.exp(lse1 - m)
+        w2 = jnp.exp(lse2 - m)
+        l = w1 + w2
+        o = ((w1 * o1.astype(jnp.float32) + w2 * o2.astype(jnp.float32)) / l
+             ).astype(q.dtype)
+        lse = m + jnp.log(l)
+        return o, (q, k, v, kv_mask, o, lse)
     mask3 = _prep_mask(kv_mask)
     o, lse = _flash_forward(q, k, v, mask3, scale, block_q, block_k)
     return o, (q, k, v, kv_mask, o, lse)
 
 
-def _flash_attention_fwd(q, k, v, kv_mask, scale, block_q, block_k):
-    return _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k)
+def _flash_attention_fwd(q, k, v, kv_mask, scale, block_q, block_k,
+                         tail_len=None):
+    return _flash_attention_fwd_res(
+        q, k, v, kv_mask, scale, block_q, block_k, tail_len
+    )
 
 
-def _flash_attention_bwd(scale, block_q, block_k, res, do):
+def _flash_attention_bwd(scale, block_q, block_k, tail_len, res, do):
     q, k, v, kv_mask, o, lse = res
     if scale is None:
         scale = 1.0 / (q.shape[-1] ** 0.5)
     block_q = min(block_q, q.shape[2])
     block_k = min(block_k, k.shape[2])
+    if tail_len is not None and k.shape[2] <= block_k:
+        # single ragged block: masked kernel, but the PRIMAL kv_mask slot
+        # stays None for the cotangent structure
+        tmask = _prep_mask(_tail_mask_tensor(q.shape[0], k.shape[2], tail_len))
+        dq, dk, dv = _flash_backward(
+            q, k, v, tmask, o, lse, do, scale, block_q, block_k
+        )
+        return dq, dk, dv, None
+    if tail_len is not None and tail_len < k.shape[2]:
+        # Each part's backward against the MERGED lse partitions the exact
+        # global-softmax gradient: p = exp(s - lse_global) per block set.
+        main = _split_tail(k, block_k, tail_len)
+        dq1, dk1, dv1 = _flash_backward(
+            q, k[:, :, :main], v[:, :, :main], None, o, lse, do, scale,
+            block_q, block_k,
+        )
+        tmask = _prep_mask(_tail_mask_tensor(q.shape[0], block_k, tail_len))
+        dq2, dk2, dv2 = _flash_backward(
+            q, k[:, :, main:], v[:, :, main:], tmask, o, lse, do, scale,
+            block_q, block_k,
+        )
+        dq = dq1 + dq2
+        dk = jnp.concatenate([dk1, dk2], axis=2)
+        dv = jnp.concatenate([dv1, dv2], axis=2)
+        return dq, dk, dv, None
     mask3 = _prep_mask(kv_mask)
     dq, dk, dv = _flash_backward(
         q, k, v, mask3, o, lse, do, scale, block_q, block_k

@@ -56,3 +56,29 @@ def test_unpadded_lengths_are_padded_and_masked():
     ref = _xla_attention(q, k, v, None, D**-0.5)
     assert out.shape == (B, Sq, H, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_ragged_tail_multi_block_fwd_bwd():
+    """Skv spanning multiple kv blocks with a ragged last block: the
+    in-kernel tail_len mask (fwd + dq + dkv) must match XLA, and padded-key
+    grads must be produced only for real positions."""
+    B, Sq, Skv, H, D = 1, 256, 300, 2, 128  # blocks (256, 128): tail 44
+    q = _rand(0, (B, Sq, H, D)) * 0.5
+    k = _rand(1, (B, Skv, H, D)) * 0.5
+    v = _rand(2, (B, Skv, H, D))
+
+    def loss(ff):
+        return lambda q, k, v: jnp.sum(
+            dot_product_attention(q, k, v, force_flash=ff) ** 2
+        )
+
+    out = dot_product_attention(q, k, v, force_flash=True)
+    ref = _xla_attention(q, k, v, None, D**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    g_flash = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)

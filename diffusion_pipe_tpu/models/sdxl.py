@@ -22,14 +22,13 @@ Re-implements reference models/sdxl.py training semantics:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..training.ddpm import DDPMSchedule, snr_loss_weight
-from ..training.losses import masked_loss
 from . import register_model
 from .base import BasePipeline
 from .sdxl_unet import SDXLConfig, SDXLUNet

@@ -67,6 +67,15 @@ def set_config_defaults(config: Dict[str, Any]) -> Dict[str, Any]:
         if model_config.get(key):
             model_config[key] = _canon_dtype(model_config[key])
     model_config.setdefault("guidance", 1.0)
+    if model_config.get("int8_matmul") and "adapter" not in config:
+        # the W8A8 custom-vjp returns dw=0 for the quantized base kernels
+        # (models/layers.py int8 path assumes a frozen base + trainable
+        # adapter); a full fine-tune would silently never update them
+        raise ValueError(
+            "model.int8_matmul requires an [adapter] (LoRA/LoKr): the int8 "
+            "base kernels are frozen and receive no gradients. Remove "
+            "int8_matmul for full fine-tuning."
+        )
 
     if "adapter" in config:
         adapter_config = config["adapter"]

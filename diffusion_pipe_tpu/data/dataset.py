@@ -292,6 +292,82 @@ class DirectoryDataset:
         # maps can apply (reference train.py:393-417)
         return dict(groups)
 
+    # --- metadata caching ---------------------------------------------------
+
+    def _metadata_fingerprint(self, specs) -> str:
+        """Cheap fingerprint: config + file list + caption-sidecar mtimes
+        (no media probing). Invalidates on added/removed files, changed
+        captions, or changed bucket settings."""
+        sidecars = []
+        cj = self.path / CAPTIONS_JSON_FILE
+        if cj.exists():
+            sidecars.append((str(cj), cj.stat().st_mtime_ns))
+        for tar, fp in specs:
+            if tar is None:
+                txt = Path(fp).with_suffix(".txt")
+                if txt.exists():
+                    sidecars.append((str(txt), txt.stat().st_mtime_ns))
+        return _config_fingerprint(
+            [self.directory_config, self.model_name, self.round_to_multiple,
+             self.support_video, self.framerate, specs, sidecars]
+        )
+
+    def scan_cached(self, cache_root, regenerate=False, trust_cache=False):
+        """scan() with a JSON metadata cache (reference cache_metadata +
+        --trust_cache, train.py:52, dataset.py:532-553): by default the
+        cache is validated against a cheap fingerprint (file list + caption
+        mtimes — media probing skipped on hit); with trust_cache even the
+        file listing is skipped and the cache loaded blindly."""
+        meta_file = Path(cache_root) / "metadata.json"
+        if not regenerate and meta_file.exists():
+            data = json.loads(meta_file.read_text())
+            if trust_cache:
+                return self._groups_from_json(data["groups"])
+            specs = self._list_files()
+            if data.get("fingerprint") == self._metadata_fingerprint(specs):
+                return self._groups_from_json(data["groups"])
+        groups = self.scan()
+        specs = self._list_files()
+        meta_file.parent.mkdir(parents=True, exist_ok=True)
+        meta_file.write_text(json.dumps({
+            "fingerprint": self._metadata_fingerprint(specs),
+            "groups": self._groups_to_json(groups),
+        }))
+        return groups
+
+    @staticmethod
+    def _groups_to_json(groups):
+        out = []
+        for (sb, res), records in groups.items():
+            out.append({
+                "size_bucket": list(sb), "resolution": int(res),
+                "records": [
+                    {
+                        "spec": list(r.spec), "captions": r.captions,
+                        "width": r.width, "height": r.height,
+                        "frames": r.frames, "mask_path": r.mask_path,
+                        "control_path": r.control_path,
+                    }
+                    for r in records
+                ],
+            })
+        return out
+
+    @staticmethod
+    def _groups_from_json(data):
+        groups = {}
+        for entry in data:
+            key = (tuple(entry["size_bucket"]), int(entry["resolution"]))
+            groups[key] = [
+                Record(
+                    tuple(r["spec"]), r["captions"], r["width"], r["height"],
+                    r["frames"], mask_path=r["mask_path"],
+                    control_path=r["control_path"],
+                )
+                for r in entry["records"]
+            ]
+        return groups
+
 
 class SizeBucketDataset:
     """All records of one (w, h, frames) bucket in one directory, with
@@ -472,20 +548,33 @@ class ConcatenatedBatchedDataset:
         assert self.post_initialized
         return self.num_global_batches
 
-    def get_batch(self, batch_idx: int) -> List[Dict[str, np.ndarray]]:
-        """This DP rank's examples for one step: gas*mbs examples. Warms
-        the NEXT batch's cache pages through the native reader's prefetch
-        threads (Cache.prefetch; no-op without the C++ lib) so large video
-        latents stream from the page cache while the step runs."""
+    def get_batch(self, batch_idx: int, full_global: bool = False
+                  ) -> List[Dict[str, np.ndarray]]:
+        """This DP rank's examples for one step: gas*mbs examples — or, with
+        full_global (single-controller JAX driving every chip), ALL ranks'
+        examples laid out microbatch-major [(m=0, r=0..dp), (m=1, ...)...]
+        so the train step's leading-axis split into gas chunks of mbs*dp
+        gives device r exactly rank r's m-th reference microbatch under a
+        P('data') sharding. Warms the NEXT batch's cache pages through the
+        native reader's prefetch threads (Cache.prefetch; no-op without the
+        C++ lib) so large video latents stream from the page cache while
+        the step runs."""
         assert self.post_initialized
         per_rank = self.mbs * self.gas
 
         def rank_slice(bidx):
             start = bidx * self.global_batch
-            return self.index[
-                start + self.dp_rank * per_rank
-                : start + (self.dp_rank + 1) * per_rank
-            ]
+            if not full_global:
+                return self.index[
+                    start + self.dp_rank * per_rank
+                    : start + (self.dp_rank + 1) * per_rank
+                ]
+            rows = []
+            for m in range(self.gas):
+                for r in range(self.dp_world):
+                    base = start + r * per_rank + m * self.mbs
+                    rows.extend(self.index[base : base + self.mbs])
+            return rows
 
         if batch_idx + 1 < self.num_global_batches:
             pending = {}
@@ -529,11 +618,14 @@ class Dataset:
         self.uncond_fraction = float(dataset_config.get("uncond_fraction", 0.0))
         self.post_initialized = False
 
-    def scan(self, cache_root_name: str = "cache"):
+    def scan(self, cache_root_name: str = "cache", regenerate: bool = False,
+             trust_cache: bool = False):
         self.buckets_by_size = defaultdict(list)
         for d in self.directories:
-            groups = d.scan()
             cache_root = d.path / cache_root_name / self.pipeline.name
+            groups = d.scan_cached(
+                cache_root, regenerate=regenerate, trust_cache=trust_cache
+            )
             include_captions = getattr(
                 self.pipeline, "pass_captions_to_batch", False
             )
@@ -550,10 +642,12 @@ class Dataset:
 
     def post_init(self, data_parallel_rank: int, data_parallel_world: int,
                   micro_batch_size, gradient_accumulation_steps: int,
-                  image_micro_batch_size=None):
+                  image_micro_batch_size=None, full_global: bool = False):
         """micro_batch_size: int or per-resolution map {res_or_None: bs}
         (reference train.py:393-417); image_micro_batch_size applies to
-        frames==1 buckets when given."""
+        frames==1 buckets when given. full_global: yield every DP rank's
+        examples per batch, microbatch-major (single-controller training)."""
+        self.full_global = full_global
         from ..config import lookup_batch_size
 
         def resolve(bs_map, bucket):
@@ -610,5 +704,7 @@ class Dataset:
         assert self.post_initialized
         for ci, bi in self.iteration_order:
             cd = self.concat_datasets[ci]
-            examples = cd.get_batch(bi)
+            examples = cd.get_batch(
+                bi, full_global=getattr(self, "full_global", False)
+            )
             yield cd.size_bucket, collate(examples)

@@ -26,9 +26,10 @@ class DatasetManager:
     (reference DatasetManager, dataset.py:1132-1255)."""
 
     def __init__(self, model_pipeline, regenerate_cache: bool = False,
-                 caching_batch_size: int = 1):
+                 trust_cache: bool = False, caching_batch_size: int = 1):
         self.pipeline = model_pipeline
         self.regenerate_cache = regenerate_cache
+        self.trust_cache = trust_cache
         self.caching_batch_size = caching_batch_size
         self.datasets: List[Dataset] = []
 
@@ -39,7 +40,8 @@ class DatasetManager:
         vae_fn = self.pipeline.get_call_vae_fn()
         te_fns = self.pipeline.get_call_text_encoder_fns()
         for ds in self.datasets:
-            ds.scan()
+            ds.scan(regenerate=self.regenerate_cache,
+                    trust_cache=self.trust_cache)
             for bucket_ds in ds.all_size_bucket_datasets():
                 bucket_ds.cache_latents(
                     vae_fn, regenerate=self.regenerate_cache,

@@ -105,6 +105,9 @@ def local_mesh_or_default(
     """
     config = config or {}
     maybe_init_distributed(config)
+    if devices is None and config.get("num_devices"):
+        # restrict the run to the first N devices (tests / partial-pod use)
+        devices = jax.devices()[: int(config["num_devices"])]
     return make_mesh(
         pipeline_stages=int(config.get("pipeline_stages", 1)),
         tensor_parallel=int(config.get("tensor_parallel", 1)),

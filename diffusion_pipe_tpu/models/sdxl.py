@@ -193,17 +193,19 @@ class SDXLPipeline(BasePipeline):
 
     def lr_scale_map(self, base_lr):
         """unet_lr / text_encoder_1_lr / text_encoder_2_lr param groups
-        (reference models/sdxl.py:602-628). Insertion order matters: the
-        LAST matching substring wins, so text_encoder_2 overrides the
-        text_encoder prefix match for its own leaves."""
+        (reference models/sdxl.py:602-628). Keys are slash-anchored to the
+        '/'-joined param path so 'text_encoder/' never matches
+        'text_encoder_2/...' leaves — TE2 keeps the base LR when only
+        text_encoder_1_lr is set, matching the reference's exact-prefix
+        param groups."""
         mc = self.model_config
         out = {}
         if mc.get("unet_lr") is not None:
-            out["unet"] = float(mc["unet_lr"]) / base_lr
+            out["unet/"] = float(mc["unet_lr"]) / base_lr
         if mc.get("text_encoder_1_lr") is not None:
-            out["text_encoder"] = float(mc["text_encoder_1_lr"]) / base_lr
+            out["text_encoder/"] = float(mc["text_encoder_1_lr"]) / base_lr
         if mc.get("text_encoder_2_lr") is not None:
-            out["text_encoder_2"] = float(mc["text_encoder_2_lr"]) / base_lr
+            out["text_encoder_2/"] = float(mc["text_encoder_2_lr"]) / base_lr
         return out
 
     def init_params(self, rng):

@@ -46,9 +46,14 @@ def merge_adapters_into_state_dict(
     if not adapter_paths:
         return sd
     sd = dict(sd)
-    base_index = {}
+    # kohya dialect writes module paths with '_' separators under a
+    # lora_unet_/lora_te*_ prefix; resolve them against an underscorized
+    # view of the base keys (minus '.weight').
+    und_index = {}
     for k in sd:
-        base_index[k] = k
+        if k.endswith(".weight"):
+            und_index[k[: -len(".weight")].replace(".", "_")] = k
+    _KOHYA_PREFIXES = ("lora_unet_", "lora_te1_", "lora_te2_", "lora_te_")
     for path in adapter_paths:
         lora = load_safetensors_dir(path)
         down_keys = [
@@ -57,6 +62,7 @@ def merge_adapters_into_state_dict(
             or k.endswith("lora_down.weight") or k.endswith("lora_A.weight")
         ]
         merged = 0
+        skipped = 0
         for dk in down_keys:
             uk = (dk.replace("lora_down", "lora_up")
                     .replace("lora_A", "lora_B"))
@@ -85,7 +91,15 @@ def merge_adapters_into_state_dict(
                 "model.diffusion_model." + stem + ".weight",
             ]
             target = next((c for c in candidates if c in sd), None)
+            if target is None and any(
+                stem.startswith(p) for p in _KOHYA_PREFIXES
+            ):
+                for p in _KOHYA_PREFIXES:
+                    if stem.startswith(p):
+                        target = und_index.get(stem[len(p):])
+                        break
             if target is None:
+                skipped += 1
                 continue
             w = np.asarray(sd[target], np.float32)
             delta = (up.reshape(up.shape[0], -1)
@@ -93,6 +107,16 @@ def merge_adapters_into_state_dict(
             sd[target] = (w + delta.reshape(w.shape)).astype(sd[target].dtype)
             merged += 1
         print(f"merge_adapters: fused {merged} LoRA pairs from {path}")
+        if skipped:
+            print(
+                f"WARNING: merge_adapters: {skipped} LoRA pairs in {path} "
+                "matched no base weight and were skipped"
+            )
+        if merged == 0:
+            raise ValueError(
+                f"merge_adapters: no LoRA pair in {path} matched any base "
+                "weight — wrong model or unsupported key dialect"
+            )
     return sd
 
 

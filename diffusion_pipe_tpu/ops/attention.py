@@ -106,9 +106,6 @@ def dot_product_attention(
     # self-attention, which 2048 does not divide).
     block_q = _pick_block(sq, 512, min_divisor=256)
     block_k = _pick_block(skv, 2048)
-    if block_q * block_k > 512 * 2048:
-        # scoped-VMEM budget: the f32 [bq, bk] score/prob tiles dominate
-        block_q = _pick_block(sq, 512 * 2048 // block_k)
     sq_pad = round_up_to_multiple(sq, block_q)
     skv_pad = round_up_to_multiple(skv, block_k)
 

@@ -23,6 +23,28 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 
+def _reset_schedule_counts(opt_state):
+    """Zero every ScaleByScheduleState.count in a (possibly nested) optax
+    state tree, restarting LR schedules without touching moments."""
+    import jax.numpy as jnp
+    import optax
+
+    def rec(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return node._replace(count=jnp.zeros_like(node.count))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(rec(getattr(node, f)) for f in node._fields))
+        if isinstance(node, tuple):
+            return tuple(rec(x) for x in node)
+        if isinstance(node, list):
+            return [rec(x) for x in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(opt_state)
+
+
 class Saver:
     def __init__(self, config: Dict[str, Any], run_dir, pipeline,
                  dataloader=None):
@@ -61,6 +83,7 @@ class Saver:
 
     def load_checkpoint(self, state, step: Optional[int] = None,
                         reset_optimizer: bool = False,
+                        reset_optimizer_params: bool = False,
                         reset_dataloader: bool = False):
         """Restore into an abstract/concrete state template. Returns
         (state, client_meta)."""
@@ -82,12 +105,23 @@ class Saver:
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore((path / "state").absolute(), target)
         meta = json.loads((path / "client_state.json").read_text())
+        opt_state = (
+            state.opt_state if reset_optimizer else restored["opt_state"]
+        )
+        if reset_optimizer_params and not reset_optimizer:
+            # reference --reset_optimizer_params (train.py:49,863-867): keep
+            # the optimizer moments but take hyperparameters afresh from the
+            # config and restart the LR schedule
+            # (load_lr_scheduler_states=False + param_groups restore). Our
+            # hyperparams are rebuilt from config every run already; the only
+            # checkpointed schedule position is the ScaleByScheduleState
+            # count, which we zero here.
+            opt_state = _reset_schedule_counts(opt_state)
         new_state = state.replace(
             trainable=restored["trainable"],
             step=restored["step"],
             examples=restored["examples"],
-            opt_state=state.opt_state if reset_optimizer
-            else restored["opt_state"],
+            opt_state=opt_state,
         )
         if (
             self.dataloader is not None

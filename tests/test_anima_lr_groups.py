@@ -94,8 +94,36 @@ def test_sdxl_lr_scale_map():
     }
     pipe = get_model_class("sdxl")(cfg)
     scales = pipe.lr_scale_map(1e-4)
-    assert scales["unet"] == 2.0
-    assert abs(scales["text_encoder"] - 0.1) < 1e-9
-    assert abs(scales["text_encoder_2"] - 0.2) < 1e-9
-    # insertion order: text_encoder before text_encoder_2
-    assert list(scales) == ["unet", "text_encoder", "text_encoder_2"]
+    # keys are slash-anchored so 'text_encoder/' can't match text_encoder_2
+    assert scales["unet/"] == 2.0
+    assert abs(scales["text_encoder/"] - 0.1) < 1e-9
+    assert abs(scales["text_encoder_2/"] - 0.2) < 1e-9
+
+
+def test_sdxl_lr_scale_te1_only_leaves_te2_at_base_lr():
+    """text_encoder_1_lr alone must NOT scale text_encoder_2 params
+    (reference exact-prefix param groups, models/sdxl.py:602-628)."""
+    import numpy as np
+
+    from diffusion_pipe_tpu.training.optimizers import scale_updates_by_path
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "sdxl", "dtype": "float32", "_tiny": True,
+                  "text_encoder_1_lr": 1e-5},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe = get_model_class("sdxl")(cfg)
+    scales = pipe.lr_scale_map(1e-4)
+    tx = scale_updates_by_path(scales)
+    updates = {
+        "text_encoder": {"layer": {"kernel": np.ones(2, np.float32)}},
+        "text_encoder_2": {"layer": {"kernel": np.ones(2, np.float32)}},
+    }
+    out, _ = tx.update(updates, tx.init(updates))
+    np.testing.assert_allclose(
+        np.asarray(out["text_encoder"]["layer"]["kernel"]), 0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["text_encoder_2"]["layer"]["kernel"]), 1.0
+    )

@@ -98,3 +98,47 @@ def test_merge_adapters_fuses_lora(tmp_path):
     np.testing.assert_allclose(
         out2["blocks.0.attn.q.weight"], w + up @ down, rtol=1e-6
     )
+
+
+def test_int8_matmul_without_adapter_rejected():
+    """int8_matmul freezes base kernels (dw=0 custom vjp); full fine-tune
+    must be rejected at config time rather than silently not training."""
+    import pytest
+
+    from diffusion_pipe_tpu.config import set_config_defaults
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "bfloat16", "int8_matmul": True},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    with pytest.raises(ValueError, match="int8_matmul"):
+        set_config_defaults(cfg)
+    cfg["adapter"] = {"type": "lora", "rank": 4}
+    set_config_defaults(cfg)  # fine with an adapter
+
+
+def test_reset_schedule_counts():
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from diffusion_pipe_tpu.training.saver import _reset_schedule_counts
+
+    tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(optax.linear_schedule(1e-3, 0.0, 100)),
+    )
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    for _ in range(5):
+        _, state = tx.update({"w": jnp.ones(3)}, state, params)
+    adam_state, sched_state = state
+    assert int(sched_state.count) == 5 and int(adam_state.count) == 5
+    reset = _reset_schedule_counts(state)
+    # schedule restarts; adam moments/count untouched
+    assert int(reset[1].count) == 0
+    assert int(reset[0].count) == 5
+    np.testing.assert_array_equal(
+        np.asarray(reset[0].mu["w"]), np.asarray(adam_state.mu["w"])
+    )

@@ -311,3 +311,82 @@ def test_native_cache_reader_matches_python(tmp_path):
     c.write(12, {"a": np.ones((2, 2), np.float32)})
     np.testing.assert_array_equal(c.read(12)["a"], np.ones((2, 2)))
     c.close()
+
+
+def test_metadata_cache_skips_probing(image_dir, monkeypatch):
+    """Second scan loads dims/captions from metadata.json without opening
+    any media file; --trust_cache even skips fingerprint revalidation
+    (reference train.py:52, dataset.py:532-553)."""
+    from diffusion_pipe_tpu.data.dataset import DirectoryDataset
+
+    pipeline = FakePipeline()
+    probes = []
+    orig_probe = DirectoryDataset._probe
+
+    def counting_probe(self, filepath, tar_path=None):
+        probes.append(filepath)
+        return orig_probe(self, filepath, tar_path=tar_path)
+
+    monkeypatch.setattr(DirectoryDataset, "_probe", counting_probe)
+
+    ds = Dataset(_dataset_config(image_dir), pipeline)
+    ds.scan()
+    assert len(probes) > 0
+    first = dict(ds.buckets_by_size)
+
+    probes.clear()
+    ds2 = Dataset(_dataset_config(image_dir), pipeline)
+    ds2.scan()
+    assert probes == []  # fingerprint hit: loaded from metadata.json
+    assert sorted(ds2.buckets_by_size) == sorted(first)
+    # record identity preserved
+    for sb in first:
+        for b1, b2 in zip(first[sb], ds2.buckets_by_size[sb]):
+            assert [r.key() for r in b1.records] == [r.key() for r in b2.records]
+
+    # touching a caption invalidates the fingerprint -> re-probe
+    caption = next(image_dir.glob("*.txt"))
+    caption.write_text("changed caption")
+    probes.clear()
+    ds3 = Dataset(_dataset_config(image_dir), pipeline)
+    ds3.scan()
+    assert len(probes) > 0
+
+    # trust_cache: loads blindly, even with a stale caption change
+    caption.write_text("changed again")
+    probes.clear()
+    ds4 = Dataset(_dataset_config(image_dir), pipeline)
+    ds4.scan(trust_cache=True)
+    assert probes == []
+
+
+def test_full_global_batch_layout(image_dir):
+    """full_global yields microbatch-major [(m0: r0..r3), (m1: r0..r3)]
+    rows so a leading-axis gas-split + P('data') sharding reproduces each
+    reference rank's microbatches exactly."""
+    pipeline = FakePipeline()
+    ds = Dataset(_dataset_config(image_dir), pipeline)
+    m = DatasetManager(pipeline, caching_batch_size=2)
+    m.register(ds)
+    m.cache()
+
+    # per-rank views (reference: one process per GPU)
+    rank_batches = []
+    for r in range(2):
+        ds_r = Dataset(_dataset_config(image_dir), pipeline)
+        m_r = DatasetManager(pipeline, caching_batch_size=2)
+        m_r.register(ds_r)
+        m_r.cache()  # already on disk: reuses the shard caches
+        ds_r.post_init(r, 2, micro_batch_size=1, gradient_accumulation_steps=2)
+        _, b = next(PipelineDataLoader(ds_r, 2))
+        rank_batches.append(b["latents"])  # [gas*mbs=2, ...]
+
+    ds.post_init(0, 2, micro_batch_size=1, gradient_accumulation_steps=2,
+                 full_global=True)
+    _, full = next(PipelineDataLoader(ds, 2))
+    lat = full["latents"]  # [gas*mbs*dp=4, ...] microbatch-major
+    # microbatch m, rank r lives at row m*dp + r
+    np.testing.assert_array_equal(lat[0], rank_batches[0][0])
+    np.testing.assert_array_equal(lat[1], rank_batches[1][0])
+    np.testing.assert_array_equal(lat[2], rank_batches[0][1])
+    np.testing.assert_array_equal(lat[3], rank_batches[1][1])

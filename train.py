@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--trust_cache", action="store_true")
     p.add_argument("--reset_dataloader", action="store_true")
     p.add_argument("--reset_optimizer", action="store_true")
+    # keep optimizer moments but take hyperparameters fresh from config and
+    # restart the LR schedule (reference train.py:49, 863-867)
+    p.add_argument("--reset_optimizer_params", action="store_true")
     p.add_argument("--dump_dataset", type=Path, default=None)
     p.add_argument("--i_know_what_i_am_doing", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
@@ -110,6 +113,7 @@ def main(argv=None):
     manager = DatasetManager(
         pipeline,
         regenerate_cache=args.regenerate_cache,
+        trust_cache=args.trust_cache,
         caching_batch_size=config.get("caching_batch_size", 1),
     )
     manager.register(train_data)
@@ -168,17 +172,24 @@ def main(argv=None):
     # (reference train.py:837-846); post_init fixes the per-epoch batch
     # count, so it runs before the optimizer is built
     gas = config["gradient_accumulation_steps"]
+    # full_global: this single controller drives every chip, so each pull
+    # carries ALL dp ranks' examples (microbatch-major) and the step shards
+    # them over the 'data' mesh axis (reference: one process per GPU pulls
+    # its own rank slice, train.py:815-821)
     train_data.post_init(
         0, dp_world, bs_maps["train"], gas,
-        image_micro_batch_size=bs_maps["image"],
+        image_micro_batch_size=bs_maps["image"], full_global=True,
     )
     for _, ds in eval_datasets:
         ds.post_init(
             0, dp_world, bs_maps["eval"],
             config["eval_gradient_accumulation_steps"],
-            image_micro_batch_size=bs_maps["eval_image"],
+            image_micro_batch_size=bs_maps["eval_image"], full_global=True,
         )
-    steps_per_epoch = max(1, len(train_data) // gas)
+    # one loader pull = gas microbatches = one optimizer step
+    # (reference steps_per_epoch = len(dataloader)//gas, train.py:836-837,
+    # with len(dataloader) = len(dataset)*gas, dataset.py:1323-1324)
+    steps_per_epoch = max(1, len(train_data))
     config["_total_steps"] = int(config.get("epochs", 1)) * steps_per_epoch
     # force_constant_lr overrides every LR group with one constant
     # (reference train.py:883-886 sets all param-group lrs)
@@ -258,6 +269,7 @@ def main(argv=None):
         state, meta = saver.load_checkpoint(
             state,
             reset_optimizer=args.reset_optimizer,
+            reset_optimizer_params=args.reset_optimizer_params,
             reset_dataloader=args.reset_dataloader,
         )
         print(f"resumed from step {int(state.step)}")
@@ -322,6 +334,18 @@ def main(argv=None):
     eval_step_raw = make_eval_step(pipeline, loss_builder=pp_eval_builder)
     eval_step = jax.jit(eval_step_raw, static_argnums=(3,))
 
+    from diffusion_pipe_tpu.parallel.sharding import batch_sharding
+
+    data_sharding = batch_sharding(mesh)
+
+    def put_batch(batch):
+        """Host batch -> device arrays with the leading dim sharded over
+        'data' (reference: each DP rank holds its own slice; here GSPMD
+        slices the full_global batch, train.py:596-622)."""
+        return jax.device_put(
+            {k: jnp.asarray(v) for k, v in batch.items()}, data_sharding
+        )
+
     def run_eval(state, step_i, examples):
         for name, ds in eval_datasets:
             eval_loader = PipelineDataLoader(
@@ -330,15 +354,21 @@ def main(argv=None):
             start = time.time()
             quantile_losses = {q: [] for q in TIMESTEP_QUANTILES_FOR_EVAL}
             n_batches = ds.batches_per_epoch()
-            for q in TIMESTEP_QUANTILES_FOR_EVAL:
+            for qi, q in enumerate(TIMESTEP_QUANTILES_FOR_EVAL):
                 eval_loader.reset()
-                for _ in range(n_batches):
+                for bi in range(n_batches):
                     _, batch = next(eval_loader)
                     batch = pipeline.host_prepare(batch)
-                    jb = {k: jnp.asarray(v) for k, v in batch.items()}
-                    # fixed key: eval must be deterministic (reference
-                    # isolate_rng + fixed seed, train.py:235-239)
-                    loss = eval_step(state, jb, jax.random.PRNGKey(12345), q)
+                    jb = put_batch(batch)
+                    # deterministic eval (reference isolate_rng + fixed
+                    # seed, train.py:235-239) but the noise pattern varies
+                    # per (batch, quantile) so eval loss is not narrowed to
+                    # one fixed noise draw
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(12345),
+                        qi * 1_000_003 + bi,
+                    )
+                    loss = eval_step(state, jb, key, q)
                     quantile_losses[q].append(float(loss))
             out = {}
             for q, losses in quantile_losses.items():
@@ -352,6 +382,10 @@ def main(argv=None):
             metrics_writer.write(out, step_i, examples)
 
     # --- train loop ---------------------------------------------------------
+    # the mesh context makes GSPMD treat every jitted step's shardings as
+    # living on this mesh (dp x pp x tp; reference: implicit process groups)
+    mesh_ctx = jax.set_mesh(mesh)
+    mesh_ctx.__enter__()
     step_i = int(state.step)
     epoch = loader.epoch
     epoch_losses = []
@@ -371,7 +405,7 @@ def main(argv=None):
             print(f"profile written to {run_dir / 'profile'}")
         _, batch = next(loader)
         batch = pipeline.host_prepare(batch)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = put_batch(batch)
         state, metrics = train_step(state, jb, jax.random.PRNGKey(step_i))
         step_i += 1
         epoch_losses.append(float(metrics["loss"]))
@@ -413,6 +447,7 @@ def main(argv=None):
 
     if profiling:
         jax.profiler.stop_trace()
+    mesh_ctx.__exit__(None, None, None)
     saver.save_checkpoint(state, step_i)
     metrics_writer.close()
     print(f"done at step {step_i}")

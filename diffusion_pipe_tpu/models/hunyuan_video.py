@@ -116,6 +116,14 @@ class HunyuanVideoPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: double_blocks then single_blocks as
+        two GPipe phases (circular virtual-stage layout), embed (img_in +
+        vec + token refiner) on stage 0, adaLN head + loss on the last
+        stage. BASELINE.json configs[4]: HunyuanVideo t2v LoRA across 4
+        pipeline stages. See parallel/model_pp.py."""
+        return _HunyuanVideoPPProgram(self)
+
     # --- caching ------------------------------------------------------------
 
     def get_call_vae_fn(self):
@@ -251,3 +259,160 @@ class HunyuanVideoPipeline(BasePipeline):
             return {"clip_pooled": np.asarray(clip_enc.encode(caps))}
 
         return [llm_fn, clip_fn]
+
+
+# --- pipeline parallelism ----------------------------------------------------
+
+
+class _HunyuanVideoPPProgram:
+    """PPProgram for HunyuanVideoTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of hunyuan_video_model.py's __call__ split at
+    the two block scans. Phase 1 payload: (img, txt, vec, text_mask);
+    phase 2 (after the concat `pre`): (xcat, vec, kv_mask).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.hv_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("double_blocks", cfg.num_layers, self._apply_double),
+            PPPhase("single_blocks", cfg.num_single_layers,
+                    self._apply_single, pre=self._to_single_stream),
+        ]
+
+    def _apply_double(self, p_i, payload, ctx):
+        from .hunyuan_video_model import HunyuanDoubleBlock
+
+        img, txt, vec, tm = payload
+        (img, txt), _ = HunyuanDoubleBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), vec, ctx["rope_cos"],
+            ctx["rope_sin"], tm,
+        )
+        return (img, txt, vec, tm)
+
+    def _to_single_stream(self, payload, ctx):
+        img, txt, vec, tm = payload
+        b = img.shape[0]
+        xcat = jnp.concatenate([img, txt], axis=1)
+        kvm = jnp.concatenate(
+            [jnp.ones((b, ctx["img_len"]), jnp.int32), tm.astype(jnp.int32)],
+            axis=1,
+        )
+        return (xcat, vec, kvm)
+
+    def _apply_single(self, p_i, payload, ctx):
+        from .hunyuan_video_model import HunyuanSingleBlock
+
+        xcat, vec, kvm = payload
+        xcat, _ = HunyuanSingleBlock(self.cfg, ctx["img_len"]).apply(
+            {"params": p_i}, xcat, vec, ctx["rope_cos"], ctx["rope_sin"], kvm
+        )
+        return (xcat, vec, kvm)
+
+    def make_ctx(self, p_rest, mi0):
+        from .layers import rope_frequencies
+
+        cfg = self.cfg
+        _b, _c, f, h, w = mi0["x"].shape
+        pt, ph, pw = cfg.patch_size
+        gf, gh, gw = f // pt, h // ph, w // pw
+        fi = jnp.repeat(jnp.arange(gf), gh * gw)
+        hi = jnp.tile(jnp.repeat(jnp.arange(gh), gw), gf)
+        wi = jnp.tile(jnp.arange(gw), gf * gh)
+        ids = jnp.stack([fi, hi, wi], axis=-1)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.rope_axes_dim, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gf, gh, gw), "img_len": gf * gh * gw}
+
+    def embed(self, p_rest, mi, ctx):
+        import flax.linen as nn
+
+        from .hunyuan_video_model import TokenRefinerBlock
+        from .layers import LoraDense, sinusoidal_timestep_embedding
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        x, t = mi["x"], mi["t"]
+        text_states, text_mask = mi["text_states"], mi["text_mask"]
+        pooled, guidance = mi["pooled"], mi.get("guidance")
+        b = x.shape[0]
+
+        def dense(key, feats, dtype=None):
+            return LoraDense(
+                feats, dtype=dtype or cfg.dtype, param_dtype=cfg.param_dtype
+            ).bind({"params": p_rest[key]})
+
+        xe = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cfg.dtype)
+        xe = nn.Conv(
+            dim, cfg.patch_size, strides=cfg.patch_size, padding="VALID",
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        ).apply({"params": p_rest["img_in"]}, xe)
+        img = xe.reshape(b, ctx["img_len"], dim)
+
+        temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)
+        vec = dense("time_in_1", dim)(temb.astype(cfg.dtype))
+        vec = dense("time_in_2", dim)(nn.silu(vec))
+        pv = dense("vector_in_1", dim)(pooled.astype(cfg.dtype))
+        pv = dense("vector_in_2", dim)(nn.silu(pv))
+        vec = vec + pv
+        if cfg.guidance_embeds and guidance is not None:
+            ge = sinusoidal_timestep_embedding(
+                guidance.astype(jnp.float32), 256)
+            g = dense("guidance_in_1", dim)(ge.astype(cfg.dtype))
+            g = dense("guidance_in_2", dim)(nn.silu(g))
+            vec = vec + g
+
+        txt = dense("txt_in_proj", dim)(text_states.astype(cfg.dtype))
+        tmf = text_mask.astype(jnp.float32)
+        pooled_txt = jnp.sum(
+            text_states.astype(jnp.float32) * tmf[..., None], axis=1
+        ) / jnp.maximum(jnp.sum(tmf, axis=1, keepdims=True), 1.0)
+        rc = dense("refiner_t_embed_1", dim)(
+            sinusoidal_timestep_embedding(t.astype(jnp.float32), 256).astype(
+                cfg.dtype
+            )
+        )
+        rc = dense("refiner_t_embed_2", dim)(nn.silu(rc))
+        rp = dense("refiner_c_embed_1", dim)(pooled_txt.astype(cfg.dtype))
+        rp = dense("refiner_c_embed_2", dim)(nn.silu(rp))
+        refiner_c = rc + rp
+        for i in range(cfg.refiner_layers):
+            txt = TokenRefinerBlock(cfg).apply(
+                {"params": p_rest[f"refiner_{i}"]}, txt, refiner_c, text_mask
+            )
+        return (img, txt, vec, text_mask.astype(jnp.int32))
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        import flax.linen as nn
+
+        from .layers import LoraDense, layer_norm_no_affine, modulate
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        pt, ph, pw = cfg.patch_size
+        gf, gh, gw = ctx["grid"]
+        xcat, vec, _kvm = payload
+        b = xcat.shape[0]
+        img = xcat[:, : ctx["img_len"]]
+
+        mod = LoraDense(
+            2 * dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype
+        ).apply({"params": p_rest["final_mod"]}, nn.silu(vec))
+        shift, scale = jnp.split(mod, 2, -1)
+        img = modulate(layer_norm_no_affine(img), shift, scale)
+        out = LoraDense(
+            pt * ph * pw * cfg.out_channels, dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+        ).apply({"params": p_rest["final_linear"]}, img)
+        out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_channels)
+        out = jnp.einsum("bfhwpqrc->bcfphqwr", out)
+        out = out.reshape(
+            b, cfg.out_channels, gf * pt, gh * ph, gw * pw
+        )
+        return self.pipeline.loss_fn(out, target, mask)

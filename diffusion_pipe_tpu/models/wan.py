@@ -321,6 +321,13 @@ class WanPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: single 'blocks' phase with the patch/
+        time/text embedding on stage 0 and the modulated head + loss on the
+        last stage (reference: WanModel partitions via to_layers() +
+        PipelineModule, models/base.py:294-391). See parallel/model_pp.py."""
+        return _WanPPProgram(self)
+
     # --- caching encoders ---------------------------------------------------
 
     def _load_vae(self):
@@ -631,3 +638,131 @@ def export_wan_lora_comfyui(trainable, cfg: WanConfig) -> Dict[str, np.ndarray]:
                         np.ascontiguousarray(w_all[i].T.astype(np.float32))
                     )
     return out
+
+
+# --- pipeline parallelism ----------------------------------------------------
+
+
+class _WanPPProgram:
+    """PPProgram for WanTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of wan_model.py's __call__ split at the block
+    scan: embed (patch conv + time/text embedding [+ i2v img_emb]) on stage
+    0, WanAttentionBlock per slot, modulated head + unpatchify + loss on the
+    last stage. Payload: (x [B,L,D], e0 [B,1,6,D], e [B,D], ctx [B,Lc,D]).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.wan_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("blocks", cfg.num_layers, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        from .wan_model import WanAttentionBlock
+
+        x, e0, e, ctx_emb = payload
+        x, _ = WanAttentionBlock(self.cfg).apply(
+            {"params": p_i}, x, e0, ctx["rope_cos"], ctx["rope_sin"], ctx_emb
+        )
+        return (x, e0, e, ctx_emb)
+
+    def make_ctx(self, p_rest, mi0):
+        from .layers import rope_frequencies
+
+        cfg = self.cfg
+        _b, _c, f, h, w = mi0["x"].shape
+        pt, ph, pw = cfg.patch_size
+        gf, gh, gw = f // pt, h // ph, w // pw
+        fi = jnp.repeat(jnp.arange(gf), gh * gw)
+        hi = jnp.tile(jnp.repeat(jnp.arange(gh), gw), gf)
+        wi = jnp.tile(jnp.arange(gw), gf * gh)
+        ids = jnp.stack([fi, hi, wi], axis=-1)
+        rope_cos, rope_sin = rope_frequencies(ids, cfg.rope_axes_dim)
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gf, gh, gw)}
+
+    def embed(self, p_rest, mi, ctx):
+        import math
+
+        import flax.linen as nn
+
+        from .layers import LoraDense, sinusoidal_timestep_embedding
+        from .wan_model import _layer_norm
+
+        cfg = self.cfg
+        x, t, context = mi["x"], mi["t"], mi["context"]
+        b = x.shape[0]
+        gf, gh, gw = ctx["grid"]
+
+        xe = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cfg.dtype)
+        xe = nn.Conv(
+            cfg.dim, kernel_size=cfg.patch_size, strides=cfg.patch_size,
+            padding="VALID", dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        ).apply({"params": p_rest["patch_embedding"]}, xe)
+        xe = xe.reshape(b, gf * gh * gw, cfg.dim)
+
+        def dense(key, feats, dtype):
+            return LoraDense(feats, dtype=dtype, param_dtype=cfg.param_dtype)
+
+        temb = sinusoidal_timestep_embedding(t, cfg.freq_dim)
+        temb = dense("", cfg.dim, jnp.float32).apply(
+            {"params": p_rest["time_embedding_1"]}, temb)
+        temb = nn.silu(temb)
+        e = dense("", cfg.dim, jnp.float32).apply(
+            {"params": p_rest["time_embedding_2"]}, temb)
+        e0 = dense("", 6 * cfg.dim, jnp.float32).apply(
+            {"params": p_rest["time_projection"]}, nn.silu(e)
+        ).reshape(b, 1, 6, cfg.dim)
+
+        ctx_emb = dense("", cfg.dim, cfg.dtype).apply(
+            {"params": p_rest["text_embedding_1"]},
+            context.astype(cfg.dtype))
+        ctx_emb = nn.gelu(ctx_emb, approximate=True)
+        ctx_emb = dense("", cfg.dim, cfg.dtype).apply(
+            {"params": p_rest["text_embedding_2"]}, ctx_emb)
+
+        if cfg.model_type in ("i2v", "flf2v"):
+            clip_fea = mi["clip_fea"]
+            ci = _layer_norm(clip_fea.astype(cfg.dtype), 1e-5,
+                             p_rest["img_emb_norm1_scale"],
+                             p_rest["img_emb_norm1_bias"])
+            ci = dense("", 1280, cfg.dtype).apply(
+                {"params": p_rest["img_emb_1"]}, ci)
+            ci = nn.gelu(ci)
+            ci = dense("", cfg.dim, cfg.dtype).apply(
+                {"params": p_rest["img_emb_2"]}, ci)
+            ci = _layer_norm(ci, 1e-5, p_rest["img_emb_norm2_scale"],
+                             p_rest["img_emb_norm2_bias"])
+            ctx_emb = jnp.concatenate([ci, ctx_emb], axis=1)
+        return (xe, e0, e, ctx_emb)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        import math
+
+        from .layers import LoraDense
+        from .wan_model import _layer_norm
+
+        cfg = self.cfg
+        xe, _e0, e, _ctx_emb = payload
+        b = xe.shape[0]
+        gf, gh, gw = ctx["grid"]
+        pt, ph, pw = cfg.patch_size
+
+        head_mod = p_rest["head_modulation"]
+        he = head_mod[None].astype(jnp.float32) + e[:, None, None, :]
+        h1, h2 = he[:, :, 0], he[:, :, 1]
+        xf = _layer_norm(xe, cfg.eps).astype(jnp.float32)
+        xf = xf * (1 + h2) + h1
+        out = LoraDense(
+            math.prod(cfg.patch_size) * cfg.out_dim, dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+        ).apply({"params": p_rest["head"]}, xf)
+        out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_dim)
+        out = jnp.einsum("bfhwpqrc->bcfphqwr", out)
+        out = out.reshape(b, cfg.out_dim, gf * pt, gh * ph, gw * pw)
+        return self.pipeline.loss_fn(out, target, mask)

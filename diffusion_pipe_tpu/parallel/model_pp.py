@@ -1,0 +1,214 @@
+"""Generic pipeline-parallel (GPipe) training program for any model family.
+
+The reference partitions ANY model across pipeline stages via to_layers() +
+DeepSpeed's PipelineModule (models/base.py:294-391, utils/pipeline.py:11-53).
+The TPU-native analogue here: a model pipeline exposes `make_pp_program()`
+returning a PPProgram — its scan-stacked block phases plus embed / head-loss
+in raw-param form — and this module turns that into a shard_map GPipe loss
+over the 'stage' mesh axis (parallel/pipeline.py primitives: ppermute ring,
+padded block slots, identity masking). flux keeps its specialized program
+(models/flux_pp.py, which adds the fused 1F1B schedule); every other family
+uses this builder.
+
+'data' and 'tensor' stay GSPMD-auto (shard_map manualizes only 'stage'), so
+DP and TP compose for free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..training.train_state import merge_params
+from .pipeline import (
+    STAGE_AXIS,
+    apply_local_blocks,
+    counts_from_manual_split,
+    gpipe_phase,
+    last_stage_scalar,
+    pad_stack_for_manual_split,
+    pad_stack_for_stages,
+    ring_shift,
+)
+
+
+@dataclasses.dataclass
+class PPPhase:
+    """One homogeneous run of scan-stacked blocks.
+
+    apply_block(block_params_i, payload, ctx) -> payload — one block; the
+    payload carries everything microbatch-dependent (hidden states + per-
+    microbatch conditioning); ctx carries microbatch-independent tables
+    (rope frequencies, grid dims).
+    pre(payload, ctx) -> payload — transform entering this phase (e.g.
+    concat streams), applied at inject time on stage 0.
+    """
+
+    param_key: str
+    num_blocks: int
+    apply_block: Callable
+    pre: Optional[Callable] = None
+
+
+class PPProgram:
+    """Model-declared pipeline program (see PPPhase).
+
+    Subclasses / instances provide:
+      phases: List[PPPhase]
+      embed(p_rest, mi, ctx) -> payload           (stage 0, per microbatch)
+      head_loss(p_rest, payload, target, mask, ctx) -> scalar (last stage)
+      make_ctx(p_rest, mi0) -> Any                (inside shard_map, from a
+        template microbatch; rope tables etc.)
+    """
+
+    phases: List[PPPhase] = []
+
+    def make_ctx(self, p_rest, mi0):
+        return None
+
+    def embed(self, p_rest, mi, ctx):
+        raise NotImplementedError
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        raise NotImplementedError
+
+
+def stack_for_stages(config: Dict[str, Any], stacked, num_layers: int,
+                     num_stages: int, phase_offset: int):
+    """Split a [L, ...] stacked block tree across stages: equal chunks by
+    default; `partition_method='manual'` + `partition_split` applies the
+    reference ManualPipelineModule boundaries over the COMBINED block
+    sequence (offset per phase; out-of-phase boundaries clip to empty
+    chunks that run as identity slots).
+
+    Returns (padded [S*k, ...], enabled [S*k], block_to_slot [L] int32).
+    """
+    split = config.get("partition_split",
+                       config.get("manual_partition_split"))
+    if (str(config.get("partition_method", "")).lower() == "manual"
+            and split is not None):
+        counts = counts_from_manual_split(
+            num_layers, num_stages, [int(b) - phase_offset for b in split]
+        )
+        padded, enabled, k = pad_stack_for_manual_split(
+            stacked, num_layers, num_stages, counts
+        )
+        b2s = []
+        for d, c in enumerate(counts):
+            b2s.extend(range(d * k, d * k + c))
+        return padded, enabled, jnp.asarray(b2s, jnp.int32)
+    padded, enabled, _k = pad_stack_for_stages(stacked, num_layers, num_stages)
+    return padded, enabled, jnp.arange(num_layers, dtype=jnp.int32)
+
+
+def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
+                                   timestep_quantile=None):
+    """loss_fn(trainable, frozen, batch, rng) running the model's PPProgram
+    as a GPipe pipeline over the 'stage' mesh axis. batch leaves are
+    [M * mbs, ...]; call under jit with the mesh installed (jax.set_mesh).
+    """
+    program: PPProgram = pipeline.make_pp_program()
+    s = mesh.shape[STAGE_AXIS]
+    m_total = num_microbatches
+    n_phases = len(program.phases)
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)["params"]
+        block_keys = {ph.param_key for ph in program.phases}
+        p_rest = {k: v for k, v in params.items() if k not in block_keys}
+        stacks, enables = [], []
+        offset = 0
+        for ph in program.phases:
+            padded, en, _b2s = stack_for_stages(
+                pipeline.config, params[ph.param_key], ph.num_blocks, s,
+                offset,
+            )
+            stacks.append(padded)
+            enables.append(en)
+            offset += ph.num_blocks
+
+        # per-microbatch input prep (in-graph noising; M static)
+        keys = jax.random.split(rng, m_total)
+        preps = []
+        for i in range(m_total):
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (m_total, x.shape[0] // m_total) + x.shape[1:])[i],
+                batch,
+            )
+            preps.append(pipeline.prepare_inputs(
+                keys[i], mb, timestep_quantile=timestep_quantile))
+        mi_mb = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in preps])
+        target_mb = jnp.stack([p[1] for p in preps])
+        mask_mb = (
+            jnp.stack([p[2] for p in preps]) if preps[0][2] is not None
+            else None
+        )
+
+        def body(p_rest, stacks, enables, mi_mb, target_mb, mask_mb):
+            mi0 = jax.tree.map(lambda x: x[0], mi_mb)
+            ctx = program.make_ctx(p_rest, mi0)
+
+            def get_mb(t):
+                return jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, t, 0, False),
+                    mi_mb,
+                )
+
+            prev_out = None
+            for i, ph in enumerate(program.phases):
+                if i == 0:
+                    def inject(t):
+                        return program.embed(p_rest, get_mb(t), ctx)
+                else:
+                    def inject(t, _prev=prev_out, _pre=ph.pre):
+                        payload = jax.tree.map(
+                            lambda x: jax.lax.dynamic_index_in_dim(
+                                x, t, 0, False),
+                            _prev,
+                        )
+                        return _pre(payload, ctx) if _pre else payload
+
+                def compute(payload, _ab=ph.apply_block, _p=stacks[i],
+                            _en=enables[i]):
+                    return apply_local_blocks(
+                        lambda p_i, c: _ab(p_i, c, ctx), _p, _en, payload
+                    )
+
+                template = jax.eval_shape(inject, jnp.zeros([], jnp.int32))
+                template = jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), template
+                )
+                out = gpipe_phase(compute, inject, m_total, s, template)
+                if i < n_phases - 1:
+                    # finished payloads live on the last stage; hop to 0
+                    out = ring_shift(out, s)
+                prev_out = out
+
+            def head_loss_t(payload, target, mask_i):
+                return program.head_loss(p_rest, payload, target, mask_i, ctx)
+
+            if mask_mb is None:
+                losses = jax.vmap(
+                    lambda pl, tg: head_loss_t(pl, tg, None)
+                )(prev_out, target_mb)
+            else:
+                losses = jax.vmap(head_loss_t)(prev_out, target_mb, mask_mb)
+            return last_stage_scalar(jnp.mean(losses), s)
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            axis_names={STAGE_AXIS},
+            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(), P(), P()),
+            out_specs=P(),
+        )
+        return shard_body(
+            p_rest, tuple(stacks), tuple(enables), mi_mb, target_mb, mask_mb
+        )
+
+    return loss_fn

@@ -289,29 +289,49 @@ def main(argv=None):
     if mesh.shape["stage"] > 1:
         # pipeline parallelism: gradient-accumulation micro-batches flow the
         # stage ring (reference: GAS == DeepSpeed pipeline micro-batches)
-        if not hasattr(pipeline, "flux_config"):
-            raise NotImplementedError(
-                "pipeline_stages > 1 currently runs the flux PP program; "
-                "other families train with DP/TP (set pipeline_stages = 1)"
-            )
-        from diffusion_pipe_tpu.models.flux_pp import (
-            make_pipelined_grad_fn_1f1b,
-            make_pipelined_loss_fn,
-        )
-
         schedule = str(config.get("pipeline_schedule", "gpipe")).lower()
-        if schedule == "1f1b":
-            # fused interleaved fwd/bwd schedule (adapter training)
-            pp_grad = make_pipelined_grad_fn_1f1b(
+        if hasattr(pipeline, "flux_config"):
+            # flux keeps its specialized program (adds the fused 1F1B
+            # schedule + sequence sharding)
+            from diffusion_pipe_tpu.models.flux_pp import (
+                make_pipelined_grad_fn_1f1b,
+                make_pipelined_loss_fn,
+            )
+
+            if schedule == "1f1b":
+                # fused interleaved fwd/bwd schedule (adapter training)
+                pp_grad = make_pipelined_grad_fn_1f1b(
+                    pipeline, mesh, num_microbatches=gas
+                )
+            else:
+                pp_loss = make_pipelined_loss_fn(
+                    pipeline, mesh, num_microbatches=gas
+                )
+            pp_eval_builder = lambda q: make_pipelined_loss_fn(  # noqa: E731
+                pipeline, mesh, num_microbatches=gas, timestep_quantile=q
+            )
+        elif hasattr(pipeline, "make_pp_program"):
+            # generic GPipe program from the model's PPProgram
+            # (reference: any model partitions via to_layers() +
+            # PipelineModule, utils/pipeline.py:11-53)
+            from diffusion_pipe_tpu.parallel.model_pp import (
+                make_generic_pipelined_loss_fn,
+            )
+
+            pp_loss = make_generic_pipelined_loss_fn(
                 pipeline, mesh, num_microbatches=gas
+            )
+            pp_eval_builder = (
+                lambda q: make_generic_pipelined_loss_fn(  # noqa: E731
+                    pipeline, mesh, num_microbatches=gas, timestep_quantile=q
+                )
             )
         else:
-            pp_loss = make_pipelined_loss_fn(
-                pipeline, mesh, num_microbatches=gas
+            raise NotImplementedError(
+                f"pipeline_stages > 1: {pipeline.name} does not expose a "
+                "pipeline program yet; train with DP/TP "
+                "(set pipeline_stages = 1)"
             )
-        pp_eval_builder = lambda q: make_pipelined_loss_fn(  # noqa: E731
-            pipeline, mesh, num_microbatches=gas, timestep_quantile=q
-        )
     train_step_raw = make_train_step(
         pipeline, optimizer,
         gradient_clipping=config.get("gradient_clipping", 1.0),

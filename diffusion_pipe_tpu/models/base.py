@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 
 from ..training.losses import loss_config_from_model_config, masked_loss
 
@@ -87,16 +88,62 @@ class BasePipeline:
         param groups, e.g. sdxl unet_lr / cosmos_predict2 llm_adapter_lr)."""
         return {}
 
+    # --- weight-key map (drives load/save when defined) ---------------------
+    def keymap(self):
+        """models/keymaps.py KeyMap for this family, or None. When defined,
+        the generic load_weights / save_adapter / save_model below work
+        (reference per-model loaders + ComfyUI/diffusers-format saves,
+        models/base.py:609-613, utils/saver.py:58-116)."""
+        return None
+
+    def _keymap_config(self):
+        """Config object whose attributes hold per-group block counts."""
+        raise NotImplementedError
+
     # --- saving ------------------------------------------------------------
     def save_adapter(self, path, params):
-        raise NotImplementedError
+        km = self.keymap()
+        if km is None:
+            raise NotImplementedError
+        from .keymaps import export_lora_keymap, save_lora_safetensors
+
+        sd = export_lora_keymap(params, km, self._keymap_config())
+        if not sd:
+            raise RuntimeError("no adapter factors found to export")
+        alpha = self.config.get("adapter", {}).get("alpha")
+        save_lora_safetensors(path, sd, alpha=alpha)
+        print(f"saved {len(sd)} adapter tensors to {path}")
 
     def load_adapter(self, path, params):
         """Initialize adapter leaves from a previously saved adapter dir
         (reference adapter.init_from_existing, train.py:525-526)."""
-        raise NotImplementedError(
-            f"{type(self).__name__} does not support adapter.init_from_existing"
-        )
+        km = self.keymap()
+        if km is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support "
+                "adapter.init_from_existing"
+            )
+        from .keymaps import import_lora_keymap
+
+        return import_lora_keymap(path, km, self._keymap_config(), params)
 
     def save_model(self, path, params):
-        raise NotImplementedError
+        km = self.keymap()
+        if km is None:
+            raise NotImplementedError
+        from pathlib import Path
+
+        from safetensors.numpy import save_file
+
+        from ..common import dtype_from_string
+        from .keymaps import keymap_from_flax
+
+        sd = keymap_from_flax(params, km, self._keymap_config())
+        if "save_dtype" in self.config:
+            dt = dtype_from_string(self.config["save_dtype"])
+            sd = {k: np.asarray(v).astype(dt) for k, v in sd.items()}
+        out = Path(path)
+        out.mkdir(parents=True, exist_ok=True)
+        save_file(sd, str(out / "model.safetensors"),
+                  metadata={"format": "pt"})
+        print(f"saved {len(sd)} tensors to {out / 'model.safetensors'}")

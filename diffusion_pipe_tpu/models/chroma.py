@@ -158,3 +158,89 @@ class ChromaPipeline(BasePipeline):
             return {"t5_embed": emb, "t5_mask": m.astype(np.int32)}
 
         return [t5_fn]
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.chroma_config
+
+    def keymap(self):
+        """Chroma single-file keys (lodestones flow / ComfyUI BFL dialect:
+        fused qkv, `.scale` RMS norms, distilled_guidance_layer MLP;
+        reference models/chroma.py loads these via the flow submodule and
+        saves ComfyUI-format LoRA, chroma.py:176-181) <-> our stacked
+        layout."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.chroma_config
+        dim = cfg.hidden_size
+        mlp = int(dim * cfg.mlp_ratio)
+        top_linears = {
+            "x_embedder": "img_in",
+            "context_embedder": "txt_in",
+            "proj_out": "final_layer.linear",
+            "distilled_guidance_layer/in_proj":
+                "distilled_guidance_layer.in_proj",
+            "distilled_guidance_layer/out_proj":
+                "distilled_guidance_layer.out_proj",
+        }
+        top_norms = {}
+        for i in range(cfg.approximator_layers):
+            top_linears[f"distilled_guidance_layer/layers_{i}_in"] = (
+                f"distilled_guidance_layer.layers.{i}.in_layer")
+            top_linears[f"distilled_guidance_layer/layers_{i}_out"] = (
+                f"distilled_guidance_layer.layers.{i}.out_layer")
+            top_norms[f"distilled_guidance_layer/norms_{i}"] = (
+                f"distilled_guidance_layer.norms.{i}")
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "double_blocks", "double_blocks", "num_layers",
+                    linears={
+                        "attn_to_out": "img_attn.proj",
+                        "attn_to_add_out": "txt_attn.proj",
+                        "ff_in": "img_mlp.0",
+                        "ff_out": "img_mlp.2",
+                        "ff_context_in": "txt_mlp.0",
+                        "ff_context_out": "txt_mlp.2",
+                    },
+                    norms={
+                        "attn_to_norm_q": "img_attn.norm.query_norm",
+                        "attn_to_norm_k": "img_attn.norm.key_norm",
+                        "attn_add_norm_q": "txt_attn.norm.query_norm",
+                        "attn_add_norm_k": "txt_attn.norm.key_norm",
+                    },
+                    fused={
+                        "img_attn.qkv": ("attn_to_q", "attn_to_k",
+                                         "attn_to_v"),
+                        "txt_attn.qkv": ("attn_add_q", "attn_add_k",
+                                         "attn_add_v"),
+                    },
+                    norm_suffix="scale",
+                ),
+                BlockGroup(
+                    "single_blocks", "single_blocks", "num_single_layers",
+                    linears={"proj_out": "linear2"},
+                    norms={
+                        "attn_norm_q": "norm.query_norm",
+                        "attn_norm_k": "norm.key_norm",
+                    },
+                    fused={
+                        "linear1": (("attn_to_q", dim), ("attn_to_k", dim),
+                                    ("attn_to_v", dim), ("proj_mlp", mlp)),
+                    },
+                    norm_suffix="scale",
+                ),
+            ],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_norm_suffix="scale",
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.chroma_config
+        )

@@ -120,19 +120,21 @@ class Approximator(nn.Module):
             axis=-1,
         )
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        # flow Approximator: x = in_proj(inp); per layer
+        # x = x + MLPEmbedder(norms[i](x)) with MLPEmbedder =
+        # out_layer(silu(in_layer(.))); then out_proj (no final norm)
         h = LoraDense(cfg.approximator_hidden, name="in_proj", **dd)(
             inp.astype(cfg.dtype)
         )
         for i in range(cfg.approximator_layers):
-            y = LoraDense(cfg.approximator_hidden, name=f"layers_{i}_in", **dd)(
-                nn.silu(h)
-            )
+            xn = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name=f"norms_{i}")(h)
+            y = LoraDense(cfg.approximator_hidden, name=f"layers_{i}_in",
+                          **dd)(xn)
             y = LoraDense(cfg.approximator_hidden, name=f"layers_{i}_out",
                           **dd)(nn.silu(y))
             h = h + y
-        norm = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                       name="norms")(h)
-        return LoraDense(dim, name="out_proj", **dd)(norm)
+        return LoraDense(dim, name="out_proj", **dd)(h)
 
 
 def _mod(vec, shift, scale):

@@ -116,6 +116,19 @@ class HunyuanVideoPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def _keymap_config(self):
+        return self.hv_config
+
+    def keymap(self):
+        return _hv_keymap(self.hv_config)
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.hv_config
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: double_blocks then single_blocks as
         two GPipe phases (circular virtual-stage layout), embed (img_in +
@@ -416,3 +429,82 @@ class _HunyuanVideoPPProgram:
             b, cfg.out_channels, gf * pt, gh * ph, gw * pw
         )
         return self.pipeline.loss_fn(out, target, mask)
+
+
+def _hv_keymap(cfg):
+    """hyvideo-format keys (the reference loads the official HunyuanVideo
+    transformer weights through the hyvideo submodule; LoRA saved with the
+    'transformer.' diffusers prefix, reference models/hunyuan_video.py:
+    343-348) <-> our stacked flax layout."""
+    from .keymaps import BlockGroup, KeyMap
+
+    top_linears = {
+        "time_in_1": "time_in.mlp.0",
+        "time_in_2": "time_in.mlp.2",
+        "vector_in_1": "vector_in.in_layer",
+        "vector_in_2": "vector_in.out_layer",
+        "txt_in_proj": "txt_in.input_embedder",
+        "refiner_t_embed_1": "txt_in.t_embedder.mlp.0",
+        "refiner_t_embed_2": "txt_in.t_embedder.mlp.2",
+        "refiner_c_embed_1": "txt_in.c_embedder.linear_1",
+        "refiner_c_embed_2": "txt_in.c_embedder.linear_2",
+        "final_linear": "final_layer.linear",
+        "final_mod": "final_layer.adaLN_modulation.1",
+    }
+    if cfg.guidance_embeds:
+        top_linears["guidance_in_1"] = "guidance_in.mlp.0"
+        top_linears["guidance_in_2"] = "guidance_in.mlp.2"
+    top_raw = {}
+    for i in range(cfg.refiner_layers):
+        ref = f"txt_in.individual_token_refiner.blocks.{i}"
+        top_linears.update({
+            f"refiner_{i}/adaLN_linear": f"{ref}.adaLN_modulation.1",
+            f"refiner_{i}/self_attn_qkv": f"{ref}.self_attn_qkv",
+            f"refiner_{i}/self_attn_proj": f"{ref}.self_attn_proj",
+            f"refiner_{i}/mlp_in": f"{ref}.mlp.fc1",
+            f"refiner_{i}/mlp_out": f"{ref}.mlp.fc2",
+        })
+        top_raw.update({
+            f"refiner_{i}/norm1_scale": f"{ref}.norm1.weight",
+            f"refiner_{i}/norm1_bias": f"{ref}.norm1.bias",
+            f"refiner_{i}/norm2_scale": f"{ref}.norm2.weight",
+            f"refiner_{i}/norm2_bias": f"{ref}.norm2.bias",
+        })
+    return KeyMap(
+        blocks=[
+            BlockGroup(
+                "double_blocks", "double_blocks", "num_layers",
+                linears={
+                    "img_mod": "img_mod.linear",
+                    "txt_mod": "txt_mod.linear",
+                    "img_attn_qkv": "img_attn_qkv",
+                    "img_attn_proj": "img_attn_proj",
+                    "img_mlp_fc1": "img_mlp.fc1",
+                    "img_mlp_fc2": "img_mlp.fc2",
+                    "txt_attn_qkv": "txt_attn_qkv",
+                    "txt_attn_proj": "txt_attn_proj",
+                    "txt_mlp_fc1": "txt_mlp.fc1",
+                    "txt_mlp_fc2": "txt_mlp.fc2",
+                },
+                norms={
+                    "img_attn_q_norm": "img_attn_q_norm",
+                    "img_attn_k_norm": "img_attn_k_norm",
+                    "txt_attn_q_norm": "txt_attn_q_norm",
+                    "txt_attn_k_norm": "txt_attn_k_norm",
+                },
+            ),
+            BlockGroup(
+                "single_blocks", "single_blocks", "num_single_layers",
+                linears={
+                    "modulation": "modulation.linear",
+                    "linear1": "linear1",
+                    "linear2": "linear2",
+                },
+                norms={"q_norm": "q_norm", "k_norm": "k_norm"},
+            ),
+        ],
+        top_linears=top_linears,
+        top_raw=top_raw,
+        top_convs={"img_in": "img_in.proj"},
+        lora_prefix="transformer.",
+    )

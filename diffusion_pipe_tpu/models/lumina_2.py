@@ -425,3 +425,95 @@ class Lumina2Pipeline(BasePipeline):
             return {"cap_feats": h, "cap_mask": m.astype(np.int32)}
 
         return [fn]
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.lumina_config
+
+    def keymap(self):
+        """NextDiT (Lumina-Image-2.0) keys: fused GQA qkv with unequal
+        q/k/v sizes, sandwich RMS norms, per-index context/noise refiners
+        (reference models/lumina_2.py loads via the Lumina_2 submodule and
+        saves ComfyUI-format LoRA, lumina_2.py:95-100) <-> our layout."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.lumina_config
+        hd = cfg.head_dim
+        q_sz, kv_sz = cfg.num_heads * hd, cfg.num_kv_heads * hd
+
+        def block_maps():
+            linears = {
+                "attn_wo": "attention.out",
+                "ffn_w1": "feed_forward.w1",
+                "ffn_w2": "feed_forward.w2",
+                "ffn_w3": "feed_forward.w3",
+            }
+            norms = {
+                "attn_q_norm": "attention.q_norm",
+                "attn_k_norm": "attention.k_norm",
+                "attention_norm1": "attention_norm1",
+                "attention_norm2": "attention_norm2",
+                "ffn_norm1": "ffn_norm1",
+                "ffn_norm2": "ffn_norm2",
+            }
+            fused = {
+                "attention.qkv": (("attn_wq", q_sz), ("attn_wk", kv_sz),
+                                  ("attn_wv", kv_sz)),
+            }
+            return linears, norms, fused
+
+        lin, norms, fused = block_maps()
+        top_linears = {
+            "x_embedder": "x_embedder",
+            "t_embedder_1": "t_embedder.mlp.0",
+            "t_embedder_2": "t_embedder.mlp.2",
+            "cap_embedder": "cap_embedder.1",
+            "final_adaLN": "final_layer.adaLN_modulation.1",
+            "final_linear": "final_layer.linear",
+        }
+        top_norms = {"cap_embedder_norm": "cap_embedder.0"}
+        for group, use_adaln in (("context_refiner", False),
+                                 ("noise_refiner", True)):
+            for i in range(cfg.num_refiner_layers):
+                base = f"{group}.{i}"
+                ours = f"{group}_{i}"
+                for fl, th in lin.items():
+                    top_linears[f"{ours}/{fl}"] = f"{base}.{th}"
+                for fl, th in norms.items():
+                    top_norms[f"{ours}/{fl}"] = f"{base}.{th}"
+                if use_adaln:
+                    top_linears[f"{ours}/adaLN_modulation"] = (
+                        f"{base}.adaLN_modulation.1")
+        top_fused = {}
+        for group in ("context_refiner", "noise_refiner"):
+            for i in range(cfg.num_refiner_layers):
+                top_fused[f"{group}.{i}.attention.qkv"] = (
+                    (f"{group}_{i}/attn_wq", q_sz),
+                    (f"{group}_{i}/attn_wk", kv_sz),
+                    (f"{group}_{i}/attn_wv", kv_sz),
+                )
+        # the scan stack wraps Lumina2Block inside _MainBlock, nesting
+        # params one level deeper
+        wrap = "Lumina2Block_0/"
+        return KeyMap(
+            blocks=[BlockGroup(
+                "layers", "layers", "num_layers",
+                linears={**{wrap + k: v for k, v in lin.items()},
+                         wrap + "adaLN_modulation": "adaLN_modulation.1"},
+                norms={wrap + k: v for k, v in norms.items()},
+                fused={th: tuple((wrap + n, s) for n, s in entries)
+                       for th, entries in fused.items()},
+            )],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_fused=top_fused,
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.lumina_config
+        )

@@ -415,3 +415,62 @@ class QwenImagePipeline(BasePipeline):
             return {"prompt_embeds": h, "prompt_embeds_mask": m.astype(np.int32)}
 
         return [fn]
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.qi_config
+
+    def keymap(self):
+        """diffusers QwenImageTransformer2DModel keys (the reference loads
+        these via manual safetensors load, models/qwen_image.py:247-269) <->
+        our FluxDoubleBlock-based stacked layout; LoRA export in ComfyUI
+        format ('diffusion_model.' prefix, models/qwen_image.py:284-288)."""
+        from .keymaps import BlockGroup, KeyMap
+
+        return KeyMap(
+            blocks=[BlockGroup(
+                "blocks", "transformer_blocks", "num_layers",
+                linears={
+                    "norm1_linear": "img_mod.1",
+                    "norm1_context_linear": "txt_mod.1",
+                    "attn_to_q": "attn.to_q",
+                    "attn_to_k": "attn.to_k",
+                    "attn_to_v": "attn.to_v",
+                    "attn_add_q": "attn.add_q_proj",
+                    "attn_add_k": "attn.add_k_proj",
+                    "attn_add_v": "attn.add_v_proj",
+                    "attn_to_out": "attn.to_out.0",
+                    "attn_to_add_out": "attn.to_add_out",
+                    "ff_in": "img_mlp.net.0.proj",
+                    "ff_out": "img_mlp.net.2",
+                    "ff_context_in": "txt_mlp.net.0.proj",
+                    "ff_context_out": "txt_mlp.net.2",
+                },
+                norms={
+                    "attn_norm_q": "attn.norm_q",
+                    "attn_norm_k": "attn.norm_k",
+                    "attn_norm_added_q": "attn.norm_added_q",
+                    "attn_norm_added_k": "attn.norm_added_k",
+                },
+            )],
+            top_linears={
+                "img_in": "img_in",
+                "txt_in": "txt_in",
+                "time_text_embed/linear_1":
+                    "time_text_embed.timestep_embedder.linear_1",
+                "time_text_embed/linear_2":
+                    "time_text_embed.timestep_embedder.linear_2",
+                "norm_out_linear": "norm_out.linear",
+                "proj_out": "proj_out",
+            },
+            top_norms={"txt_norm": "txt_norm"},
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.qi_config
+        )

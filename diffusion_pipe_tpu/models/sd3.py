@@ -277,3 +277,97 @@ class SD3Pipeline(BasePipeline):
             return {"t5_prompt_embed": t5.encode(captions)}
 
         return [make_clip_fn(clip1, 1), make_clip_fn(clip2, 2), t5_fn]
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.sd3_config
+
+    def keymap(self):
+        """diffusers SD3Transformer2DModel keys <-> our stacked layout.
+        The last joint block (context_pre_only) lives outside the scan as
+        'final_block' and maps to transformer_blocks.{n-1}. LoRA export in
+        the diffusers convention ('transformer.' prefix, reference
+        models/sd3.py:63-64 save_lora_weights)."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.sd3_config
+        lin = {
+            "norm1_linear": "norm1.linear",
+            "norm1_context_linear": "norm1_context.linear",
+            "attn_to_q": "attn.to_q",
+            "attn_to_k": "attn.to_k",
+            "attn_to_v": "attn.to_v",
+            "attn_add_q": "attn.add_q_proj",
+            "attn_add_k": "attn.add_k_proj",
+            "attn_add_v": "attn.add_v_proj",
+            "attn_to_out": "attn.to_out.0",
+            "attn_to_add_out": "attn.to_add_out",
+            "ff_in": "ff.net.0.proj",
+            "ff_out": "ff.net.2",
+            "ff_context_in": "ff_context.net.0.proj",
+            "ff_context_out": "ff_context.net.2",
+        }
+        norms = {}
+        if cfg.qk_norm:
+            norms = {
+                "attn_to_norm_q": "attn.norm_q",
+                "attn_to_norm_k": "attn.norm_k",
+                "attn_add_norm_q": "attn.norm_added_q",
+                "attn_add_norm_k": "attn.norm_added_k",
+            }
+        last = f"transformer_blocks.{cfg.num_layers - 1}"
+        top_linears = {
+            "timestep_embedder/linear_1":
+                "time_text_embed.timestep_embedder.linear_1",
+            "timestep_embedder/linear_2":
+                "time_text_embed.timestep_embedder.linear_2",
+            "text_embedder/linear_1":
+                "time_text_embed.text_embedder.linear_1",
+            "text_embedder/linear_2":
+                "time_text_embed.text_embedder.linear_2",
+            "context_embedder": "context_embedder",
+            "norm_out_linear": "norm_out.linear",
+            "proj_out": "proj_out",
+            # final joint block, context_pre_only (no to_add_out/ff_context)
+            "final_block/norm1_linear": f"{last}.norm1.linear",
+            "final_block/norm1_context_linear": f"{last}.norm1_context.linear",
+            "final_block/attn_to_q": f"{last}.attn.to_q",
+            "final_block/attn_to_k": f"{last}.attn.to_k",
+            "final_block/attn_to_v": f"{last}.attn.to_v",
+            "final_block/attn_add_q": f"{last}.attn.add_q_proj",
+            "final_block/attn_add_k": f"{last}.attn.add_k_proj",
+            "final_block/attn_add_v": f"{last}.attn.add_v_proj",
+            "final_block/attn_to_out": f"{last}.attn.to_out.0",
+            "final_block/ff_in": f"{last}.ff.net.0.proj",
+            "final_block/ff_out": f"{last}.ff.net.2",
+        }
+        top_norms = {}
+        if cfg.qk_norm:
+            top_norms = {
+                "final_block/attn_to_norm_q": f"{last}.attn.norm_q",
+                "final_block/attn_to_norm_k": f"{last}.attn.norm_k",
+                "final_block/attn_add_norm_q": f"{last}.attn.norm_added_q",
+                "final_block/attn_add_norm_k": f"{last}.attn.norm_added_k",
+            }
+        return KeyMap(
+            blocks=[BlockGroup(
+                "blocks", "transformer_blocks", "num_scan_layers",
+                linears=lin, norms=norms,
+            )],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_patch_linears={"pos_embed_proj": "pos_embed.proj"},
+            patch_linear_shapes={
+                "pos_embed_proj":
+                    (cfg.in_channels, cfg.patch_size, cfg.patch_size),
+            },
+            lora_prefix="transformer.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.sd3_config
+        )

@@ -61,6 +61,12 @@ class SD3Config:
         return self.num_attention_heads * self.attention_head_dim
 
     @property
+    def num_scan_layers(self) -> int:
+        """Blocks in the scan stack (the last joint block is separate,
+        context_pre_only)."""
+        return self.num_layers - 1
+
+    @property
     def lora_kwargs(self) -> dict:
         return dict(
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,

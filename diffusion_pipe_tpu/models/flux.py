@@ -265,6 +265,57 @@ class FluxPipeline(BasePipeline):
             )
         return import_lora_diffusers(load_file(str(files[0])), self.flux_config, params)
 
+    def _keymap_config(self):
+        return self.flux_config
+
+    def keymap(self):
+        """diffusers FluxTransformer2DModel keys as a declarative KeyMap —
+        drives the generic full-FT save_model (diffusers layout; reference
+        BFL save is models/flux.py:255-288, the diffusers dialect loads in
+        every downstream tool)."""
+        from .flux_convert import (
+            _DOUBLE_MAP,
+            _DOUBLE_NORMS,
+            _SINGLE_MAP,
+            _SINGLE_NORMS,
+        )
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.flux_config
+        top_linears = {
+            "x_embedder": "x_embedder",
+            "context_embedder": "context_embedder",
+            "timestep_embedder/linear_1":
+                "time_text_embed.timestep_embedder.linear_1",
+            "timestep_embedder/linear_2":
+                "time_text_embed.timestep_embedder.linear_2",
+            "text_embedder/linear_1":
+                "time_text_embed.text_embedder.linear_1",
+            "text_embedder/linear_2":
+                "time_text_embed.text_embedder.linear_2",
+            "norm_out_linear": "norm_out.linear",
+            "proj_out": "proj_out",
+        }
+        if cfg.guidance_embeds:
+            top_linears.update({
+                "guidance_embedder/linear_1":
+                    "time_text_embed.guidance_embedder.linear_1",
+                "guidance_embedder/linear_2":
+                    "time_text_embed.guidance_embedder.linear_2",
+            })
+        return KeyMap(
+            blocks=[
+                BlockGroup("double_blocks", "transformer_blocks",
+                           "num_layers", linears=dict(_DOUBLE_MAP),
+                           norms=dict(_DOUBLE_NORMS)),
+                BlockGroup("single_blocks", "single_transformer_blocks",
+                           "num_single_layers", linears=dict(_SINGLE_MAP),
+                           norms=dict(_SINGLE_NORMS)),
+            ],
+            top_linears=top_linears,
+            lora_prefix="transformer.",
+        )
+
     # --- pretrained weights -------------------------------------------------
 
     def load_weights(self):

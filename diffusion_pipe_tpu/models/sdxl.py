@@ -366,6 +366,66 @@ class SDXLPipeline(BasePipeline):
         sd = export_sdxl_lora_kohya(nn.unbox(trainable), self.unet_config)
         save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
 
+    def save_model(self, out_dir, params):
+        """Full fine-tune export in the original SD single-file format:
+        model.diffusion_model.* + conditioner.embedders.{0,1}.* (+ VAE as
+        first_stage_model when available) — reference sdxl.py:487-525."""
+        from flax import linen as nn
+        from safetensors.numpy import save_file
+
+        from ..common import dtype_from_string
+        from .sdxl_convert import (
+            convert_diffusers_unet_to_sd,
+            convert_diffusers_vae_keys_to_sd,
+            convert_hf_clip_to_openclip,
+            export_sdxl_unet_diffusers,
+            flax_hf_to_torch_sd,
+        )
+
+        p = nn.unbox(params)["params"]
+        unet_sd = convert_diffusers_unet_to_sd(
+            export_sdxl_unet_diffusers(p["unet"], self.unet_config)
+        )
+        state = {"model.diffusion_model." + k: v for k, v in unet_sd.items()}
+        te1 = flax_hf_to_torch_sd(p["text_encoder"])
+        state.update({
+            "conditioner.embedders.0.transformer." + k: v
+            for k, v in te1.items()
+        })
+        te2 = convert_hf_clip_to_openclip(flax_hf_to_torch_sd(
+            p["text_encoder_2"]))
+        if "text_projection.weight" in te2:
+            # single-file stores the open-clip orientation (reference
+            # sdxl.py:512-515 .T of the HF weight = our kernel as-is)
+            te2["text_projection"] = np.ascontiguousarray(
+                te2.pop("text_projection.weight").T
+            )
+        state.update({
+            "conditioner.embedders.1.model." + k: v for k, v in te2.items()
+        })
+        mc = self.model_config
+        vae_path = mc.get("vae_path")
+        if vae_path is None and mc.get("diffusers_path"):
+            cand = Path(mc["diffusers_path"]) / "vae"
+            vae_path = str(cand) if cand.is_dir() else None
+        if vae_path:
+            from .weights import load_safetensors_dir
+
+            vae_sd = convert_diffusers_vae_keys_to_sd(
+                load_safetensors_dir(vae_path)
+            )
+            state.update({
+                "first_stage_model." + k: v for k, v in vae_sd.items()
+            })
+        if "save_dtype" in self.config:
+            dt = dtype_from_string(self.config["save_dtype"])
+            state = {k: np.asarray(v).astype(dt) for k, v in state.items()}
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        save_file(state, str(out / "model.safetensors"),
+                  metadata={"format": "pt"})
+        print(f"saved {len(state)} tensors to {out / 'model.safetensors'}")
+
     # --- caching ------------------------------------------------------------
 
     def get_call_vae_fn(self):

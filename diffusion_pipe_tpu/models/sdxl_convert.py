@@ -288,3 +288,233 @@ def convert_diffusers_unet_to_sd(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndar
                 break
         out[nk] = v
     return out
+
+
+# --- full-model export (reference save_model, sdxl.py:487-525) ---------------
+
+
+def _inv_conv(entry):
+    out = {"weight": np.ascontiguousarray(
+        np.transpose(np.asarray(entry["kernel"]), (3, 2, 0, 1)))}
+    if "bias" in entry:
+        out["bias"] = np.asarray(entry["bias"])
+    return out
+
+
+def _inv_linear(entry):
+    out = {"weight": np.ascontiguousarray(np.asarray(entry["kernel"]).T)}
+    if "bias" in entry:
+        out["bias"] = np.asarray(entry["bias"])
+    return out
+
+
+def _inv_norm(entry):
+    return {"weight": np.asarray(entry["scale"]),
+            "bias": np.asarray(entry["bias"])}
+
+
+def _emit(sd, prefix, entries):
+    for suffix, v in entries.items():
+        sd[f"{prefix}.{suffix}"] = v
+
+
+def export_sdxl_unet_diffusers(p: Dict[str, dict], cfg: SDXLConfig
+                               ) -> Dict[str, np.ndarray]:
+    """Invert convert_diffusers_sdxl_unet: flax UNet tree -> diffusers keys."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_resnet(prefix, tree):
+        _emit(sd, f"{prefix}.norm1", _inv_norm(tree["norm1"]))
+        _emit(sd, f"{prefix}.conv1", _inv_conv(tree["conv1"]))
+        _emit(sd, f"{prefix}.time_emb_proj", _inv_linear(tree["time_emb_proj"]))
+        _emit(sd, f"{prefix}.norm2", _inv_norm(tree["norm2"]))
+        _emit(sd, f"{prefix}.conv2", _inv_conv(tree["conv2"]))
+        if "conv_shortcut" in tree:
+            _emit(sd, f"{prefix}.conv_shortcut",
+                  _inv_conv(tree["conv_shortcut"]))
+
+    def put_basic(prefix, tree):
+        for i in (1, 2, 3):
+            _emit(sd, f"{prefix}.norm{i}", _inv_norm(tree[f"norm{i}"]))
+        for attn in ("attn1", "attn2"):
+            for proj in ("to_q", "to_k", "to_v"):
+                _emit(sd, f"{prefix}.{attn}.{proj}",
+                      _inv_linear(tree[f"{attn}_{proj}"]))
+            _emit(sd, f"{prefix}.{attn}.to_out.0",
+                  _inv_linear(tree[f"{attn}_to_out"]))
+        _emit(sd, f"{prefix}.ff.net.0.proj", _inv_linear(tree["ff_proj"]))
+        _emit(sd, f"{prefix}.ff.net.2", _inv_linear(tree["ff_out"]))
+
+    def put_transformer(prefix, tree, depth):
+        _emit(sd, f"{prefix}.norm", _inv_norm(tree["norm"]))
+        _emit(sd, f"{prefix}.proj_in", _inv_linear(tree["proj_in"]))
+        _emit(sd, f"{prefix}.proj_out", _inv_linear(tree["proj_out"]))
+        for i in range(depth):
+            put_basic(f"{prefix}.transformer_blocks.{i}", tree[f"block_{i}"])
+
+    _emit(sd, "conv_in", _inv_conv(p["conv_in"]))
+    _emit(sd, "time_embedding.linear_1", _inv_linear(p["time_embedding_1"]))
+    _emit(sd, "time_embedding.linear_2", _inv_linear(p["time_embedding_2"]))
+    _emit(sd, "add_embedding.linear_1", _inv_linear(p["add_embedding_1"]))
+    _emit(sd, "add_embedding.linear_2", _inv_linear(p["add_embedding_2"]))
+    _emit(sd, "conv_norm_out", _inv_norm(p["conv_norm_out"]))
+    _emit(sd, "conv_out", _inv_conv(p["conv_out"]))
+    n = len(cfg.block_out_channels)
+    for i in range(n):
+        depth = cfg.transformer_layers[i]
+        for j in range(cfg.layers_per_block):
+            put_resnet(f"down_blocks.{i}.resnets.{j}", p[f"down_{i}_res_{j}"])
+            if depth > 0:
+                put_transformer(f"down_blocks.{i}.attentions.{j}",
+                                p[f"down_{i}_attn_{j}"], depth)
+        if i < n - 1:
+            _emit(sd, f"down_blocks.{i}.downsamplers.0.conv",
+                  _inv_conv(p[f"down_{i}_downsample"]))
+    put_resnet("mid_block.resnets.0", p["mid_res_0"])
+    put_resnet("mid_block.resnets.1", p["mid_res_1"])
+    put_transformer("mid_block.attentions.0", p["mid_attn"],
+                    cfg.transformer_layers[-1])
+    rev = list(reversed(cfg.transformer_layers))
+    for i in range(n):
+        depth = rev[i]
+        for j in range(cfg.layers_per_block + 1):
+            put_resnet(f"up_blocks.{i}.resnets.{j}", p[f"up_{i}_res_{j}"])
+            if depth > 0:
+                put_transformer(f"up_blocks.{i}.attentions.{j}",
+                                p[f"up_{i}_attn_{j}"], depth)
+        if i < n - 1:
+            _emit(sd, f"up_blocks.{i}.upsamplers.0.conv",
+                  _inv_conv(p[f"up_{i}_upsample"]))
+    return sd
+
+
+def flax_hf_to_torch_sd(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Generic transformers-flax param tree -> HF torch key dict
+    (kernel->weight.T, embedding->weight, scale->weight)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        for k, v in node.items():
+            if not isinstance(v, dict):
+                out[".".join(path + [k])] = np.asarray(v)
+                continue
+            key = ".".join(path + [k])
+            if "kernel" in v and not any(
+                isinstance(x, dict) for x in v.values()
+            ):
+                out[key + ".weight"] = np.ascontiguousarray(
+                    np.asarray(v["kernel"]).T)
+                if "bias" in v:
+                    out[key + ".bias"] = np.asarray(v["bias"])
+            elif set(v) == {"embedding"}:
+                out[key + ".weight"] = np.asarray(v["embedding"])
+            elif "scale" in v and not any(
+                isinstance(x, dict) for x in v.values()
+            ):
+                out[key + ".weight"] = np.asarray(v["scale"])
+                if "bias" in v:
+                    out[key + ".bias"] = np.asarray(v["bias"])
+            else:
+                rec(v, path + [k])
+
+    rec(tree, [prefix] if prefix else [])
+    return out
+
+
+_OPENCLIP_RENAMES = [
+    # (stable-diffusion, HF) — reference sdxl.py:209-220
+    ("transformer.resblocks.", "text_model.encoder.layers."),
+    ("ln_1", "layer_norm1"),
+    ("ln_2", "layer_norm2"),
+    (".c_fc.", ".fc1."),
+    (".c_proj.", ".fc2."),
+    (".attn", ".self_attn"),
+    ("ln_final.", "text_model.final_layer_norm."),
+    ("token_embedding.weight", "text_model.embeddings.token_embedding.weight"),
+    ("positional_embedding", "text_model.embeddings.position_embedding.weight"),
+]
+
+
+def convert_hf_clip_to_openclip(sd: Dict[str, np.ndarray]
+                                ) -> Dict[str, np.ndarray]:
+    """HF CLIPTextModel keys -> original open-clip keys with fused
+    in_proj (reference convert_openclip_text_enc_state_dict,
+    sdxl.py:228-275)."""
+    def rename(k):
+        for sd_part, hf_part in _OPENCLIP_RENAMES:
+            k = k.replace(hf_part, sd_part)
+        return k
+
+    out: Dict[str, np.ndarray] = {}
+    qkv_w: Dict[str, list] = {}
+    qkv_b: Dict[str, list] = {}
+    code = {"q": 0, "k": 1, "v": 2}
+    for k, v in sd.items():
+        for kind, store in (("weight", qkv_w), ("bias", qkv_b)):
+            matched = False
+            for c in "qkv":
+                suffix = f".self_attn.{c}_proj.{kind}"
+                if k.endswith(suffix):
+                    pre = k[: -len(f".{c}_proj.{kind}")]
+                    store.setdefault(pre, [None, None, None])[code[c]] = v
+                    matched = True
+                    break
+            if matched:
+                break
+        else:
+            out[rename(k)] = v
+    for pre, tensors in qkv_w.items():
+        assert all(t is not None for t in tensors), pre
+        out[rename(pre) + ".in_proj_weight"] = np.concatenate(tensors, axis=0)
+    for pre, tensors in qkv_b.items():
+        assert all(t is not None for t in tensors), pre
+        out[rename(pre) + ".in_proj_bias"] = np.concatenate(tensors, axis=0)
+    return out
+
+
+_VAE_SD_RENAMES = None
+
+
+def convert_diffusers_vae_keys_to_sd(sd: Dict[str, np.ndarray]
+                                     ) -> Dict[str, np.ndarray]:
+    """diffusers AutoencoderKL keys -> original SD first_stage_model keys
+    (reference convert_vae_state_dict, sdxl.py:125-201)."""
+    renames = [
+        ("nin_shortcut", "conv_shortcut"),
+        ("norm_out", "conv_norm_out"),
+        ("mid.attn_1.", "mid_block.attentions.0."),
+    ]
+    for i in range(4):
+        for j in range(2):
+            renames.append((f"encoder.down.{i}.block.{j}.",
+                            f"encoder.down_blocks.{i}.resnets.{j}."))
+        if i < 3:
+            renames.append((f"down.{i}.downsample.",
+                            f"down_blocks.{i}.downsamplers.0."))
+            renames.append((f"up.{3-i}.upsample.",
+                            f"up_blocks.{i}.upsamplers.0."))
+        for j in range(3):
+            renames.append((f"decoder.up.{3-i}.block.{j}.",
+                            f"decoder.up_blocks.{i}.resnets.{j}."))
+    for i in range(2):
+        renames.append((f"mid.block_{i+1}.", f"mid_block.resnets.{i}."))
+    attn_renames = [
+        ("norm.", "group_norm."),
+        ("q.", "to_q."),
+        ("k.", "to_k."),
+        ("v.", "to_v."),
+        ("proj_out.", "to_out.0."),
+    ]
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for sd_part, hf_part in renames:
+            nk = nk.replace(hf_part, sd_part)
+        if "attn_1" in nk or "attentions" in k:
+            for sd_part, hf_part in attn_renames:
+                nk = nk.replace(hf_part, sd_part)
+        if any(f"mid.attn_1.{w}.weight" in nk
+               for w in ("q", "k", "v", "proj_out")) and v.ndim == 2:
+            v = v.reshape(*v.shape, 1, 1)
+        out[nk] = v
+    return out

@@ -179,3 +179,57 @@ def test_lora_export_and_reimport(model_type, tmp_path):
             if np.allclose(rest[k], orig[k]) and orig[k].size:
                 matched += 1
     assert matched > 0
+
+
+def test_flux_save_model_roundtrip(tmp_path):
+    """Full-FT flux export (diffusers layout via the keymap) reloads
+    through flux's own load_weights bit-exactly."""
+    pipe = _pipeline("flux")
+    params = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+    pipe.save_model(tmp_path / "m", params)
+
+    cfg2 = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "float32", "_tiny": True,
+                  "transformer_path": str(tmp_path / "m")},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe2 = get_model_class("flux")(cfg2)
+    back = pipe2.load_weights()
+    f0 = _flat(params["params"])
+    f1 = _flat(back["params"])
+    assert set(f0) == set(f1), sorted(set(f0) ^ set(f1))[:10]
+    for k in f0:
+        np.testing.assert_allclose(f0[k], f1[k], atol=0, err_msg=k)
+
+
+def test_sdxl_save_model_roundtrip(tmp_path):
+    """Full-FT SDXL export in the original SD single-file format reloads
+    through SDXL's own load_weights (UNet exact; TEs ride under
+    conditioner.embedders.* keys)."""
+    pipe = _pipeline("sdxl")
+    params = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+    pipe.save_model(tmp_path / "m", params)
+
+    from safetensors.numpy import load_file
+
+    sd = load_file(str(tmp_path / "m" / "model.safetensors"))
+    assert any(k.startswith("model.diffusion_model.") for k in sd)
+    assert any(k.startswith("conditioner.embedders.0.transformer.")
+               for k in sd)
+    assert any(k.startswith("conditioner.embedders.1.model.") for k in sd)
+    assert any(".in_proj_weight" in k for k in sd)  # fused open-clip qkv
+
+    cfg2 = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "sdxl", "dtype": "float32", "_tiny": True,
+                  "checkpoint_path": str(tmp_path / "m")},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe2 = get_model_class("sdxl")(cfg2)
+    back = pipe2.load_weights()
+    f0 = _flat(params["params"]["unet"])
+    f1 = _flat(back["params"]["unet"])
+    assert set(f0) == set(f1), sorted(set(f0) ^ set(f1))[:10]
+    for k in f0:
+        np.testing.assert_allclose(f0[k], f1[k], atol=0, err_msg=k)

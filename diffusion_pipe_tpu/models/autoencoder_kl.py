@@ -300,3 +300,114 @@ def convert_diffusers_vae(state_dict, config: VAEConfig):
     put(p_dec, ("conv_out",), g("decoder.conv_out.weight"), g("decoder.conv_out.bias"))
 
     return {"params": {"encoder": p_enc, "decoder": p_dec}}
+
+
+# --- universal image-VAE loader ----------------------------------------------
+
+
+def convert_sd_vae_keys_to_diffusers(sd):
+    """Original SD first_stage_model keys -> diffusers AutoencoderKL keys
+    (inverse of the reference's convert_vae_state_dict, sdxl.py:125-201).
+    Mid-attention q/k/v/proj_out conv [O,I,1,1] weights flatten to linear."""
+    import numpy as np
+
+    renames = [
+        ("conv_shortcut", "nin_shortcut"),
+        ("conv_norm_out", "norm_out"),
+        ("mid_block.attentions.0.", "mid.attn_1."),
+    ]
+    for i in range(4):
+        for j in range(2):
+            renames.append((f"encoder.down_blocks.{i}.resnets.{j}.",
+                            f"encoder.down.{i}.block.{j}."))
+        if i < 3:
+            renames.append((f"down_blocks.{i}.downsamplers.0.",
+                            f"down.{i}.downsample."))
+            renames.append((f"up_blocks.{i}.upsamplers.0.",
+                            f"up.{3-i}.upsample."))
+        for j in range(3):
+            renames.append((f"decoder.up_blocks.{i}.resnets.{j}.",
+                            f"decoder.up.{3-i}.block.{j}."))
+    for i in range(2):
+        renames.append((f"mid_block.resnets.{i}.", f"mid.block_{i+1}."))
+    attn_renames = [
+        ("group_norm.", "norm."),
+        ("to_q.", "q."),
+        ("to_k.", "k."),
+        ("to_v.", "v."),
+        ("to_out.0.", "proj_out."),
+    ]
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        for hf_part, sd_part in renames:
+            nk = nk.replace(sd_part, hf_part)
+        if "mid_block.attentions" in nk:
+            for hf_part, sd_part in attn_renames:
+                nk = nk.replace(sd_part, hf_part)
+            v = np.asarray(v)
+            if v.ndim == 4 and v.shape[2] == v.shape[3] == 1:
+                v = v.reshape(v.shape[0], v.shape[1])
+        out[nk] = v
+    return out
+
+
+def infer_vae_config_from_sd(sd, **overrides) -> VAEConfig:
+    """Derive the AutoencoderKL topology from weight shapes (works for SD1.5
+    4ch, SDXL 4ch, flux 16ch, flux2 32ch, and deeper KL variants like
+    HunyuanImage's 32x VAE — depth, widths, and latent channels all come
+    from the tensors)."""
+    import numpy as np
+
+    blocks = []
+    i = 0
+    while f"encoder.down_blocks.{i}.resnets.0.conv1.weight" in sd:
+        blocks.append(
+            int(np.asarray(
+                sd[f"encoder.down_blocks.{i}.resnets.0.conv1.weight"]
+            ).shape[0])
+        )
+        i += 1
+    if not blocks:
+        raise ValueError("not an AutoencoderKL-shaped state dict")
+    layers = 0
+    while f"encoder.down_blocks.0.resnets.{layers}.conv1.weight" in sd:
+        layers += 1
+    latent = int(np.asarray(sd["encoder.conv_out.weight"]).shape[0]) // 2
+    defaults = {
+        16: dict(scaling_factor=0.3611, shift_factor=0.1159),   # flux
+        4: dict(scaling_factor=0.13025, shift_factor=0.0),      # sdxl
+    }
+    kw = dict(
+        latent_channels=latent,
+        block_out_channels=tuple(blocks),
+        layers_per_block=layers,
+        use_quant_conv="quant_conv.weight" in sd,
+        **defaults.get(latent, dict(scaling_factor=1.0, shift_factor=0.0)),
+    )
+    kw.update(overrides)
+    return VAEConfig(**kw)
+
+
+def load_image_vae(path, **config_overrides):
+    """Load any AutoencoderKL-family image VAE from a safetensors file or
+    directory: accepts diffusers keys, original-SD (`first_stage_model.`)
+    keys, and ComfyUI `vae.` prefixes; topology inferred from shapes.
+    Returns (vae, params, config)."""
+    from .weights import load_safetensors_dir
+
+    sd = load_safetensors_dir(path)
+    stripped = {}
+    for k, v in sd.items():
+        for p in ("first_stage_model.", "vae."):
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        stripped[k] = v
+    sd = stripped
+    if any(k.startswith("encoder.down.") for k in sd):
+        sd = convert_sd_vae_keys_to_diffusers(sd)
+    cfg = infer_vae_config_from_sd(sd, **config_overrides)
+    vae = AutoencoderKL(cfg)
+    params = convert_diffusers_vae(sd, cfg)
+    return vae, params, cfg

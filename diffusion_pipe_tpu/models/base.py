@@ -83,6 +83,54 @@ class BasePipeline:
         models/base.py:349-358)."""
         raise NotImplementedError
 
+    def _generic_image_vae_fn(self, tiny_latent_channels: int = 4,
+                              video_latents: bool = False,
+                              **config_overrides):
+        """Shared get_call_vae_fn body for AutoencoderKL-family models:
+        tiny mode runs a random small KL VAE at the model's latent width;
+        real mode loads model.vae_path (alias `vae`) through the universal
+        loader (diffusers / original-SD / ComfyUI `vae.`-prefixed keys,
+        topology inferred from shapes — covers flux2's 32ch and
+        HunyuanImage's 32x deep KL VAEs). video_latents appends a frames=1
+        axis (reference is_video_vae, models/krea2.py:25-29)."""
+        import jax.numpy as jnp
+
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            from .autoencoder_kl import AutoencoderKL, VAEConfig
+
+            cfg = VAEConfig(
+                latent_channels=tiny_latent_channels,
+                block_out_channels=(8, 16), norm_num_groups=4,
+                layers_per_block=1, scaling_factor=1.0, shift_factor=0.0,
+            )
+            vae = AutoencoderKL(cfg)
+            params = vae.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32))
+            )
+        else:
+            from .autoencoder_kl import load_image_vae
+
+            path = mc.get("vae_path") or mc.get("vae")
+            if not path:
+                raise FileNotFoundError(
+                    f"{self.name}: set model.vae_path for latent caching"
+                )
+            vae, params, cfg = load_image_vae(path, **config_overrides)
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            if pixels.ndim == 5:
+                pixels = pixels[:, :, 0]
+            z = np.asarray(encode(jnp.asarray(pixels, jnp.float32)))
+            if video_latents:
+                z = z[:, :, None]
+            return {"latents": z}
+
+        return fn
+
     def lr_scale_map(self, base_lr):
         """Per-module LR multipliers by param-path substring (reference
         param groups, e.g. sdxl unet_lr / cosmos_predict2 llm_adapter_lr)."""

@@ -59,6 +59,8 @@ class CosmosPredict2Pipeline(BasePipeline):
             self.cacheable_text_embeddings = (
                 "llm_hidden_states", "llm_mask", "t5_input_ids", "t5_mask",
             )
+            # distinct cache dir (reference cosmos_predict2.py:253)
+            self.name = "anima"
 
     def lr_scale_map(self, base_lr):
         """Per-module LR groups (reference cosmos_predict2.py:449-489):

@@ -301,6 +301,11 @@ class ErnieImagePipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Ernie-Image uses the flux2 VAE file in the reference configs
+        (docs/supported_models.md:569); universal KL loader."""
+        return self._generic_image_vae_fn(tiny_latent_channels=4)
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

@@ -412,6 +412,15 @@ class Flux2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Flux2 VAE: 32-latent-channel AutoencoderKL (reference configs use
+        ComfyUI flux2-vae.safetensors, docs/supported_models.md:490); tiny
+        mode runs a small random KL VAE."""
+        return self._generic_image_vae_fn(
+            tiny_latent_channels=4 if self.model_config.get("_tiny")
+            else 32,
+        )
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

@@ -301,6 +301,15 @@ class HunyuanImagePipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """HunyuanImage-2.1 32x-compression VAE (docs/supported_models.md:
+        422-425): a deep KL VAE — the universal loader infers depth/widths
+        from the checkpoint shapes (model.vae_path)."""
+        return self._generic_image_vae_fn(
+            tiny_latent_channels=8 if self.model_config.get("_tiny")
+            else 64,
+        )
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

@@ -302,6 +302,21 @@ class HunyuanVideo15Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;
+        the HunyuanVideo-1.5 video-VAE port is pending real-checkpoint
+        verification (it is not the hv1 3D VAE)."""
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            return self._generic_image_vae_fn(
+                tiny_latent_channels=self.hv15_config.latent_channels,
+                video_latents=True,
+            )
+        raise NotImplementedError(
+            "hunyuan_video_15: video VAE port pending; cache latents "
+            "externally or use the tiny test path"
+        )
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

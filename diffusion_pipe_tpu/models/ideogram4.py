@@ -340,6 +340,12 @@ class Ideogram4Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Ideogram4 uses the flux2 VAE (docs/supported_models.md:608);
+        universal KL loader. Latents cache unpacked [B, 32, H, W]; packing
+        happens in prepare_inputs."""
+        return self._generic_image_vae_fn(tiny_latent_channels=4)
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

@@ -340,6 +340,35 @@ class Krea2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Krea2 uses the Qwen-Image (Wan-architecture) image VAE with
+        frames=1 video-shaped latents (reference models/krea2.py:25-29,76
+        is_video_vae). Tiny mode: small KL VAE, still video-shaped."""
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            return self._generic_image_vae_fn(
+                tiny_latent_channels=4, video_latents=True
+            )
+        import jax
+        import jax.numpy as jnp
+
+        from .wan_vae_convert import load_wan_vae
+
+        path = mc.get("vae_path") or mc.get("vae")
+        vae, params = load_wan_vae(path)
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]  # [B,C,1,H,W]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32))
+            )}
+
+        return fn
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

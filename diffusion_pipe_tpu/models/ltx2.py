@@ -412,6 +412,21 @@ class LTX2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def get_call_vae_fn(self):
+        """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;
+        the LTX-2 video-VAE port is pending real-checkpoint verification."""
+        mc = self.model_config
+        if mc.get("_tiny", False):
+            return self._generic_image_vae_fn(
+                tiny_latent_channels=self.ltx2_config.in_channels // 8
+                if self.ltx2_config.in_channels >= 8 else 4,
+                video_latents=True,
+            )
+        raise NotImplementedError(
+            "ltx2: video VAE port pending; cache latents externally or "
+            "use the tiny test path"
+        )
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):

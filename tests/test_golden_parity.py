@@ -1,0 +1,301 @@
+"""Numerical parity vs the reference's own torch modules (no downloads):
+instantiate the reference implementation with random seeded weights,
+transfer them through OUR converters, and compare outputs — the golden-file
+strategy VERDICT #7 prescribes (reference's own VAE-round-trip tools,
+tools/wan_vae_test.py:1-72, are the manual analogue).
+
+The reference is imported READ-ONLY from /root/reference; only numbers
+cross into assertions.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _ref_path():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+def _small_wan_vae():
+    import torch
+
+    _ref_path()
+    from models.wan.vae2_1 import WanVAE_
+
+    torch.manual_seed(0)
+    ref = WanVAE_(dim=32, z_dim=16, dim_mult=[1, 2, 4], num_res_blocks=1,
+                  attn_scales=[], temperal_downsample=[True, False],
+                  dropout=0.0)
+    ref.eval()
+    return ref
+
+
+@pytest.fixture(scope="module")
+def wan_vae_pair():
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from diffusion_pipe_tpu.models.wan_vae import WanVAEConfig, WanVideoVAE
+    from diffusion_pipe_tpu.models.wan_vae_convert import convert_wan_vae
+
+    ref = _small_wan_vae()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = WanVAEConfig(dim=32, z_dim=16, dim_mult=(1, 2, 4),
+                       num_res_blocks=1, attn_scales=(),
+                       temperal_downsample=(True, False))
+    params = convert_wan_vae(sd, cfg)
+    return ref, WanVideoVAE(cfg), params
+
+
+def _wan_scale():
+    import torch
+
+    from diffusion_pipe_tpu.models.wan_vae import (
+        WAN21_LATENT_MEAN,
+        WAN21_LATENT_STD,
+    )
+
+    mean = torch.tensor(WAN21_LATENT_MEAN).view(1, 16, 1, 1, 1)
+    std = torch.tensor(WAN21_LATENT_STD).view(1, 16, 1, 1, 1)
+    return [mean, 1.0 / std]
+
+
+def test_wan21_vae_encode_matches_reference(wan_vae_pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, vae, params = wan_vae_pair
+    x = np.random.default_rng(0).standard_normal(
+        (1, 3, 5, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        z_ref = ref.encode(torch.from_numpy(x), _wan_scale())
+    z_ref = np.asarray(z_ref)
+    z_ours = np.asarray(
+        vae.apply(params, jnp.asarray(x), method=type(vae).encode)
+    )
+    assert z_ref.shape == z_ours.shape
+    np.testing.assert_allclose(z_ours, z_ref, atol=2e-5)
+
+
+def test_wan21_vae_decode_matches_reference(wan_vae_pair):
+    import jax.numpy as jnp
+    import torch
+
+    ref, vae, params = wan_vae_pair
+    z = (np.random.default_rng(1).standard_normal(
+        (1, 16, 3, 8, 8)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        x_ref = ref.decode(torch.from_numpy(z), _wan_scale())
+    # our decode clamps to [-1, 1] (the reference pipeline clamps at its
+    # use sites); clamp the raw reference output for comparison
+    x_ref = np.clip(np.asarray(x_ref), -1.0, 1.0)
+    x_ours = np.asarray(
+        vae.apply(params, jnp.asarray(z), method=type(vae).decode)
+    )
+    assert x_ref.shape == x_ours.shape
+    np.testing.assert_allclose(x_ours, x_ref, atol=2e-4)
+
+
+def _stub_modules():
+    """Stub ftfy (tokenizer-only) and the diffusers mixins so the reference
+    t5.py / model.py import on CPU without their pip deps."""
+    import importlib.machinery
+    import types
+
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", None)
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    if "diffusers" not in sys.modules:
+        import torch
+
+        diff = types.ModuleType("diffusers")
+        cu = types.ModuleType("diffusers.configuration_utils")
+
+        class ConfigMixin:
+            pass
+
+        def register_to_config(fn=None, **kw):
+            if fn is None:
+                return lambda f: f
+            return fn
+
+        cu.ConfigMixin = ConfigMixin
+        cu.register_to_config = register_to_config
+        mu = types.ModuleType("diffusers.models.modeling_utils")
+
+        class ModelMixin(torch.nn.Module):
+            pass
+
+        mu.ModelMixin = ModelMixin
+        mm = types.ModuleType("diffusers.models")
+        mm.modeling_utils = mu
+        diff.configuration_utils = cu
+        diff.models = mm
+        for name, m in [("diffusers", diff),
+                        ("diffusers.configuration_utils", cu),
+                        ("diffusers.models", mm),
+                        ("diffusers.models.modeling_utils", mu)]:
+            sys.modules[name] = m
+
+
+def _sdpa_flash(q, k, v, q_lens=None, k_lens=None, **kw):
+    """CPU stand-in for the reference's flash_attention wrapper: SDPA with
+    the same k_lens key-padding mask semantics (attention.py:19-127)."""
+    import torch
+
+    mask = None
+    if k_lens is not None:
+        idx = torch.arange(k.shape[1])[None, :]
+        mask = (idx < k_lens[:, None])[:, None, None, :]
+    out = torch.nn.functional.scaled_dot_product_attention(
+        q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+        attn_mask=mask,
+    )
+    return out.transpose(1, 2)
+
+
+def test_wan_dit_forward_matches_reference():
+    """One full Wan DiT forward (patch embed -> blocks -> head ->
+    unpatchify, composed exactly as the reference wan.py layer wrappers
+    drive model.py) vs our WanTransformer with converted weights."""
+    import torch
+
+    _ref_path()
+    _stub_modules()
+    import models.wan.model as ref_model_mod
+    from models.wan.model import WanModel, sinusoidal_embedding_1d
+
+    ref_model_mod.flash_attention = _sdpa_flash
+
+    torch.manual_seed(0)
+    m = WanModel(model_type="t2v", patch_size=(1, 2, 2), text_len=16,
+                 in_dim=16, dim=64, ffn_dim=128, freq_dim=32, text_dim=32,
+                 out_dim=16, num_heads=4, num_layers=2)
+    m.eval()
+    m = m.float()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.wan import convert_wan_weights
+    from diffusion_pipe_tpu.models.wan_model import WanConfig, WanTransformer
+
+    cfg = WanConfig.tiny()  # dim=64 ffn=128 heads=4 layers=2 freq=32
+    assert cfg.dim == 64 and cfg.num_layers == 2 and cfg.text_len == 16
+    params = convert_wan_weights(sd, cfg)
+    ours = WanTransformer(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 16, 1, 8, 8)).astype(np.float32)
+    ctx = np.zeros((1, 16, 32), np.float32)
+    ctx[:, :5] = rng.standard_normal((1, 5, 32)).astype(np.float32)
+    t_val = 500.0
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x)
+        e = m.time_embedding(
+            sinusoidal_embedding_1d(m.freq_dim,
+                                    torch.tensor([t_val])).float())
+        # blocks/head broadcast e over the token dim: [B, 1, 6, C]
+        e0 = m.time_projection(e).unflatten(1, (6, m.dim)).unsqueeze(1)
+        context = m.text_embedding(torch.from_numpy(ctx))
+        h = m.patch_embedding(xt)
+        grid_sizes = torch.tensor([list(h.shape[2:])], dtype=torch.long)
+        h = h.flatten(2).transpose(1, 2)
+        seq_lens = torch.tensor([h.shape[1]], dtype=torch.long)
+        for block in m.blocks:
+            h = block(h, e=e0, seq_lens=seq_lens, grid_sizes=grid_sizes,
+                      freqs=m.freqs, context=context, context_lens=None)
+        h = m.head(h, e.unsqueeze(1))
+        out_ref = m.unpatchify(h, grid_sizes)[0].numpy()[None]
+
+    out_ours = np.asarray(ours.apply(
+        jax.tree_util.tree_map(np.asarray, params),
+        jnp.asarray(x), jnp.asarray([t_val]), jnp.asarray(ctx), None,
+    ))
+    assert out_ref.shape == out_ours.shape
+    np.testing.assert_allclose(out_ours, out_ref, atol=5e-4)
+
+
+def test_umt5_encoder_matches_reference():
+    """Reference vendored UMT5 encoder (models/wan/t5.py, per-block relative
+    position bias) vs our UMT5Encoder with converted weights."""
+    import torch
+
+    _ref_path()
+    _stub_modules()
+    if not torch.cuda.is_available():
+        # t5.py evaluates torch.cuda.current_device() in a class-body
+        # default arg (t5.py:547); neutralize for CPU import
+        torch.cuda.current_device = lambda: "cpu"
+    from models.wan.t5 import T5Encoder
+
+    torch.manual_seed(0)
+    ref = T5Encoder(vocab=64, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                    num_layers=2, num_buckets=8, shared_pos=False,
+                    dropout=0.0)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    # reference t5.py module names -> the HF dialect our converter expects
+    hf = {
+        "shared.weight": sd["token_embedding.weight"],
+        "encoder.final_layer_norm.weight": sd["norm.weight"],
+    }
+    for i in range(2):
+        b = f"blocks.{i}"
+        o = f"encoder.block.{i}"
+        hf[f"{o}.layer.0.layer_norm.weight"] = sd[f"{b}.norm1.weight"]
+        for n in "qkvo":
+            hf[f"{o}.layer.0.SelfAttention.{n}.weight"] = (
+                sd[f"{b}.attn.{n}.weight"])
+        hf[f"{o}.layer.0.SelfAttention.relative_attention_bias.weight"] = (
+            sd[f"{b}.pos_embedding.embedding.weight"])
+        hf[f"{o}.layer.1.layer_norm.weight"] = sd[f"{b}.norm2.weight"]
+        hf[f"{o}.layer.1.DenseReluDense.wi_0.weight"] = (
+            sd[f"{b}.ffn.gate.0.weight"])
+        hf[f"{o}.layer.1.DenseReluDense.wi_1.weight"] = (
+            sd[f"{b}.ffn.fc1.weight"])
+        hf[f"{o}.layer.1.DenseReluDense.wo.weight"] = (
+            sd[f"{b}.ffn.fc2.weight"])
+
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.umt5 import (
+        UMT5Config,
+        UMT5Encoder,
+        convert_umt5_comfy,
+    )
+
+    cfg = UMT5Config(vocab=64, dim=32, dim_attn=32, dim_ffn=64, num_heads=4,
+                     num_layers=2, num_buckets=8, dtype=jnp.float32,
+                     param_dtype=jnp.float32)
+    params = convert_umt5_comfy(hf, cfg)
+    enc = UMT5Encoder(cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 64, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    mask[0, 7:] = 0
+    ids[0, 7:] = 0
+
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(ids).long(),
+                      torch.from_numpy(mask).long()).numpy()
+    out_ours = np.asarray(
+        enc.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    assert out_ref.shape == out_ours.shape
+    # compare only valid tokens (padding rows differ by design)
+    m = mask[..., None].astype(bool)
+    np.testing.assert_allclose(
+        np.where(m, out_ours, 0), np.where(m, out_ref, 0), atol=2e-4
+    )

@@ -103,6 +103,10 @@ class WanPipeline(BasePipeline):
         if self._skyreels:
             # distinct cache name (reference wan.py:122-124, 142-143)
             self.name = ("skyreels_v2_i2v" if self.is_i2v else "skyreels_v2")
+        elif self.wan_config.model_type == "ti2v":
+            # ti2v caches through the Wan2.2 VAE (48ch, 16x): its latents
+            # must not share a cache dir with the 2.1-VAE variants
+            self.name = "wan_ti2v"
         # cache_text_embeddings=false (reference wan.py:77, 338-342, 442-447):
         # captions are NOT pre-encoded; the frozen UMT5 runs inside the train
         # step (the reference runs it in InitialLayer), enabling per-step
@@ -152,9 +156,12 @@ class WanPipeline(BasePipeline):
                 ),
             )
         if mc.get("_tiny", False):
+            vt = mc.get("variant_type", "t2v")
+            # tiny ti2v matches the tiny Wan2.2 VAE (z_dim=8)
+            in_dim = {"i2v": 36, "ti2v": 8}.get(vt, 16)
             return WanConfig.tiny(
-                model_type=mc.get("variant_type", "t2v"),
-                in_dim=36 if mc.get("variant_type") == "i2v" else 16,
+                model_type=vt, in_dim=in_dim,
+                out_dim=8 if vt == "ti2v" else 16,
                 **kwargs,
             )
         variant = mc.get("variant")
@@ -335,7 +342,17 @@ class WanPipeline(BasePipeline):
             from .wan_vae import WanVAEConfig, WanVideoVAE
 
             mc = self.model_config
+            is_ti2v = self.wan_config.model_type == "ti2v"
             if mc.get("_tiny", False):
+                if is_ti2v:
+                    from .wan_vae22 import Wan22VAEConfig, WanVideoVAE22
+
+                    cfg = Wan22VAEConfig.tiny()
+                    self._vae = WanVideoVAE22(cfg)
+                    self._vae_params = self._vae.init(
+                        jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32))
+                    )
+                    return self._vae, self._vae_params
                 cfg = WanVAEConfig(dim=8, z_dim=16, dim_mult=(1, 2, 4),
                                    num_res_blocks=1,
                                    temperal_downsample=(True, True))
@@ -343,6 +360,12 @@ class WanPipeline(BasePipeline):
                 self._vae_params = self._vae.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, 3, 5, 32, 32))
                 )
+            elif is_ti2v:
+                # Wan2.2 16x16x4 VAE (reference models/wan/vae2_2.py),
+                # golden-parity-tested port
+                from .wan_vae22 import load_wan22_vae
+
+                self._vae, self._vae_params = load_wan22_vae(mc["vae_path"])
             else:
                 from .wan_vae_convert import load_wan_vae
 

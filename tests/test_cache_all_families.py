@@ -58,3 +58,35 @@ def test_cache_and_load(model_type, image_dir, tmp_path):
     assert np.isfinite(batch["latents"]).all()
     for key in pipeline.cacheable_text_embeddings:
         assert key in batch, (model_type, key, sorted(batch))
+
+
+def test_wan_ti2v_cache_and_forward(image_dir):
+    """ti2v-5b path: latents cache through the Wan2.2 VAE
+    (reference models/wan/vae2_2.py; VERDICT missing #4) and a forward
+    step runs."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "wan", "dtype": "float32", "_tiny": True,
+                  "variant_type": "ti2v"},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipeline = get_model_class("wan")(cfg)
+    assert pipeline.wan_config.model_type == "ti2v"
+    assert pipeline.framerate == 24
+    ds = Dataset({"resolutions": [64], "directory": [{"path": str(image_dir)}]},
+                 pipeline, support_video=True)
+    manager = DatasetManager(pipeline, caching_batch_size=2)
+    manager.register(ds)
+    manager.cache()
+    ds.post_init(0, 1, micro_batch_size=2, gradient_accumulation_steps=1)
+    _, batch = next(PipelineDataLoader(ds))
+    assert batch["latents"].shape[1] == 8  # tiny wan2.2 z_dim
+    params = pipeline.init_params(jax.random.PRNGKey(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    mi, target, mask = pipeline.prepare_inputs(jax.random.PRNGKey(1), jb)
+    out = pipeline.forward(params, mi)
+    loss = pipeline.loss_fn(out, target, mask)
+    assert np.isfinite(float(loss))

@@ -299,3 +299,53 @@ def test_umt5_encoder_matches_reference():
     np.testing.assert_allclose(
         np.where(m, out_ours, 0), np.where(m, out_ref, 0), atol=2e-4
     )
+
+
+def test_wan22_vae_parity():
+    """Wan2.2 (ti2v) patchified VAE with macro-residual stages
+    (vae2_2.py): encode AND decode parity vs the reference torch module."""
+    import torch
+
+    _ref_path()
+    from models.wan.vae2_2 import WanVAE_ as WanVAE22Ref
+
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.wan_vae22 import (
+        Wan22VAEConfig,
+        WanVideoVAE22,
+        convert_wan22_vae,
+    )
+
+    torch.manual_seed(0)
+    ref = WanVAE22Ref(dim=16, dec_dim=24, z_dim=8, dim_mult=[1, 2, 2],
+                      num_res_blocks=1, attn_scales=[],
+                      temperal_downsample=[False, True], dropout=0.0)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    cfg = Wan22VAEConfig(dim=16, dec_dim=24, z_dim=8, dim_mult=(1, 2, 2),
+                         num_res_blocks=1,
+                         temperal_downsample=(False, True))
+    params = convert_wan22_vae(sd, cfg)
+    vae = WanVideoVAE22(cfg)
+
+    x = np.random.default_rng(0).standard_normal(
+        (1, 3, 5, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        z_ref = ref.encode(torch.from_numpy(x), [0.0, 1.0]).numpy()
+    z_ours = np.asarray(
+        vae.apply(params, jnp.asarray(x), method=WanVideoVAE22.encode)
+    )
+    assert z_ref.shape == z_ours.shape, (z_ref.shape, z_ours.shape)
+    np.testing.assert_allclose(z_ours, z_ref, atol=5e-5)
+
+    z = (np.random.default_rng(1).standard_normal(z_ref.shape) * 0.5
+         ).astype(np.float32)
+    with torch.no_grad():
+        x_ref = ref.decode(torch.from_numpy(z), [0.0, 1.0]).numpy()
+    x_ref = np.clip(x_ref, -1.0, 1.0)
+    x_ours = np.asarray(
+        vae.apply(params, jnp.asarray(z), method=WanVideoVAE22.decode)
+    )
+    assert x_ref.shape == x_ours.shape, (x_ref.shape, x_ours.shape)
+    np.testing.assert_allclose(x_ours, x_ref, atol=5e-4)

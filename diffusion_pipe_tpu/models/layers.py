@@ -298,6 +298,19 @@ def _remat_policy(spec):
         return _REMAT_POLICIES[spec]
     if spec == "dots":
         pol = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif spec == "attn":
+        # save only the flash-attention outputs (o, lse): the backward
+        # replay recomputes the cheap linears but never re-runs the
+        # attention forward kernel (the dominant recompute for long video
+        # sequences). HBM cost: one [B, H, S, D] tensor per attention.
+        pol = jax.checkpoint_policies.save_only_these_names("flash_out")
+    elif spec == "offload_attn":
+        # same, but the saved attention outputs live in pinned host RAM
+        pol = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=["flash_out"],
+            offload_src="device", offload_dst="pinned_host",
+        )
     elif spec in ("unsloth", "offload_dots"):
         # save matmul outputs (no recompute of the MXU work) but move the
         # saved residuals to pinned host RAM between fwd and bwd

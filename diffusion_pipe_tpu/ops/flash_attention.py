@@ -448,6 +448,17 @@ def _tail_mask_tensor(batch, block_k, tail_len):
     return jnp.broadcast_to(idx < tail_len, (batch, block_k)).astype(jnp.int32)
 
 
+def _name_out(o, lse):
+    """checkpoint_name the kernel outputs so selective-remat policies can
+    save them: under `activation_checkpointing = "attn"` (policy
+    save_only_these_names('flash_out'), models/layers.py) the backward
+    replay skips re-running the forward kernel entirely — o and lse are the
+    only fwd products its vjp consumes."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(o, "flash_out"), checkpoint_name(lse, "flash_out")
+
+
 def _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k,
                              tail_len=None):
     if scale is None:
@@ -461,7 +472,8 @@ def _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k,
         tmask = _prep_mask(
             _tail_mask_tensor(q.shape[0], k.shape[2], tail_len)
         )
-        o, lse = _flash_forward(q, k, v, tmask, scale, block_q, block_k)
+        o, lse = _name_out(*_flash_forward(
+            q, k, v, tmask, scale, block_q, block_k))
         return o, (q, k, v, kv_mask, o, lse)
     if tail_len is not None and tail_len < k.shape[2]:
         # Ragged lengths: run the hot MASKLESS kernel over the full-block
@@ -484,9 +496,11 @@ def _flash_attention_fwd_res(q, k, v, kv_mask, scale, block_q, block_k,
         o = ((w1 * o1.astype(jnp.float32) + w2 * o2.astype(jnp.float32)) / l
              ).astype(q.dtype)
         lse = m + jnp.log(l)
+        o, lse = _name_out(o, lse)
         return o, (q, k, v, kv_mask, o, lse)
     mask3 = _prep_mask(kv_mask)
-    o, lse = _flash_forward(q, k, v, mask3, scale, block_q, block_k)
+    o, lse = _name_out(*_flash_forward(q, k, v, mask3, scale, block_q,
+                                       block_k))
     return o, (q, k, v, kv_mask, o, lse)
 
 

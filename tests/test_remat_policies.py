@@ -93,3 +93,42 @@ def test_flux_unsloth_remat_runs():
     }
     state, m = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.parametrize("ac", ["attn", "offload_attn"])
+def test_wan_attn_remat_matches_full(ac):
+    """The selective 'attn' policy (save only named flash o/lse so the
+    backward replay skips the forward attention kernel) reproduces the
+    full-remat loss and LoRA grads on tiny wan."""
+    def run(ac_value):
+        cfg = {
+            "save_every_n_epochs": 1,
+            "model": {"type": "wan", "dtype": "float32", "_tiny": True},
+            "adapter": {"type": "lora", "rank": 4, "alpha": 4,
+                        "dropout": 0.0},
+            "optimizer": {"type": "adamw", "lr": 1e-3},
+            "activation_checkpointing": ac_value,
+        }
+        pipe = get_model_class("wan")(cfg)
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        batch = {
+            "latents": jax.random.normal(
+                jax.random.PRNGKey(1), (1, 16, 1, 8, 8)),
+            "text_embeddings": jax.random.normal(
+                jax.random.PRNGKey(2), (1, 16, 32)),
+        }
+
+        def loss_fn(p):
+            mi, tgt, msk = pipe.prepare_inputs(jax.random.PRNGKey(3), batch)
+            return pipe.loss_fn(pipe.forward(p, mi), tgt, msk)
+
+        import flax.linen as nn
+
+        p = nn.unbox(params)
+        return jax.value_and_grad(loss_fn)(p)
+
+    l_full, g_full = run(True)
+    l_attn, g_attn = run(ac)
+    np.testing.assert_allclose(float(l_attn), float(l_full), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_attn), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -86,9 +86,22 @@ def maybe_init_distributed(config: Optional[dict] = None) -> None:
     )
     if not wants:
         return
-    if jax.process_count() > 1:
+    # NOTE: do not touch jax.process_count()/jax.devices() here — any
+    # backend query initializes XLA and makes initialize() illegal.
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
         return  # already initialized by the launcher
-    jax.distributed.initialize()
+    kw = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # explicit env-driven bring-up (CPU multi-process tests, custom
+        # launchers); TPU pods auto-detect with no kwargs
+        kw = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "0")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    jax.distributed.initialize(**kw)
 
 
 def local_mesh_or_default(

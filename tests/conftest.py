@@ -33,3 +33,20 @@ _cache_dir = os.environ.get(
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+# Fast core tier (VERDICT #10): config/data/flow/PP/1F1B/flash-attention.
+# Run with `pytest -m quick`; target <5 minutes with a warm compile cache.
+_QUICK_FILES = {
+    "test_config.py", "test_config_extras.py", "test_data_pipeline.py",
+    "test_flow.py", "test_losses.py", "test_mesh.py",
+    "test_model_registry.py", "test_pipeline_parallel.py",
+    "test_pipeline_1f1b.py", "test_flash_attention.py",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.fspath.basename in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)

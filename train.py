@@ -190,6 +190,17 @@ def main(argv=None):
     # (reference steps_per_epoch = len(dataloader)//gas, train.py:836-837,
     # with len(dataloader) = len(dataset)*gas, dataset.py:1323-1324)
     steps_per_epoch = max(1, len(train_data))
+    if config.get("eval_every_n_examples"):
+        # reference train.py:636-638: convert to steps via the global batch
+        from diffusion_pipe_tpu.config import lookup_batch_size
+
+        bs = bs_maps["train"]
+        bs = bs if isinstance(bs, int) else lookup_batch_size(bs, None)
+        gbs = max(1, bs * dp_world * gas)
+        config["eval_every_n_steps"] = max(
+            1, int(config["eval_every_n_examples"]) // gbs
+        )
+        print(f"Computed eval_every_n_steps = {config['eval_every_n_steps']}")
     config["_total_steps"] = int(config.get("epochs", 1)) * steps_per_epoch
     # force_constant_lr overrides every LR group with one constant
     # (reference train.py:883-886 sets all param-group lrs)

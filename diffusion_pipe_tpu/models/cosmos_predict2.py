@@ -255,6 +255,19 @@ class CosmosPredict2Pipeline(BasePipeline):
 
         return fn
 
+    def _keymap_config(self):
+        return self.cp_config
+
+    def keymap(self):
+        return cosmos_predict2_keymap()
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.cp_config
+        )
+
     def get_call_text_encoder_fns(self):
         mc = self.model_config
         if mc.get("_tiny", False):
@@ -342,3 +355,58 @@ class CosmosPredict2Pipeline(BasePipeline):
             return {"t5_embed": np.asarray(h) * m[..., None].astype(h.dtype)}
 
         return [fn]
+
+
+def cosmos_predict2_keymap():
+    """MiniTrainDIT checkpoint keys (reference vendored
+    models/cosmos_predict2_modeling.py; comfy prefixes `net.` stripped by
+    the loader, cosmos_predict2.py:264-272) <-> our stacked layout. LoRA
+    export: ComfyUI 'diffusion_model.' prefix (reference
+    cosmos_predict2.py:316-321)."""
+    from .keymaps import BlockGroup, KeyMap
+
+    return KeyMap(
+        blocks=[BlockGroup(
+            "blocks", "blocks", "num_blocks",
+            linears={
+                "self_attn_q": "self_attn.q_proj",
+                "self_attn_k": "self_attn.k_proj",
+                "self_attn_v": "self_attn.v_proj",
+                "self_attn_o": "self_attn.output_proj",
+                "cross_attn_q": "cross_attn.q_proj",
+                "cross_attn_k": "cross_attn.k_proj",
+                "cross_attn_v": "cross_attn.v_proj",
+                "cross_attn_o": "cross_attn.output_proj",
+                "mlp_1": "mlp.layer1",
+                "mlp_2": "mlp.layer2",
+                "adaln_modulation_self_attn_1":
+                    "adaln_modulation_self_attn.1",
+                "adaln_modulation_self_attn_2":
+                    "adaln_modulation_self_attn.2",
+                "adaln_modulation_cross_attn_1":
+                    "adaln_modulation_cross_attn.1",
+                "adaln_modulation_cross_attn_2":
+                    "adaln_modulation_cross_attn.2",
+                "adaln_modulation_mlp_1": "adaln_modulation_mlp.1",
+                "adaln_modulation_mlp_2": "adaln_modulation_mlp.2",
+            },
+            norms={
+                "self_attn_q_norm": "self_attn.q_norm",
+                "self_attn_k_norm": "self_attn.k_norm",
+                "cross_attn_q_norm": "cross_attn.q_norm",
+                "cross_attn_k_norm": "cross_attn.k_norm",
+            },
+        )],
+        top_linears={
+            "x_embedder": "x_embedder.proj.1",
+            "t_embedder_1": "t_embedder.1.linear_1",
+            "t_embedder_2": "t_embedder.1.linear_2",
+            "final_adaln_1": "final_layer.adaln_modulation.1",
+            "final_adaln_2": "final_layer.adaln_modulation.2",
+            "final_linear": "final_layer.linear",
+        },
+        top_norms={"t_embedding_norm": "t_embedding_norm"},
+        strip_prefixes=("model.diffusion_model.", "diffusion_model.",
+                        "net."),
+        lora_prefix="diffusion_model.",
+    )

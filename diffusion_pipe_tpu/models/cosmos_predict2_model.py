@@ -292,7 +292,9 @@ class CosmosPredict2Transformer(nn.Module):
         out = LoraDense(ps * ps * pt * cfg.out_channels, use_bias=False,
                         name="final_linear", dtype=jnp.float32,
                         param_dtype=cfg.param_dtype)(xf)
-        # unpatchify: inverse of (c r m n) packing
-        out = out.reshape(b, gt, gh, gw, cfg.out_channels, pt, ps, ps)
-        out = jnp.einsum("bthwcrmn->bctrhmwn", out)
+        # unpatchify: the OUTPUT packs (p1 p2 t C) — spatial patch slowest,
+        # channel fastest — unlike the input's (c r m n)
+        # (reference unpatchify rearrange, modeling.py:905-913)
+        out = out.reshape(b, gt, gh, gw, ps, ps, pt, cfg.out_channels)
+        out = jnp.einsum("bthwmnrc->bctrhmwn", out)
         return out.reshape(b, cfg.out_channels, gt * pt, gh * ps, gw * ps)

@@ -349,3 +349,86 @@ def test_wan22_vae_parity():
     )
     assert x_ref.shape == x_ours.shape, (x_ref.shape, x_ours.shape)
     np.testing.assert_allclose(x_ours, x_ref, atol=5e-4)
+
+
+def _cosmos_keymap():
+    from diffusion_pipe_tpu.models.cosmos_predict2 import (
+        cosmos_predict2_keymap,
+    )
+
+    return cosmos_predict2_keymap()
+
+
+def test_cosmos_predict2_forward_matches_reference():
+    """Full MiniTrainDIT forward (reference vendored
+    models/cosmos_predict2_modeling.py) vs our CosmosPredict2Transformer
+    with keymap-converted weights."""
+    import types
+    import importlib.machinery
+
+    import torch
+
+    _ref_path()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        tr = types.ModuleType("torchvision.transforms")
+        tr.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", None)
+
+        class _F:
+            @staticmethod
+            def resize(img, size, **kw):
+                if tuple(img.shape[-2:]) == tuple(size):
+                    return img
+                return torch.nn.functional.interpolate(img, size=tuple(size))
+
+        tr.functional = _F
+        tr.InterpolationMode = type("IM", (), {"NEAREST": "nearest"})
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+
+    from models.cosmos_predict2_modeling import MiniTrainDIT
+
+    torch.manual_seed(0)
+    m = MiniTrainDIT(
+        max_img_h=64, max_img_w=64, max_frames=8, in_channels=16,
+        out_channels=16, patch_spatial=2, patch_temporal=1,
+        concat_padding_mask=True, model_channels=64, num_blocks=2,
+        num_heads=4, mlp_ratio=4.0, crossattn_emb_channels=32,
+        pos_emb_cls="rope3d", pos_emb_learnable=False,
+        pos_emb_interpolation="crop", min_fps=1, max_fps=30,
+        use_adaln_lora=True, adaln_lora_dim=16,
+        rope_h_extrapolation_ratio=1.0, rope_w_extrapolation_ratio=1.0,
+        rope_t_extrapolation_ratio=1.0, extra_per_block_abs_pos_emb=False,
+        rope_enable_fps_modulation=False,
+    )
+    m = m.float().eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.cosmos_predict2_model import (
+        CosmosPredict2Config,
+        CosmosPredict2Transformer,
+    )
+    from diffusion_pipe_tpu.models.keymaps import keymap_to_flax
+
+    cfg = CosmosPredict2Config.tiny()
+    params = keymap_to_flax(sd, _cosmos_keymap(), cfg)
+    ours = CosmosPredict2Transformer(cfg)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 16, 2, 16, 16)).astype(np.float32)
+    ctx = rng.standard_normal((1, 24, 32)).astype(np.float32)
+    t = np.array([0.7], np.float32)
+    pad = torch.zeros((1, 1, 16, 16))  # reference cosmos_predict2.py:556
+    with torch.no_grad():
+        out_ref = m(torch.from_numpy(x), torch.from_numpy(t),
+                    torch.from_numpy(ctx), padding_mask=pad).numpy()
+    out_ours = np.asarray(ours.apply(
+        params, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)
+    ))
+    assert out_ref.shape == out_ours.shape
+    np.testing.assert_allclose(out_ours, out_ref, atol=5e-4)

@@ -160,10 +160,17 @@ class HunyuanImageTransformer(nn.Module):
         # reorder_txt_token packs [valid byt5, valid txt] per sample; with
         # key-validity masking a static [byt5, txt] concat attends
         # identically (text has no rope, so token position is irrelevant).
-        g = layer_norm_no_affine(byt5_states.astype(cfg.dtype))
-        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_in_fc1", **dd)(g)
+        # Structure mirrors the Glyph-ByT5 mapper the hyimage DiT embeds
+        # (`byt5_in`: affine LayerNorm -> fc1 -> GELU -> fc2 -> GELU -> fc3,
+        # 1472 -> 2048 -> 2048 -> hidden; KEEP_IN_HIGH_PRECISION lists
+        # 'byt5_in', reference models/hunyuan_image.py:26).
+        g = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name="byt5_layernorm")(byt5_states.astype(cfg.dtype))
+        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_fc1", **dd)(g)
         g = nn.gelu(g, approximate=True)
-        g = LoraDense(dim, name="byt5_in_fc2", **dd)(g)
+        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_fc2", **dd)(g)
+        g = nn.gelu(g, approximate=True)
+        g = LoraDense(dim, name="byt5_fc3", **dd)(g)
         txt = jnp.concatenate([g, txt], axis=1)
         full_mask = jnp.concatenate(
             [byt5_mask.astype(jnp.int32), text_mask.astype(jnp.int32)], axis=1
@@ -300,6 +307,134 @@ class HunyuanImagePipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    # --- weights ------------------------------------------------------------
+
+    # ComfyUI single-file dialect renames (reference hunyuan_image.py:33-42
+    # ORIGINAL_TO_COMFYUI_LORA_MAPPING; ComfyUI checkpoints use the same
+    # renames on the full weights).
+    _COMFY_RENAMES = (
+        ("_attn.qkv", "_attn_qkv"),
+        ("_attn.proj", "_attn_proj"),
+        ("_mlp.0", "_mlp.fc1"),
+        ("_mlp.2", "_mlp.fc2"),
+        ("_mod.lin.", "_mod.linear."),
+        ("modulation.lin.", "modulation.linear."),
+    )
+
+    def _keymap_config(self):
+        return self.hi_config
+
+    def keymap(self):
+        """hyimage-format keys (reference models/hunyuan_image.py:90-117
+        loads the official HunyuanImage-2.1 transformer into the vendored
+        HYImageDiffusionTransformer: hyvideo-style MM double/single blocks,
+        single-refiner txt_in, glyph byt5_in mapper, no vector_in/guidance)
+        <-> our stacked flax layout. LoRA export uses the ComfyUI dialect
+        with the `diffusion_model.` prefix (reference :125-134)."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.hi_config
+        top_linears = {
+            "time_in_1": "time_in.mlp.0",
+            "time_in_2": "time_in.mlp.2",
+            "txt_in_proj": "txt_in.input_embedder",
+            "refiner_t_embed_1": "txt_in.t_embedder.mlp.0",
+            "refiner_t_embed_2": "txt_in.t_embedder.mlp.2",
+            "refiner_c_embed_1": "txt_in.c_embedder.linear_1",
+            "refiner_c_embed_2": "txt_in.c_embedder.linear_2",
+            "byt5_fc1": "byt5_in.fc1",
+            "byt5_fc2": "byt5_in.fc2",
+            "byt5_fc3": "byt5_in.fc3",
+            "final_linear": "final_layer.linear",
+            "final_mod": "final_layer.adaLN_modulation.1",
+        }
+        top_norms = {"byt5_layernorm": "byt5_in.layernorm"}
+        top_raw = {"byt5_layernorm/bias": "byt5_in.layernorm.bias"}
+        for i in range(cfg.refiner_layers):
+            ref = f"txt_in.individual_token_refiner.blocks.{i}"
+            top_linears.update({
+                f"refiner_{i}/adaLN_linear": f"{ref}.adaLN_modulation.1",
+                f"refiner_{i}/self_attn_qkv": f"{ref}.self_attn_qkv",
+                f"refiner_{i}/self_attn_proj": f"{ref}.self_attn_proj",
+                f"refiner_{i}/mlp_in": f"{ref}.mlp.fc1",
+                f"refiner_{i}/mlp_out": f"{ref}.mlp.fc2",
+            })
+            top_raw.update({
+                f"refiner_{i}/norm1_scale": f"{ref}.norm1.weight",
+                f"refiner_{i}/norm1_bias": f"{ref}.norm1.bias",
+                f"refiner_{i}/norm2_scale": f"{ref}.norm2.weight",
+                f"refiner_{i}/norm2_bias": f"{ref}.norm2.bias",
+            })
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "double_blocks", "double_blocks", "num_layers",
+                    linears={
+                        "img_mod": "img_mod.linear",
+                        "txt_mod": "txt_mod.linear",
+                        "img_attn_qkv": "img_attn_qkv",
+                        "img_attn_proj": "img_attn_proj",
+                        "img_mlp_fc1": "img_mlp.fc1",
+                        "img_mlp_fc2": "img_mlp.fc2",
+                        "txt_attn_qkv": "txt_attn_qkv",
+                        "txt_attn_proj": "txt_attn_proj",
+                        "txt_mlp_fc1": "txt_mlp.fc1",
+                        "txt_mlp_fc2": "txt_mlp.fc2",
+                    },
+                    norms={
+                        "img_attn_q_norm": "img_attn_q_norm",
+                        "img_attn_k_norm": "img_attn_k_norm",
+                        "txt_attn_q_norm": "txt_attn_q_norm",
+                        "txt_attn_k_norm": "txt_attn_k_norm",
+                    },
+                ),
+                BlockGroup(
+                    "single_blocks", "single_blocks", "num_single_layers",
+                    linears={
+                        "modulation": "modulation.linear",
+                        "linear1": "linear1",
+                        "linear2": "linear2",
+                    },
+                    norms={"q_norm": "q_norm", "k_norm": "k_norm"},
+                ),
+            ],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_raw=top_raw,
+            top_convs={"img_in": "img_in.proj"},
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        sd = load_sd_for_pipeline(self)
+        # accept both the original hyimage dialect and ComfyUI single files
+        renamed = {}
+        for k, v in sd.items():
+            for comfy, orig in self._COMFY_RENAMES:
+                k = k.replace(comfy, orig)
+            renamed[k] = v
+        return keymap_to_flax(renamed, self.keymap(), self.hi_config)
+
+    def save_adapter(self, path, params):
+        """ComfyUI-dialect LoRA export (reference hunyuan_image.py:125-134:
+        ORIGINAL_TO_COMFYUI_LORA_MAPPING then `diffusion_model.` prefix)."""
+        from .keymaps import export_lora_keymap, save_lora_safetensors
+
+        km = self.keymap()
+        sd = export_lora_keymap(params, km, self.hi_config)
+        if not sd:
+            raise RuntimeError("no adapter factors found to export")
+        out = {}
+        for k, v in sd.items():
+            for comfy, orig in self._COMFY_RENAMES:
+                k = k.replace(orig, comfy)
+            out[k] = v
+        alpha = self.config.get("adapter", {}).get("alpha")
+        save_lora_safetensors(path, out, alpha=alpha)
+        print(f"saved {len(out)} adapter tensors to {path}")
 
     def get_call_vae_fn(self):
         """HunyuanImage-2.1 32x-compression VAE (docs/supported_models.md:

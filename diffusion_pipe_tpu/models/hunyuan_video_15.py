@@ -161,10 +161,15 @@ class HunyuanVideo15Transformer(nn.Module):
                             param_dtype=cfg.param_dtype, dtype=cfg.dtype)
         txt = txt + type_emb(jnp.zeros((b, txt.shape[1]), jnp.int32))
 
-        g = layer_norm_no_affine(byt5_states.astype(cfg.dtype))
-        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_in_fc1", **dd)(g)
+        # Glyph-ByT5 mapper, same structure as HunyuanImage-2.1's byt5_in
+        # (affine LayerNorm -> fc1 -> GELU -> fc2 -> GELU -> fc3)
+        g = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                         name="byt5_layernorm")(byt5_states.astype(cfg.dtype))
+        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_fc1", **dd)(g)
         g = nn.gelu(g, approximate=True)
-        g = LoraDense(dim, name="byt5_in_fc2", **dd)(g)
+        g = LoraDense(cfg.byt5_mapper_dim, name="byt5_fc2", **dd)(g)
+        g = nn.gelu(g, approximate=True)
+        g = LoraDense(dim, name="byt5_fc3", **dd)(g)
         g = g + type_emb(jnp.ones((b, g.shape[1]), jnp.int32))
 
         # byt5 FIRST (reference :267-268)
@@ -301,6 +306,96 @@ class HunyuanVideo15Pipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.hv15_config
+
+    def keymap(self):
+        """ComfyUI hyvideo-1.5 key dialect (the reference drives ComfyUI's
+        model: flux-style DoubleStreamBlock names `img_mod.lin` /
+        `img_attn.qkv` / `img_mlp.0`, MLPEmbedder `time_in.in_layer`,
+        TokenRefiner under `txt_in.*`, `byt5_in` glyph mapper,
+        `cond_type_embedding`; reference models/hunyuan_video_15.py:22,
+        :214-219, save prefix `diffusion_model.` via ComfyPipeline,
+        models/base.py:609-613). Exact refiner/byt5 sub-key spellings are
+        flagged pending real-checkpoint verification."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.hv15_config
+        top_linears = {
+            "time_in_1": "time_in.in_layer",
+            "time_in_2": "time_in.out_layer",
+            "txt_in_proj": "txt_in.input_embedder",
+            "refiner_t_embed_1": "txt_in.t_embedder.mlp.0",
+            "refiner_t_embed_2": "txt_in.t_embedder.mlp.2",
+            "refiner_c_embed_1": "txt_in.c_embedder.linear_1",
+            "refiner_c_embed_2": "txt_in.c_embedder.linear_2",
+            "byt5_fc1": "byt5_in.fc1",
+            "byt5_fc2": "byt5_in.fc2",
+            "byt5_fc3": "byt5_in.fc3",
+            "final_linear": "final_layer.linear",
+            "final_mod": "final_layer.adaLN_modulation.1",
+        }
+        top_norms = {"byt5_layernorm": "byt5_in.layernorm"}
+        top_raw = {
+            "byt5_layernorm/bias": "byt5_in.layernorm.bias",
+            "cond_type_embedding/embedding": "cond_type_embedding.weight",
+        }
+        for i in range(cfg.refiner_layers):
+            ref = f"txt_in.individual_token_refiner.blocks.{i}"
+            top_linears.update({
+                f"refiner_{i}/adaLN_linear": f"{ref}.adaLN_modulation.1",
+                f"refiner_{i}/self_attn_qkv": f"{ref}.self_attn_qkv",
+                f"refiner_{i}/self_attn_proj": f"{ref}.self_attn_proj",
+                f"refiner_{i}/mlp_in": f"{ref}.mlp.fc1",
+                f"refiner_{i}/mlp_out": f"{ref}.mlp.fc2",
+            })
+            top_raw.update({
+                f"refiner_{i}/norm1_scale": f"{ref}.norm1.weight",
+                f"refiner_{i}/norm1_bias": f"{ref}.norm1.bias",
+                f"refiner_{i}/norm2_scale": f"{ref}.norm2.weight",
+                f"refiner_{i}/norm2_bias": f"{ref}.norm2.bias",
+            })
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "double_blocks", "double_blocks", "num_layers",
+                    linears={
+                        "img_mod": "img_mod.lin",
+                        "txt_mod": "txt_mod.lin",
+                        "img_attn_qkv": "img_attn.qkv",
+                        "img_attn_proj": "img_attn.proj",
+                        "img_mlp_fc1": "img_mlp.0",
+                        "img_mlp_fc2": "img_mlp.2",
+                        "txt_attn_qkv": "txt_attn.qkv",
+                        "txt_attn_proj": "txt_attn.proj",
+                        "txt_mlp_fc1": "txt_mlp.0",
+                        "txt_mlp_fc2": "txt_mlp.2",
+                    },
+                    norms={
+                        "img_attn_q_norm": "img_attn.norm.query_norm",
+                        "img_attn_k_norm": "img_attn.norm.key_norm",
+                        "txt_attn_q_norm": "txt_attn.norm.query_norm",
+                        "txt_attn_k_norm": "txt_attn.norm.key_norm",
+                    },
+                    norm_suffix="scale",
+                ),
+            ],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_raw=top_raw,
+            top_convs={"img_in": "img_in.proj"},
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.hv15_config
+        )
 
     def get_call_vae_fn(self):
         """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;

@@ -353,6 +353,63 @@ class LTXVideoPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.ltx_config
+
+    def keymap(self):
+        """Lightricks Transformer3DModel keys (the reference loads the
+        official single-file checkpoint via the LTX_Video submodule,
+        models/ltx_video.py:58-70, and saves ComfyUI-prefix LoRA, :79-83)
+        <-> our stacked flax layout."""
+        from .keymaps import BlockGroup, KeyMap
+
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "blocks", "transformer_blocks", "num_layers",
+                    linears={
+                        "attn1_to_q": "attn1.to_q",
+                        "attn1_to_k": "attn1.to_k",
+                        "attn1_to_v": "attn1.to_v",
+                        "attn1_to_out": "attn1.to_out.0",
+                        "attn2_to_q": "attn2.to_q",
+                        "attn2_to_k": "attn2.to_k",
+                        "attn2_to_v": "attn2.to_v",
+                        "attn2_to_out": "attn2.to_out.0",
+                        "ff_in": "ff.net.0.proj",
+                        "ff_out": "ff.net.2",
+                    },
+                    norms={
+                        "attn1_norm_q": "attn1.q_norm",
+                        "attn1_norm_k": "attn1.k_norm",
+                        "attn2_norm_q": "attn2.q_norm",
+                        "attn2_norm_k": "attn2.k_norm",
+                    },
+                    raw={"scale_shift_table": "scale_shift_table"},
+                ),
+            ],
+            top_linears={
+                "patchify_proj": "patchify_proj",
+                "adaln_linear_1": "adaln_single.emb.timestep_embedder.linear_1",
+                "adaln_linear_2": "adaln_single.emb.timestep_embedder.linear_2",
+                "adaln_proj": "adaln_single.linear",
+                "caption_projection_1": "caption_projection.linear_1",
+                "caption_projection_2": "caption_projection.linear_2",
+                "proj_out": "proj_out",
+            },
+            top_raw={"scale_shift_table": "scale_shift_table"},
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.ltx_config
+        )
+
     def get_call_vae_fn(self):
         mc = self.model_config
         if mc.get("_tiny", False):

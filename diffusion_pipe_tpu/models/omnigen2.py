@@ -73,6 +73,78 @@ class OmniGen2Pipeline(Lumina2Pipeline):
         kwargs.setdefault("axes_dims_rope", (40, 40, 40))
         return Lumina2Config(**kwargs)
 
+    def keymap(self):
+        """OmniGen2Transformer2DModel (diffusers-dialect) keys: separate
+        GQA to_q/to_k/to_v, LuminaRMSNormZero `norm1.linear`+`norm1.norm`,
+        LuminaFeedForward linear_1/2/3, combined
+        `time_caption_embed.{timestep_embedder,caption_embedder}`,
+        `norm_out.linear_1/linear_2` head (reference models/omnigen2.py:
+        49-62 loads the diffusers `transformer/` subfolder; LoRA saved with
+        the ComfyUI `diffusion_model.` prefix, :67-71). The flax modules
+        are the Lumina-2 NextDiT this family shares; only the torch paths
+        differ from lumina_2's keymap."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.lumina_config
+
+        def block_maps(adaln: bool):
+            linears = {
+                "attn_wq": "attn.to_q",
+                "attn_wk": "attn.to_k",
+                "attn_wv": "attn.to_v",
+                "attn_wo": "attn.to_out.0",
+                "ffn_w1": "feed_forward.linear_1",
+                "ffn_w2": "feed_forward.linear_2",
+                "ffn_w3": "feed_forward.linear_3",
+            }
+            norms = {
+                "attn_q_norm": "attn.norm_q",
+                "attn_k_norm": "attn.norm_k",
+                "attention_norm2": "norm2",
+                "ffn_norm1": "ffn_norm1",
+                "ffn_norm2": "ffn_norm2",
+            }
+            if adaln:
+                linears["adaLN_modulation"] = "norm1.linear"
+                norms["attention_norm1"] = "norm1.norm"
+            else:
+                norms["attention_norm1"] = "norm1"
+            return linears, norms
+
+        lin, norms = block_maps(adaln=True)
+        top_linears = {
+            "x_embedder": "x_embedder",
+            "t_embedder_1": "time_caption_embed.timestep_embedder.linear_1",
+            "t_embedder_2": "time_caption_embed.timestep_embedder.linear_2",
+            "cap_embedder": "time_caption_embed.caption_embedder.1",
+            "final_adaLN": "norm_out.linear_1",
+            "final_linear": "norm_out.linear_2",
+        }
+        top_norms = {
+            "cap_embedder_norm": "time_caption_embed.caption_embedder.0",
+        }
+        for group, use_adaln in (("context_refiner", False),
+                                 ("noise_refiner", True)):
+            glin, gnorms = block_maps(use_adaln)
+            for i in range(cfg.num_refiner_layers):
+                base = f"{group}.{i}"
+                ours = f"{group}_{i}"
+                for fl, th in glin.items():
+                    top_linears[f"{ours}/{fl}"] = f"{base}.{th}"
+                for fl, th in gnorms.items():
+                    top_norms[f"{ours}/{fl}"] = f"{base}.{th}"
+        wrap = "Lumina2Block_0/"
+        return KeyMap(
+            blocks=[BlockGroup(
+                "layers", "layers", "num_layers",
+                linears={wrap + k: v for k, v in lin.items()},
+                norms={wrap + k: v for k, v in norms.items()},
+            )],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            lora_prefix="diffusion_model.",
+        )
+
     def prepare_inputs(self, rng, batch, timestep_quantile=None):
         mapped = dict(batch)
         mapped["cap_feats"] = mapped.pop("prompt_embeds")

@@ -18,7 +18,8 @@ from diffusion_pipe_tpu.models.keymaps import (
     keymap_to_flax,
 )
 
-FAMILIES = ["qwen_image", "sd3", "hunyuan-video", "chroma", "lumina_2"]
+FAMILIES = ["qwen_image", "sd3", "hunyuan-video", "chroma", "lumina_2",
+            "hunyuan_image", "hunyuan_video_15", "ltx-video", "omnigen2"]
 
 
 def _pipeline(model_type, adapter=False, **mc_extra):
@@ -98,7 +99,49 @@ def _example_inputs(pipe, model_type):
             guidance=jnp.zeros((1,)),
             txt_mask=jnp.ones((1, 8), jnp.int32),
         )
-    if model_type == "lumina_2":
+    if model_type == "hunyuan_image":
+        cfg = pipe.hi_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, cfg.in_channels, 8, 8)),
+            t=jnp.full((1,), 400.0),
+            text_states=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+            text_mask=jnp.ones((1, 8), jnp.int32),
+            byt5_states=jax.random.normal(
+                jax.random.PRNGKey(3), (1, 4, cfg.byt5_dim)),
+            byt5_mask=jnp.ones((1, 4), jnp.int32),
+        )
+    if model_type == "hunyuan_video_15":
+        cfg = pipe.hv15_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, cfg.in_channels, 1, 8, 8)),
+            t=jnp.full((1,), 400.0),
+            text_states=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+            text_mask=jnp.ones((1, 8), jnp.int32),
+            byt5_states=jax.random.normal(
+                jax.random.PRNGKey(3), (1, 4, cfg.byt5_dim)),
+            byt5_mask=jnp.ones((1, 4), jnp.int32),
+        )
+    if model_type == "ltx-video":
+        cfg = pipe.ltx_config
+        f, h, w = 1, 4, 4
+        fi = jnp.repeat(jnp.arange(f), h * w).astype(jnp.float32)
+        hi = jnp.tile(jnp.repeat(jnp.arange(h), w), f).astype(jnp.float32)
+        wi = jnp.tile(jnp.arange(w), f * h).astype(jnp.float32)
+        coords = jnp.stack([fi / 25.0, hi, wi])[None]
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, f * h * w, cfg.in_channels)),
+            prompt_embeds=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.caption_dim)),
+            prompt_mask=jnp.ones((1, 8), jnp.int32),
+            t=jnp.full((1,), 0.4),
+            fractional_coords=coords,
+        )
+    if model_type in ("lumina_2", "omnigen2"):
         cfg = pipe.lumina_config
         return dict(
             x=jax.random.normal(

@@ -77,6 +77,29 @@ class CosmosPipeline(BasePipeline):
             })
         return CosmosPredict2Config(**kwargs)
 
+    # --- weights ------------------------------------------------------------
+    # The DiT here shares the MiniTrainDIT block modules, so Predict2-layout
+    # checkpoints load/export through the same keymap. The original
+    # Cosmos-1 GeneralDIT dialect (nested FA/CA/MLP sub-block triples,
+    # reference models/cosmos.py:166-176 via the Cosmos submodule) is a
+    # different serialization; convert such checkpoints to the Predict2
+    # layout offline before loading.
+
+    def _keymap_config(self):
+        return self.cp_config
+
+    def keymap(self):
+        from .cosmos_predict2 import cosmos_predict2_keymap
+
+        return cosmos_predict2_keymap()
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.cp_config
+        )
+
     def init_params(self, rng):
         cfg = self.cp_config
         return jax.jit(self.model.init)(

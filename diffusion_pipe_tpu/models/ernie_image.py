@@ -301,6 +301,54 @@ class ErnieImagePipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.ernie_config
+
+    def keymap(self):
+        """Ernie-Image shared-adaLN DiT keys. Top-level module names are
+        taken from the reference wrapper (models/ernie_image.py:19
+        keep_in_high_precision: x_embedder, text_proj, time_embedding,
+        adaLN_modulation, final_norm, final_linear; block container
+        `layers`, :28). Block-internal spellings follow the LLM q/k/v/o
+        convention and are flagged pending real-checkpoint verification.
+        LoRA export uses the ComfyUI `diffusion_model.` prefix."""
+        from .keymaps import BlockGroup, KeyMap
+
+        return KeyMap(
+            blocks=[BlockGroup(
+                "layers", "layers", "num_layers",
+                linears={
+                    "attn_q": "attn.q_proj",
+                    "attn_k": "attn.k_proj",
+                    "attn_v": "attn.v_proj",
+                    "attn_out": "attn.o_proj",
+                    "mlp_fc1": "mlp.fc1",
+                    "mlp_fc2": "mlp.fc2",
+                },
+                norms={"attn_q_norm": "attn.q_norm",
+                       "attn_k_norm": "attn.k_norm"},
+            )],
+            top_linears={
+                "x_embedder": "x_embedder",
+                "text_proj": "text_proj",
+                "time_embedding_1": "time_embedding.linear_1",
+                "time_embedding_2": "time_embedding.linear_2",
+                "adaLN_modulation": "adaLN_modulation.1",
+                "final_norm_mod": "final_norm.linear",
+                "final_linear": "final_linear",
+            },
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.ernie_config
+        )
+
     def get_call_vae_fn(self):
         """Ernie-Image uses the flux2 VAE file in the reference configs
         (docs/supported_models.md:569); universal KL loader."""

@@ -412,6 +412,81 @@ class Flux2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.f2_config
+
+    def keymap(self):
+        """ComfyUI flux2 key dialect: flux-style bias-free blocks with the
+        per-block modulation moved to GLOBAL `double_stream_modulation_img/
+        txt` + `single_stream_modulation` Modulation modules (`.lin`),
+        MLPEmbedder time/guidance, `txt_norm` on the Mistral embeddings
+        (reference models/flux2.py:22 keep_in_high_precision names,
+        :240-317 global-modulation plumbing; LoRA saved with the ComfyUI
+        `diffusion_model.` prefix)."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.f2_config
+        top_linears = {
+            "img_in": "img_in",
+            "txt_in": "txt_in",
+            "time_in_1": "time_in.in_layer",
+            "time_in_2": "time_in.out_layer",
+            "double_stream_modulation_img":
+                "double_stream_modulation_img.lin",
+            "double_stream_modulation_txt":
+                "double_stream_modulation_txt.lin",
+            "single_stream_modulation": "single_stream_modulation.lin",
+            "final_mod": "final_layer.adaLN_modulation.1",
+            "final_linear": "final_layer.linear",
+        }
+        if cfg.guidance_embeds:
+            top_linears["guidance_in_1"] = "guidance_in.in_layer"
+            top_linears["guidance_in_2"] = "guidance_in.out_layer"
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "double_blocks", "double_blocks", "num_layers",
+                    linears={
+                        "img_attn_qkv": "img_attn.qkv",
+                        "img_attn_proj": "img_attn.proj",
+                        "img_mlp_fc1": "img_mlp.0",
+                        "img_mlp_fc2": "img_mlp.2",
+                        "txt_attn_qkv": "txt_attn.qkv",
+                        "txt_attn_proj": "txt_attn.proj",
+                        "txt_mlp_fc1": "txt_mlp.0",
+                        "txt_mlp_fc2": "txt_mlp.2",
+                    },
+                    norms={
+                        "img_attn_q_norm": "img_attn.norm.query_norm",
+                        "img_attn_k_norm": "img_attn.norm.key_norm",
+                        "txt_attn_q_norm": "txt_attn.norm.query_norm",
+                        "txt_attn_k_norm": "txt_attn.norm.key_norm",
+                    },
+                    norm_suffix="scale",
+                ),
+                BlockGroup(
+                    "single_blocks", "single_blocks", "num_single_layers",
+                    linears={"linear1": "linear1", "linear2": "linear2"},
+                    norms={"q_norm": "norm.query_norm",
+                           "k_norm": "norm.key_norm"},
+                    norm_suffix="scale",
+                ),
+            ],
+            top_linears=top_linears,
+            top_norms={"txt_norm": "txt_norm"},
+            top_norm_suffix="scale",
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.f2_config
+        )
+
     def get_call_vae_fn(self):
         """Flux2 VAE: 32-latent-channel AutoencoderKL (reference configs use
         ComfyUI flux2-vae.safetensors, docs/supported_models.md:490); tiny

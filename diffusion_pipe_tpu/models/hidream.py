@@ -35,12 +35,12 @@ from .flux import latent_image_ids, pack_latents, resize_mask_to_latents
 from .layers import (
     LoraDense,
     RMSNorm,
-    TimestepEmbedder,
     apply_rope,
     layer_norm_no_affine,
     remat_spec,
     remat_wrap,
     rope_frequencies,
+    sinusoidal_timestep_embedding,
 )
 
 
@@ -58,6 +58,9 @@ class HiDreamConfig:
     num_routed_experts: int = 4
     num_activated_experts: int = 2
     mlp_ratio: float = 4.0
+    # per-block llama hidden-state selection (index into the cached
+    # [B, L, S, D] states); None = cycle i % L (hi_diffusers llama_layers)
+    llama_layers: Any = None
     axes_dims_rope: Any = (32, 48, 48)
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
@@ -96,8 +99,17 @@ class HiDreamConfig:
         return HiDreamConfig(**d)
 
 
+def swiglu_hidden(dim: int, mlp_ratio: float, multiple_of: int = 256) -> int:
+    """FeedForwardSwiGLU hidden width: int(2/3 * dim*ratio) rounded up to
+    `multiple_of` (the hi_diffusers FeedForwardSwiGLU rule)."""
+    h = int(2 * int(dim * mlp_ratio) / 3)
+    return multiple_of * ((h + multiple_of - 1) // multiple_of)
+
+
 class MoEFeedForward(nn.Module):
-    """Top-k routed SwiGLU experts + a shared expert (hi_diffusers moe).
+    """Top-k routed SwiGLU experts + a shared expert (hi_diffusers
+    MOEFeedForwardSwiGLU: `shared_experts` at half the expert width,
+    `experts.{j}.w1/w2/w3`, bias-free `gate`).
 
     Dense formulation: every expert computes, the top-k gate mixes — exact
     for training semantics and maps onto the MXU without gather/scatter;
@@ -109,7 +121,8 @@ class MoEFeedForward(nn.Module):
     def __call__(self, x):
         cfg = self.config
         dim = cfg.hidden_size
-        hid = int(dim * cfg.mlp_ratio)
+        hid = swiglu_hidden(dim, cfg.mlp_ratio)
+        shared_hid = swiglu_hidden(dim, cfg.mlp_ratio / 2)
         e = cfg.num_routed_experts
         k = cfg.num_activated_experts
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
@@ -119,12 +132,14 @@ class MoEFeedForward(nn.Module):
         b, s, _ = x.shape
 
         # shared expert (always on)
-        g = LoraDense(hid, use_bias=False, name="shared_w1", **dd, **lora)(x)
-        u = LoraDense(hid, use_bias=False, name="shared_w3", **dd, **lora)(x)
+        g = LoraDense(shared_hid, use_bias=False, name="shared_w1", **dd,
+                      **lora)(x)
+        u = LoraDense(shared_hid, use_bias=False, name="shared_w3", **dd,
+                      **lora)(x)
         out = LoraDense(dim, use_bias=False, name="shared_w2", **dd,
                         **lora)(nn.silu(g) * u)
 
-        # router
+        # router (raw weight parameter `gate.weight` in the checkpoint)
         logits = LoraDense(e, use_bias=False, name="gate", dtype=jnp.float32,
                            param_dtype=cfg.param_dtype)(x.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)  # [B, S, E]
@@ -155,10 +170,16 @@ class MoEFeedForward(nn.Module):
 
 
 class HiDreamDoubleBlock(nn.Module):
+    """hi_diffusers HiDreamImageTransformerBlock: the text stream entering
+    each block is [carried T5-length stream, this block's llama state]; the
+    block updates the full text sequence and the caller keeps only the
+    T5-length prefix (reference transformer forward re-injects fresh llama
+    tokens every block)."""
+
     config: HiDreamConfig
 
     @nn.compact
-    def __call__(self, carry, temb, ctx, rope_cos, rope_sin):
+    def __call__(self, carry, temb, llama_ctx, rope_cos, rope_sin):
         cfg = self.config
         dim = cfg.hidden_size
         heads, hd = cfg.num_heads, cfg.head_dim
@@ -166,36 +187,38 @@ class HiDreamDoubleBlock(nn.Module):
                   kernel_dtype=cfg.base_kernel_dtype,
                   int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
-        img_s, txt = carry
-        # per-block text conditioning: inject this block's llama layer (+T5)
-        # into the carried text stream (hi_diffusers feeds per-layer llama
-        # states to each block; verify exact injection on real weights)
-        txt = txt + ctx.astype(txt.dtype)
+        img_s, txt_carry = carry
         b, si, _ = img_s.shape
+        st_keep = txt_carry.shape[1]
+        txt = jnp.concatenate([txt_carry, llama_ctx.astype(txt_carry.dtype)],
+                              axis=1)
         st = txt.shape[1]
 
-        mod_i = LoraDense(6 * dim, name="img_mod", **dd, **lora)(nn.silu(temb))
-        mod_t = LoraDense(6 * dim, name="txt_mod", **dd, **lora)(nn.silu(temb))
-        i1, i2, i3, i4, i5, i6 = jnp.split(mod_i, 6, -1)
-        t1, t2, t3, t4, t5, t6 = jnp.split(mod_t, 6, -1)
+        # single fused adaLN: 12 chunks, image 6 then text 6
+        mod = LoraDense(12 * dim, name="adaLN", **dd, **lora)(nn.silu(temb))
+        (i1, i2, i3, i4, i5, i6,
+         t1, t2, t3, t4, t5, t6) = jnp.split(mod, 12, -1)
 
         def rms(name, y):
+            # full-dim RMS norm before the head split (hi_diffusers
+            # q_rms_norm/k_rms_norm are RMSNorm(inner_dim))
             return RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                            name=name)(y)
 
         img_n = layer_norm_no_affine(img_s) * (1 + i2[:, None]) + i1[:, None]
         txt_n = layer_norm_no_affine(txt) * (1 + t2[:, None]) + t1[:, None]
 
-        def qkv(x, prefix, s):
-            q = LoraDense(dim, name=f"{prefix}_q", **dd, **lora)(x)
-            k = LoraDense(dim, name=f"{prefix}_k", **dd, **lora)(x)
-            v = LoraDense(dim, name=f"{prefix}_v", **dd, **lora)(x)
-            return (rms(f"{prefix}_q_norm", q.reshape(b, s, heads, hd)),
-                    rms(f"{prefix}_k_norm", k.reshape(b, s, heads, hd)),
+        def qkv(x, suffix, s):
+            q = rms(f"attn_q_norm{suffix}",
+                    LoraDense(dim, name=f"attn_to_q{suffix}", **dd, **lora)(x))
+            k = rms(f"attn_k_norm{suffix}",
+                    LoraDense(dim, name=f"attn_to_k{suffix}", **dd, **lora)(x))
+            v = LoraDense(dim, name=f"attn_to_v{suffix}", **dd, **lora)(x)
+            return (q.reshape(b, s, heads, hd), k.reshape(b, s, heads, hd),
                     v.reshape(b, s, heads, hd))
 
-        iq, ik, iv = qkv(img_n, "img_attn", si)
-        tq, tk, tv = qkv(txt_n, "txt_attn", st)
+        iq, ik, iv = qkv(img_n, "", si)
+        tq, tk, tv = qkv(txt_n, "_t", st)
         q = jnp.concatenate([iq, tq], axis=1)
         kk = jnp.concatenate([ik, tk], axis=1)
         v = jnp.concatenate([iv, tv], axis=1)
@@ -203,29 +226,34 @@ class HiDreamDoubleBlock(nn.Module):
         kk = apply_rope(kk, rope_cos, rope_sin)
         attn = dot_product_attention(q, kk, v).reshape(b, si + st, dim)
         ia, ta = attn[:, :si], attn[:, si:]
-        img_s = img_s + i3[:, None] * LoraDense(dim, name="img_attn_out",
+        img_s = img_s + i3[:, None] * LoraDense(dim, name="attn_to_out",
                                                 **dd, **lora)(ia)
-        txt = txt + t3[:, None] * LoraDense(dim, name="txt_attn_out",
+        txt = txt + t3[:, None] * LoraDense(dim, name="attn_to_out_t",
                                             **dd, **lora)(ta)
 
         y = layer_norm_no_affine(img_s) * (1 + i5[:, None]) + i4[:, None]
-        img_s = img_s + i6[:, None] * MoEFeedForward(cfg, name="img_moe")(y)
+        img_s = img_s + i6[:, None] * MoEFeedForward(cfg, name="ff_i")(y)
         y = layer_norm_no_affine(txt) * (1 + t5[:, None]) + t4[:, None]
-        g = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False,
-                      name="txt_ff_w1", **dd, **lora)(y)
-        u = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False,
-                      name="txt_ff_w3", **dd, **lora)(y)
+        ff_hid = swiglu_hidden(dim, cfg.mlp_ratio)
+        g = LoraDense(ff_hid, use_bias=False, name="txt_ff_w1", **dd,
+                      **lora)(y)
+        u = LoraDense(ff_hid, use_bias=False, name="txt_ff_w3", **dd,
+                      **lora)(y)
         txt = txt + t6[:, None] * LoraDense(dim, use_bias=False,
                                             name="txt_ff_w2", **dd, **lora)(
             nn.silu(g) * u)
-        return (img_s, txt), None
+        return (img_s, txt[:, :st_keep]), None
 
 
 class HiDreamSingleBlock(nn.Module):
+    """hi_diffusers HiDreamImageSingleTransformerBlock: per block, this
+    block's llama state is appended to the [img, txt] stream, attended
+    over, and dropped again by the caller."""
+
     config: HiDreamConfig
 
     @nn.compact
-    def __call__(self, x, temb, rope_cos, rope_sin):
+    def __call__(self, x, temb, llama_ctx, rope_cos, rope_sin):
         cfg = self.config
         dim = cfg.hidden_size
         heads, hd = cfg.num_heads, cfg.head_dim
@@ -233,26 +261,31 @@ class HiDreamSingleBlock(nn.Module):
                   kernel_dtype=cfg.base_kernel_dtype,
                   int8_matmul=cfg.int8_matmul)
         lora = cfg.lora_kwargs
+        s_keep = x.shape[1]
+        x = jnp.concatenate([x, llama_ctx.astype(x.dtype)], axis=1)
         b, s, _ = x.shape
 
-        mod = LoraDense(6 * dim, name="mod", **dd, **lora)(nn.silu(temb))
+        mod = LoraDense(6 * dim, name="adaLN", **dd, **lora)(nn.silu(temb))
         m1, m2, m3, m4, m5, m6 = jnp.split(mod, 6, -1)
         y = layer_norm_no_affine(x) * (1 + m2[:, None]) + m1[:, None]
-        q = LoraDense(dim, name="attn_q", **dd, **lora)(y)
-        k = LoraDense(dim, name="attn_k", **dd, **lora)(y)
-        v = LoraDense(dim, name="attn_v", **dd, **lora)(y)
         q = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                    name="attn_q_norm")(q.reshape(b, s, heads, hd))
+                    name="attn_q_norm")(
+            LoraDense(dim, name="attn_to_q", **dd, **lora)(y))
         k = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                    name="attn_k_norm")(k.reshape(b, s, heads, hd))
+                    name="attn_k_norm")(
+            LoraDense(dim, name="attn_to_k", **dd, **lora)(y))
+        v = LoraDense(dim, name="attn_to_v", **dd, **lora)(y)
+        q = q.reshape(b, s, heads, hd)
+        k = k.reshape(b, s, heads, hd)
         v = v.reshape(b, s, heads, hd)
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
         attn = dot_product_attention(q, k, v).reshape(b, s, dim)
-        x = x + m3[:, None] * LoraDense(dim, name="attn_out", **dd, **lora)(attn)
+        x = x + m3[:, None] * LoraDense(dim, name="attn_to_out", **dd,
+                                        **lora)(attn)
         y = layer_norm_no_affine(x) * (1 + m5[:, None]) + m4[:, None]
-        x = x + m6[:, None] * MoEFeedForward(cfg, name="moe")(y)
-        return x, None
+        x = x + m6[:, None] * MoEFeedForward(cfg, name="ff_i")(y)
+        return x[:, :s_keep], None
 
 
 class HiDreamTransformer(nn.Module):
@@ -271,21 +304,41 @@ class HiDreamTransformer(nn.Module):
         img = LoraDense(dim, name="x_embedder", **dd)(
             x_tokens.astype(cfg.dtype)
         )
-        temb = TimestepEmbedder(dim, **dd, name="t_embedder")(
-            timesteps.astype(jnp.float32)
-        )
-        temb = temb + LoraDense(dim, name="p_embedder", **dd)(
-            pooled.astype(cfg.dtype)
-        )
-        temb = nn.silu(temb)
+        # t_embedder / p_embedder are diffusers TimestepEmbedding pairs
+        # (linear_1 -> silu -> linear_2); vec = t + pooled, blocks apply
+        # their own SiLU inside adaLN (hi_diffusers TimestepEmbed /
+        # PooledEmbed)
+        t_sin = sinusoidal_timestep_embedding(
+            timesteps.astype(jnp.float32), 256)
+        temb = LoraDense(dim, name="t_embed_1", **dd)(t_sin.astype(cfg.dtype))
+        temb = LoraDense(dim, name="t_embed_2", **dd)(nn.silu(temb))
+        p = LoraDense(dim, name="p_embed_1", **dd)(pooled.astype(cfg.dtype))
+        p = LoraDense(dim, name="p_embed_2", **dd)(nn.silu(p))
+        temb = temb + p
 
-        t5 = LoraDense(dim, name="t5_embedder", **dd)(
+        # caption projections: one bias-free linear per block for the
+        # selected llama hidden states + a final one for T5
+        # (hi_diffusers caption_projection ModuleList)
+        t5 = LoraDense(dim, use_bias=False, name="t5_projection", **dd)(
             t5_embeds.astype(cfg.dtype)
         )
+        nb = cfg.num_double_layers + cfg.num_single_layers
         n_layers = llama_embeds.shape[1]
-        llama_proj = LoraDense(dim, name="llama_embedder", **dd)(
-            llama_embeds.astype(cfg.dtype)
-        )  # [B, L, S_l, dim]
+        sel = cfg.llama_layers or tuple(
+            i % n_layers for i in range(nb))
+        cap_w = self.param(
+            "caption_projection",
+            lambda k, sh: nn.initializers.lecun_normal()(
+                k, sh, jnp.float32).astype(cfg.param_dtype),
+            (nb, cfg.llama_dim, dim),
+        )
+        selected = jnp.stack(
+            [llama_embeds[:, sel[i]] for i in range(nb)], axis=1
+        )  # [B, NB, S_l, llama_dim]
+        llama_proj = jnp.einsum(
+            "bnsd,ndo->bnso", selected.astype(cfg.dtype),
+            jnp.asarray(cap_w, cfg.dtype),
+        )
 
         st = t5.shape[1] + llama_proj.shape[2]
         txt_ids = jnp.zeros((st, 3), jnp.float32)
@@ -294,42 +347,36 @@ class HiDreamTransformer(nn.Module):
             ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
         )
 
-        # per-double-block text stream: T5 concat that block's llama layer
         dblock = HiDreamDoubleBlock
         sblock = HiDreamSingleBlock
         if cfg.remat:
             dblock = remat_wrap(dblock, cfg.remat)
             sblock = remat_wrap(sblock, cfg.remat)
-        llama_per_block = jnp.stack(
-            [llama_proj[:, i % n_layers] for i in range(cfg.num_double_layers)],
-            axis=1,
-        )  # [B, D_layers, S_l, dim]
-        txt0 = jnp.concatenate([llama_per_block[:, 0], t5], axis=1)
-        ctx_stack = jnp.stack(
-            [jnp.concatenate([llama_per_block[:, i], t5], axis=1)
-             for i in range(cfg.num_double_layers)], axis=1,
-        )
         (img, txt), _ = nn.scan(
             dblock,
             variable_axes={"params": 0}, split_rngs={"params": True},
             in_axes=(nn.broadcast, 1, nn.broadcast, nn.broadcast),
             length=cfg.num_double_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="double_blocks")((img, txt0), temb, ctx_stack, rope_cos,
-                                     rope_sin)
+        )(cfg, name="double_blocks")(
+            (img, t5), temb, llama_proj[:, :cfg.num_double_layers],
+            rope_cos, rope_sin)
 
         xcat = jnp.concatenate([img, txt], axis=1)
         xcat, _ = nn.scan(
             sblock,
             variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_single_layers,
+            in_axes=(nn.broadcast, 1, nn.broadcast, nn.broadcast),
+            length=cfg.num_single_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="single_blocks")(xcat, temb, rope_cos, rope_sin)
+        )(cfg, name="single_blocks")(
+            xcat, temb, llama_proj[:, cfg.num_double_layers:],
+            rope_cos, rope_sin)
         out = xcat[:, :si]
         if img_seq_len is not None:
             out = out[:, :img_seq_len]
 
-        mod = LoraDense(2 * dim, name="final_mod", **dd)(temb)
+        mod = LoraDense(2 * dim, name="final_mod", **dd)(nn.silu(temb))
         shift, scale = jnp.split(mod, 2, -1)
         out = layer_norm_no_affine(out) * (1 + scale[:, None]) + shift[:, None]
         return LoraDense(cfg.out_channels, name="proj_out", **dd)(out)
@@ -373,9 +420,107 @@ class HiDreamPipeline(BasePipeline):
                     adapter.get("dtype", mc.get("dtype", "bfloat16"))
                 ),
             )
+        if mc.get("llama_layers"):
+            kwargs["llama_layers"] = tuple(
+                int(i) for i in mc["llama_layers"])
         if mc.get("_tiny", False):
             return HiDreamConfig.tiny(**kwargs)
         return HiDreamConfig(**kwargs)
+
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.hd_config
+
+    def keymap(self):
+        """hi_diffusers HiDreamImageTransformer2DModel keys
+        (`double_stream_blocks.{i}.block.*` wrappers, full-dim
+        q_rms_norm/k_rms_norm, fused 12/6-way adaLN, MoE
+        `ff_i.experts.{j}.w1/w2/w3` + half-width shared expert, per-block
+        `caption_projection.{i}.linear` with the T5 projection last;
+        reference models/hidream.py:45 targets these blocks and saves
+        ComfyUI-prefix LoRA, :132-136) <-> our stacked flax layout."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.hd_config
+        nb = cfg.num_double_layers + cfg.num_single_layers
+
+        def attn(suffix):
+            lin = {
+                f"attn_to_q{suffix}": f"block.attn1.to_q{suffix}",
+                f"attn_to_k{suffix}": f"block.attn1.to_k{suffix}",
+                f"attn_to_v{suffix}": f"block.attn1.to_v{suffix}",
+                f"attn_to_out{suffix}": f"block.attn1.to_out{suffix}",
+            }
+            norms = {
+                f"attn_q_norm{suffix}": f"block.attn1.q_rms_norm{suffix}",
+                f"attn_k_norm{suffix}": f"block.attn1.k_rms_norm{suffix}",
+            }
+            return lin, norms
+
+        moe_lin = {
+            "ff_i/shared_w1": "block.ff_i.shared_experts.w1",
+            "ff_i/shared_w2": "block.ff_i.shared_experts.w2",
+            "ff_i/shared_w3": "block.ff_i.shared_experts.w3",
+            "ff_i/gate": "block.ff_i.gate",
+        }
+        moe_stacks = {
+            "ff_i/experts_w1": ("block.ff_i.experts.{}.w1",
+                                "num_routed_experts"),
+            "ff_i/experts_w2": ("block.ff_i.experts.{}.w2",
+                                "num_routed_experts"),
+            "ff_i/experts_w3": ("block.ff_i.experts.{}.w3",
+                                "num_routed_experts"),
+        }
+        d_lin, d_norms = attn("")
+        dt_lin, dt_norms = attn("_t")
+        s_lin, s_norms = attn("")
+        return KeyMap(
+            blocks=[
+                BlockGroup(
+                    "double_blocks", "double_stream_blocks",
+                    "num_double_layers",
+                    linears={
+                        **d_lin, **dt_lin, **moe_lin,
+                        "adaLN": "block.adaLN_modulation.1",
+                        "txt_ff_w1": "block.ff_t.w1",
+                        "txt_ff_w2": "block.ff_t.w2",
+                        "txt_ff_w3": "block.ff_t.w3",
+                    },
+                    norms={**d_norms, **dt_norms},
+                    stacks=moe_stacks,
+                ),
+                BlockGroup(
+                    "single_blocks", "single_stream_blocks",
+                    "num_single_layers",
+                    linears={**s_lin, **moe_lin,
+                             "adaLN": "block.adaLN_modulation.1"},
+                    norms=s_norms,
+                    stacks=moe_stacks,
+                ),
+            ],
+            top_linears={
+                "x_embedder": "x_embedder.proj",
+                "t_embed_1": "t_embedder.timestep_embedder.linear_1",
+                "t_embed_2": "t_embedder.timestep_embedder.linear_2",
+                "p_embed_1": "p_embedder.pooled_embedder.linear_1",
+                "p_embed_2": "p_embedder.pooled_embedder.linear_2",
+                "t5_projection": f"caption_projection.{nb}.linear",
+                "final_mod": "final_layer.adaLN_modulation.1",
+                "proj_out": "final_layer.linear",
+            },
+            top_stacks={
+                "caption_projection": ("caption_projection.{}.linear", nb),
+            },
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.hd_config
+        )
 
     def init_params(self, rng):
         cfg = self.hd_config

@@ -340,6 +340,59 @@ class Ideogram4Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.ideo_config
+
+    def keymap(self):
+        """Ideogram4 DiT keys. Top-level module names are taken from the
+        reference wrapper (models/ideogram4.py:26 keep_in_high_precision:
+        input_proj, llm_cond_norm, llm_cond_proj, t_embedding, adaln_proj,
+        embed_image_indicator, final_layer; block container `layers`, :38).
+        Block-internal spellings follow the LLM q/k/v/o + SwiGLU
+        gate/up/down convention and are flagged pending real-checkpoint
+        verification. LoRA export uses the ComfyUI prefix."""
+        from .keymaps import BlockGroup, KeyMap
+
+        return KeyMap(
+            blocks=[BlockGroup(
+                "layers", "layers", "num_layers",
+                linears={
+                    "adaLN_linear": "adaln_linear",
+                    "attn_q": "attn.q_proj",
+                    "attn_k": "attn.k_proj",
+                    "attn_v": "attn.v_proj",
+                    "attn_out": "attn.o_proj",
+                    "mlp_gate": "mlp.gate_proj",
+                    "mlp_up": "mlp.up_proj",
+                    "mlp_down": "mlp.down_proj",
+                },
+                norms={"attn_q_norm": "attn.q_norm",
+                       "attn_k_norm": "attn.k_norm"},
+            )],
+            top_linears={
+                "input_proj": "input_proj",
+                "llm_cond_proj": "llm_cond_proj",
+                "t_embedding_1": "t_embedding.linear_1",
+                "t_embedding_2": "t_embedding.linear_2",
+                "adaln_proj": "adaln_proj",
+                "final_mod": "final_layer.adaLN_modulation.1",
+                "final_linear": "final_layer.linear",
+            },
+            top_norms={"llm_cond_norm": "llm_cond_norm"},
+            top_raw={"embed_image_indicator/embedding":
+                     "embed_image_indicator.weight"},
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.ideo_config
+        )
+
     def get_call_vae_fn(self):
         """Ideogram4 uses the flux2 VAE (docs/supported_models.md:608);
         universal KL loader. Latents cache unpacked [B, 32, H, W]; packing

@@ -21,7 +21,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -46,6 +46,12 @@ class BlockGroup:
     norms: Dict[str, str] = dataclasses.field(default_factory=dict)
     raw: Dict[str, str] = dataclasses.field(default_factory=dict)
     fused: Dict[str, Tuple] = dataclasses.field(default_factory=dict)
+    # stacked bias-free linears: flax leaf -> (torch_subpath_fmt with one
+    # {} slot, count | config-attr). Per block i, torch weights
+    # `{prefix}.{i}.{fmt.format(j)}.weight` [O, I] are stacked to one
+    # [N, I, O] kernel leaf (MoE expert banks, per-index projections).
+    stacks: Dict[str, Tuple[str, Any]] = dataclasses.field(
+        default_factory=dict)
     # torch norm param suffix: "weight" (torch RMS/LN) or "scale" (BFL)
     norm_suffix: str = "weight"
 
@@ -67,6 +73,9 @@ class KeyMap:
     # fused linears outside block stacks: torch path -> entries (see
     # BlockGroup.fused); flax names here are full '/'-joined paths
     top_fused: Dict[str, Tuple] = dataclasses.field(default_factory=dict)
+    # stacked bias-free linears outside blocks (see BlockGroup.stacks)
+    top_stacks: Dict[str, Tuple[str, Any]] = dataclasses.field(
+        default_factory=dict)
     top_norm_suffix: str = "weight"
     lora_prefix: str = "diffusion_model."
     strip_prefixes: Sequence[str] = (
@@ -101,9 +110,30 @@ def strip_known_prefixes(sd: Dict[str, np.ndarray], km: KeyMap):
     return out
 
 
-def _block_from_sd(sd, bg: BlockGroup, i: int) -> dict:
+def _resolve_count(count, config) -> int:
+    return getattr(config, count) if isinstance(count, str) else int(count)
+
+
+def _stack_from_sd(sd, base: str, fmt: str, n: int) -> np.ndarray:
+    return np.stack([
+        np.ascontiguousarray(np.asarray(
+            sd[f"{base}{fmt.format(j)}.weight"]).T)
+        for j in range(n)
+    ])
+
+
+def _stack_to_sd(sd, base: str, fmt: str, kernel: np.ndarray):
+    for j in range(kernel.shape[0]):
+        sd[f"{base}{fmt.format(j)}.weight"] = np.ascontiguousarray(
+            kernel[j].T)
+
+
+def _block_from_sd(sd, bg: BlockGroup, i: int, config=None) -> dict:
     prefix = f"{bg.prefix}.{i}"
     out: dict = {}
+    for ours, (fmt, count) in bg.stacks.items():
+        _set_path(out, ours, _stack_from_sd(
+            sd, f"{prefix}.", fmt, _resolve_count(count, config)))
     for ours, theirs in bg.linears.items():
         _set_path(out, ours, linear(sd, f"{prefix}.{theirs}"))
     for ours, theirs in bg.norms.items():
@@ -188,10 +218,13 @@ def keymap_to_flax(sd: Dict[str, np.ndarray], km: KeyMap, config) -> dict:
             if cb is not None:
                 entry["bias"] = cb
             _set_path(params, name, entry)
+    for ours, (fmt, count) in km.top_stacks.items():
+        _set_path(params, ours, _stack_from_sd(
+            sd, "", fmt, _resolve_count(count, config)))
     for bg in km.blocks:
         n = getattr(config, bg.num_layers_attr)
         params[bg.flax_key] = stack_layers(
-            [_block_from_sd(sd, bg, i) for i in range(n)]
+            [_block_from_sd(sd, bg, i, config) for i in range(n)]
         )
     return {"params": params}
 
@@ -201,6 +234,9 @@ def _block_to_sd(sd, bg: BlockGroup, block_tree: dict, i: int):
 
     def leaf(path):
         return _get_path(block_tree, path)
+
+    for ours, (fmt, _count) in bg.stacks.items():
+        _stack_to_sd(sd, f"{prefix}.", fmt, np.asarray(leaf(ours))[i])
 
     for ours, theirs in bg.linears.items():
         entry = leaf(ours)
@@ -276,6 +312,8 @@ def keymap_from_flax(params: dict, km: KeyMap, config
             np.concatenate(ws, axis=0))
         if bs:
             sd[f"{theirs}.bias"] = np.concatenate(bs, axis=0)
+    for ours, (fmt, _count) in km.top_stacks.items():
+        _stack_to_sd(sd, "", fmt, np.asarray(_get_path(p, ours)))
     for bg in km.blocks:
         n = getattr(config, bg.num_layers_attr)
         for i in range(n):

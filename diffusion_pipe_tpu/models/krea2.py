@@ -340,6 +340,73 @@ class Krea2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.krea_config
+
+    def keymap(self):
+        """Krea2 keys. Top-level module names are taken from the reference
+        wrapper (models/krea2.py:22 keep_in_high_precision: first, last,
+        tmlp, tproj, txtfusion, txtmlp; block container `blocks`, :84);
+        blocks are ComfyUI flux SingleStreamBlocks (linear1/linear2/
+        modulation.lin/norm.query_norm). TextFusionTransformer internals
+        are not public — spellings flagged pending real-checkpoint
+        verification. LoRA export uses the ComfyUI prefix."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.krea_config
+        top_linears = {
+            "first": "first",
+            "tmlp_1": "tmlp.in_layer",
+            "tmlp_2": "tmlp.out_layer",
+            "tproj": "tproj",
+            "txtmlp_1": "txtmlp.0",
+            "txtmlp_2": "txtmlp.2",
+            "last_mod": "last.adaLN_modulation.1",
+            "last_linear": "last.linear",
+        }
+        top_norms = {}
+        top_raw = {"txtfusion/layer_weights": "txtfusion.layer_weights"}
+        for i in range(cfg.fusion_layers):
+            base = f"txtfusion.blocks.{i}"
+            top_linears.update({
+                f"txtfusion/q_{i}": f"{base}.attn.q_proj",
+                f"txtfusion/k_{i}": f"{base}.attn.k_proj",
+                f"txtfusion/v_{i}": f"{base}.attn.v_proj",
+                f"txtfusion/o_{i}": f"{base}.attn.o_proj",
+                f"txtfusion/mlp1_{i}": f"{base}.mlp.fc1",
+                f"txtfusion/mlp2_{i}": f"{base}.mlp.fc2",
+            })
+            top_norms.update({
+                f"txtfusion/norm1_{i}": f"{base}.norm1",
+                f"txtfusion/norm2_{i}": f"{base}.norm2",
+            })
+        return KeyMap(
+            blocks=[BlockGroup(
+                "blocks", "blocks", "num_layers",
+                linears={
+                    "modulation": "modulation.lin",
+                    "linear1": "linear1",
+                    "linear2": "linear2",
+                },
+                norms={"q_norm": "norm.query_norm",
+                       "k_norm": "norm.key_norm"},
+                norm_suffix="scale",
+            )],
+            top_linears=top_linears,
+            top_norms=top_norms,
+            top_raw=top_raw,
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.krea_config
+        )
+
     def get_call_vae_fn(self):
         """Krea2 uses the Qwen-Image (Wan-architecture) image VAE with
         frames=1 video-shaped latents (reference models/krea2.py:25-29,76

@@ -412,6 +412,86 @@ class LTX2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    # --- weights ------------------------------------------------------------
+
+    def _keymap_config(self):
+        return self.ltx2_config
+
+    def keymap(self):
+        """LTX-2 (video path of the AV transformer) keys. Top-level module
+        names are taken from the reference wrapper (models/ltx2.py:178-194
+        keep_in_high_precision + :400-410: patchify_proj, adaln_single,
+        prompt_adaln_single, caption_projection,
+        video_embeddings_connector, scale_shift_table, proj_out; audio
+        branch untrained/not instantiated). adaln_single follows the LTX-1
+        AdaLayerNormSingle layout; connector/caption-projection internals
+        flagged pending real-checkpoint verification. ComfyUI-prefix
+        LoRA."""
+        from .keymaps import BlockGroup, KeyMap
+
+        cfg = self.ltx2_config
+        top_linears = {
+            "patchify_proj": "patchify_proj",
+            "adaln_linear_1": "adaln_single.emb.timestep_embedder.linear_1",
+            "adaln_linear_2": "adaln_single.emb.timestep_embedder.linear_2",
+            "adaln_proj": "adaln_single.linear",
+            "prompt_adaln_proj": "prompt_adaln_single.linear",
+            "caption_projection": "caption_projection.linear",
+            "proj_out": "proj_out",
+        }
+        top_raw = {
+            "scale_shift_table": "scale_shift_table",
+            "video_embeddings_connector/learnable_registers":
+                "video_embeddings_connector.learnable_registers",
+        }
+        for i in range(cfg.connector_blocks):
+            base = f"video_embeddings_connector.blocks.{i}"
+            top_linears.update({
+                f"video_embeddings_connector/attn_q_{i}": f"{base}.attn.q_proj",
+                f"video_embeddings_connector/attn_k_{i}": f"{base}.attn.k_proj",
+                f"video_embeddings_connector/attn_v_{i}": f"{base}.attn.v_proj",
+                f"video_embeddings_connector/attn_o_{i}": f"{base}.attn.o_proj",
+                f"video_embeddings_connector/mlp_in_{i}": f"{base}.mlp.fc1",
+                f"video_embeddings_connector/mlp_out_{i}": f"{base}.mlp.fc2",
+            })
+        return KeyMap(
+            blocks=[BlockGroup(
+                "blocks", "transformer_blocks", "num_layers",
+                linears={
+                    "attn1_to_q": "attn1.to_q",
+                    "attn1_to_k": "attn1.to_k",
+                    "attn1_to_v": "attn1.to_v",
+                    "attn1_to_out": "attn1.to_out.0",
+                    "attn2_to_q": "attn2.to_q",
+                    "attn2_to_k": "attn2.to_k",
+                    "attn2_to_v": "attn2.to_v",
+                    "attn2_to_out": "attn2.to_out.0",
+                    "ff_in": "ff.net.0.proj",
+                    "ff_out": "ff.net.2",
+                },
+                norms={
+                    "attn1_norm_q": "attn1.q_norm",
+                    "attn1_norm_k": "attn1.k_norm",
+                    "attn2_norm_q": "attn2.q_norm",
+                    "attn2_norm_k": "attn2.k_norm",
+                },
+                raw={
+                    "scale_shift_table": "scale_shift_table",
+                    "prompt_scale_shift_table": "prompt_scale_shift_table",
+                },
+            )],
+            top_linears=top_linears,
+            top_raw=top_raw,
+            lora_prefix="diffusion_model.",
+        )
+
+    def load_weights(self):
+        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+
+        return keymap_to_flax(
+            load_sd_for_pipeline(self), self.keymap(), self.ltx2_config
+        )
+
     def get_call_vae_fn(self):
         """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;
         the LTX-2 video-VAE port is pending real-checkpoint verification."""

@@ -19,7 +19,9 @@ from diffusion_pipe_tpu.models.keymaps import (
 )
 
 FAMILIES = ["qwen_image", "sd3", "hunyuan-video", "chroma", "lumina_2",
-            "hunyuan_image", "hunyuan_video_15", "ltx-video", "omnigen2"]
+            "hunyuan_image", "hunyuan_video_15", "ltx-video", "omnigen2",
+            "hidream", "flux2", "z_image", "ernie_image", "ideogram4",
+            "krea2", "ltx2"]
 
 
 def _pipeline(model_type, adapter=False, **mc_extra):
@@ -141,7 +143,78 @@ def _example_inputs(pipe, model_type):
             t=jnp.full((1,), 0.4),
             fractional_coords=coords,
         )
-    if model_type in ("lumina_2", "omnigen2"):
+    if model_type == "hidream":
+        from diffusion_pipe_tpu.models.flux import latent_image_ids
+
+        cfg = pipe.hd_config
+        return dict(
+            x_tokens=jax.random.normal(
+                jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+            img_ids=latent_image_ids(4, 4),
+            timesteps=jnp.full((1,), 400.0),
+            pooled=jax.random.normal(
+                jax.random.PRNGKey(2), (1, cfg.pooled_dim)),
+            t5_embeds=jax.random.normal(
+                jax.random.PRNGKey(3), (1, 8, cfg.t5_dim)),
+            llama_embeds=jax.random.normal(
+                jax.random.PRNGKey(4), (1, 2, 8, cfg.llama_dim)),
+        )
+    if model_type == "flux2":
+        from diffusion_pipe_tpu.models.flux2 import _latent_ids
+
+        cfg = pipe.f2_config
+        return dict(
+            hidden_states=jax.random.normal(
+                jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+            encoder_hidden_states=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+            timestep=jnp.full((1,), 0.4),
+            img_ids=jnp.asarray(_latent_ids(4, 4)),
+            guidance=jnp.ones((1,)),
+        )
+    if model_type == "ernie_image":
+        cfg = pipe.ernie_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, cfg.in_channels, 8, 8)),
+            t=jnp.full((1,), 400.0),
+            text_embeds=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+            text_mask=jnp.ones((1, 8), jnp.int32),
+        )
+    if model_type == "ideogram4":
+        cfg = pipe.ideo_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, cfg.latent_dim, 4, 4)),
+            t=jnp.full((1,), 0.4),
+            text_embeds=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+            text_mask=jnp.ones((1, 8), jnp.int32),
+        )
+    if model_type == "krea2":
+        cfg = pipe.krea_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, cfg.in_channels, 8, 8)),
+            t=jnp.full((1,), 0.4),
+            context=jax.random.normal(
+                jax.random.PRNGKey(2),
+                (1, 8, cfg.text_layers * cfg.text_dim)),
+            text_mask=jnp.ones((1, 8), jnp.int32),
+        )
+    if model_type == "ltx2":
+        cfg = pipe.ltx2_config
+        return dict(
+            x=jax.random.normal(
+                jax.random.PRNGKey(1), (1, 8, cfg.in_channels)),
+            prompt_embeds=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.cross_attention_dim)),
+            prompt_mask=jnp.ones((1, 8), jnp.int32),
+            t=jnp.full((1,), 0.4),
+            fractional_coords=jnp.zeros((1, 3, 8)),
+        )
+    if model_type in ("lumina_2", "omnigen2", "z_image"):
         cfg = pipe.lumina_config
         return dict(
             x=jax.random.normal(

@@ -356,6 +356,15 @@ class Lumina2Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: one phase over the scan-stacked main
+        NextDiT blocks; caption/noise refiners embed on stage 0, the adaLN
+        final layer + loss on the last stage (reference partitions via
+        to_layers() + PipelineModule, models/lumina_2.py). Shared by
+        omnigen2 and z_image, which reuse this transformer. See
+        parallel/model_pp.py."""
+        return _Lumina2PPProgram(self)
+
     def sample(self, params, width, height, key, num_steps=20,
                guidance_scale=1.0, cap_feats=None, cap_mask=None):
         """Euler flow sampling. The model predicts latents - noise with time
@@ -517,3 +526,134 @@ class Lumina2Pipeline(BasePipeline):
         return keymap_to_flax(
             load_sd_for_pipeline(self), self.keymap(), self.lumina_config
         )
+
+
+class _Lumina2PPProgram:
+    """PPProgram for Lumina2Transformer / NextDiT (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the main block scan:
+    t/caption embedding + context & noise refiners on stage 0, _MainBlock
+    per slot, adaLN final layer + unpatchify + loss on the last stage.
+    Payload: (full [B,Lc+Li,D], full_mask [B,Lc+Li], adaln_input [B,D]).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.lumina_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("layers", cfg.num_layers, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        full, full_mask, adaln = payload
+        full, _ = _MainBlock(self.cfg).apply(
+            {"params": p_i}, full, full_mask, ctx["full_cos"],
+            ctx["full_sin"], adaln,
+        )
+        return (full, full_mask, adaln)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        p = cfg.patch_size
+        _b, _c, hh, ww = mi0["x"].shape
+        gh, gw = hh // p, ww // p
+        img_len = gh * gw
+        cap_len = mi0["cap_feats"].shape[1]
+        off = cfg.rope_cap_offset
+        cap_ids = jnp.stack(
+            [jnp.arange(cap_len) + off, jnp.zeros(cap_len),
+             jnp.zeros(cap_len)], -1,
+        )
+        row = jnp.repeat(jnp.arange(gh), gw)
+        col = jnp.tile(jnp.arange(gw), gh)
+        img_ids = jnp.stack(
+            [jnp.full((img_len,), cap_len + off), row, col], -1
+        )
+        cap_cos, cap_sin = rope_frequencies(
+            cap_ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
+        )
+        img_cos, img_sin = rope_frequencies(
+            img_ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
+        )
+        return {
+            "cap_cos": cap_cos, "cap_sin": cap_sin,
+            "img_cos": img_cos, "img_sin": img_sin,
+            "full_cos": jnp.concatenate([cap_cos, img_cos], 0),
+            "full_sin": jnp.concatenate([cap_sin, img_sin], 0),
+            "grid": (gh, gw), "hw": (hh, ww), "cap_len": cap_len,
+        }
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.dim
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, t = mi["x"], mi["t"]
+        cap_feats, cap_mask = mi["cap_feats"], mi["cap_mask"]
+        b, c = x.shape[:2]
+        gh, gw = ctx["grid"]
+        img_len = gh * gw
+
+        temb = sinusoidal_timestep_embedding(
+            t.astype(jnp.float32) * 1000.0, 256)
+        temb = LoraDense(min(dim, 1024), **dd).apply(
+            {"params": p_rest["t_embedder_1"]}, temb.astype(cfg.dtype))
+        adaln_input = LoraDense(min(dim, 1024), **dd).apply(
+            {"params": p_rest["t_embedder_2"]}, nn.silu(temb))
+
+        cap = RMSNorm(eps=1e-5, dtype=cfg.dtype,
+                      param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["cap_embedder_norm"]},
+            cap_feats.astype(cfg.dtype))
+        cap = LoraDense(dim, **dd).apply(
+            {"params": p_rest["cap_embedder"]}, cap)
+        for i in range(cfg.num_refiner_layers):
+            cap = Lumina2Block(cfg, use_adaln=False).apply(
+                {"params": p_rest[f"context_refiner_{i}"]},
+                cap, cap_mask, ctx["cap_cos"], ctx["cap_sin"],
+            )
+
+        xi = x.reshape(b, c, gh, p, gw, p)
+        xi = jnp.einsum("bchpwq->bhwpqc", xi).reshape(b, img_len, p * p * c)
+        xi = LoraDense(dim, **dd).apply(
+            {"params": p_rest["x_embedder"]}, xi.astype(cfg.dtype))
+        for i in range(cfg.num_refiner_layers):
+            xi = Lumina2Block(cfg).apply(
+                {"params": p_rest[f"noise_refiner_{i}"]},
+                xi, None, ctx["img_cos"], ctx["img_sin"], adaln_input,
+            )
+
+        full = jnp.concatenate([cap, xi], axis=1)
+        full_mask = jnp.concatenate(
+            [cap_mask.astype(jnp.int32),
+             jnp.ones((b, img_len), jnp.int32)], axis=1,
+        )
+        return (full, full_mask, adaln_input)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        p = cfg.patch_size
+        gh, gw = ctx["grid"]
+        hh, ww = ctx["hw"]
+        full, _fm, adaln_input = payload
+        b = full.shape[0]
+
+        out = full[:, ctx["cap_len"]:]
+        mod = LoraDense(cfg.dim, use_bias=True, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_adaLN"]}, nn.silu(adaln_input))
+        xf = out.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.var(xf, -1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+        xf = xf * (1 + mod[:, None].astype(jnp.float32))
+        out = LoraDense(p * p * cfg.out_channels, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, xf.astype(cfg.dtype))
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = jnp.einsum("bhwpqc->bchpwq", out).reshape(
+            b, cfg.out_channels, hh, ww)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -252,6 +252,14 @@ class QwenImagePipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: one phase over the 60 scan-stacked
+        dual-stream blocks, img/txt/time embedding on stage 0 and the
+        modulated head on the last stage (reference partitions via
+        to_layers() + PipelineModule, models/qwen_image.py). See
+        parallel/model_pp.py."""
+        return _QwenImagePPProgram(self)
+
     def get_call_vae_fn(self):
         # Qwen-Image uses a 16ch Wan-style image VAE; flux VAE stands in
         # until the dedicated loader lands.
@@ -474,3 +482,93 @@ class QwenImagePipeline(BasePipeline):
         return keymap_to_flax(
             load_sd_for_pipeline(self), self.keymap(), self.qi_config
         )
+
+
+class _QwenImagePPProgram:
+    """PPProgram for QwenImageTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the block scan.
+    Payload: (img [B,L,D], txt [B,Lc,D], temb [B,D], txt_mask [B,Lc]).
+    The image-token count for the head slice comes from the target shape
+    (control latents extend the payload sequence but not the target).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.qi_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("blocks", cfg.num_layers, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        from .flux_model import FluxDoubleBlock
+
+        img, txt, temb, txt_mask = payload
+        (img, txt), _ = FluxDoubleBlock(self.cfg.to_flux_config()).apply(
+            {"params": p_i}, (img, txt), temb, ctx["rope_cos"],
+            ctx["rope_sin"], txt_mask,
+        )
+        return (img, txt, temb, txt_mask)
+
+    def make_ctx(self, p_rest, mi0):
+        from .layers import rope_frequencies
+
+        cfg = self.cfg
+        img_ids = mi0["img_ids"]
+        stxt = mi0["encoder_hidden_states"].shape[1]
+        max_idx = jnp.max(img_ids) + 1
+        txt_ids = jnp.broadcast_to(
+            (max_idx + jnp.arange(stxt))[:, None], (stxt, 3)
+        ).astype(jnp.float32)
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin}
+
+    def embed(self, p_rest, mi, ctx):
+        import flax.linen as nn
+
+        from .layers import LoraDense, RMSNorm, TimestepEmbedder
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        hidden_states = mi["hidden_states"]
+        enc = mi["encoder_hidden_states"]
+        b = hidden_states.shape[0]
+
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["img_in"]}, hidden_states.astype(cfg.dtype))
+        txt = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["txt_norm"]}, enc.astype(cfg.dtype))
+        txt = LoraDense(dim, **dd).apply({"params": p_rest["txt_in"]}, txt)
+        temb = TimestepEmbedder(dim, **dd).apply(
+            {"params": p_rest["time_text_embed"]},
+            mi["timestep"].astype(jnp.float32) * 1000.0,
+        )
+        temb = nn.silu(temb)
+        txt_mask = mi.get("txt_mask")
+        if txt_mask is None:
+            txt_mask = jnp.ones((b, enc.shape[1]), jnp.int32)
+        return (img, txt, temb, txt_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        from .layers import LoraDense, layer_norm_no_affine, modulate
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        img, _txt, temb, _tm = payload
+
+        out = img[:, : target.shape[1]]
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["norm_out_linear"]}, temb)
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        out = modulate(layer_norm_no_affine(out), shift, scale)
+        out = LoraDense(cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, out)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -121,6 +121,13 @@ class SD3Pipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: one phase over the scan-stacked joint
+        blocks; the context_pre_only final block rides with the head on the
+        last stage (reference partitions via to_layers() + PipelineModule,
+        models/sd3.py:179-249). See parallel/model_pp.py."""
+        return _SD3PPProgram(self)
+
     def _merge_embeds(self, batch):
         clip = jnp.concatenate(
             [batch["prompt_embed"], batch["prompt_2_embed"]], axis=-1
@@ -371,3 +378,117 @@ class SD3Pipeline(BasePipeline):
         return keymap_to_flax(
             load_sd_for_pipeline(self), self.keymap(), self.sd3_config
         )
+
+
+class _SD3PPProgram:
+    """PPProgram for SD3Transformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of sd3_model.py's __call__ split at the block
+    scan: patch/pos/time/text embedding on stage 0, SD3JointBlock per slot,
+    and the context_pre_only final block + modulated head + unpatchify +
+    loss on the last stage. Payload: (img [B,L,D], txt [B,Lc,D], temb [B,D]).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.sd3_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("blocks", cfg.num_scan_layers, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        from .sd3_model import SD3JointBlock
+
+        img, txt, temb = payload
+        (img, txt), _ = SD3JointBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), temb
+        )
+        return (img, txt, temb)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        _b, _c, h, w = mi0["hidden_states"].shape
+        return {"grid": (h // cfg.patch_size, w // cfg.patch_size),
+                "hw": (h, w)}
+
+    def embed(self, p_rest, mi, ctx):
+        import flax.linen as nn
+
+        from .layers import (
+            LoraDense,
+            PixArtAlphaTextProjection,
+            TimestepEmbedder,
+        )
+        from .sd3_model import sincos_2d_pos_embed
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gh, gw = ctx["grid"]
+        hidden_states = mi["hidden_states"]
+        b, c = hidden_states.shape[:2]
+
+        x = jnp.transpose(hidden_states, (0, 2, 3, 1)).astype(cfg.dtype)
+        x = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * c)
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["pos_embed_proj"]}, x)
+
+        table = sincos_2d_pos_embed(
+            dim, cfg.pos_embed_max_size, cfg.sample_size // p
+        ).reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size, dim)
+        top = (cfg.pos_embed_max_size - gh) // 2
+        left = (cfg.pos_embed_max_size - gw) // 2
+        pos = jnp.asarray(
+            table[top: top + gh, left: left + gw].reshape(1, gh * gw, dim)
+        )
+        img = img + pos.astype(img.dtype)
+
+        temb = TimestepEmbedder(dim, **dd).apply(
+            {"params": p_rest["timestep_embedder"]},
+            mi["timestep"].astype(jnp.float32) * 1.0,
+        )
+        temb = temb + PixArtAlphaTextProjection(dim, **dd).apply(
+            {"params": p_rest["text_embedder"]},
+            mi["pooled_projections"].astype(cfg.dtype),
+        )
+        temb = nn.silu(temb)
+
+        txt = LoraDense(dim, **dd).apply(
+            {"params": p_rest["context_embedder"]},
+            mi["encoder_hidden_states"].astype(cfg.dtype),
+        )
+        return (img, txt, temb)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        import flax.linen as nn
+
+        from .layers import LoraDense, layer_norm_no_affine, modulate
+        from .sd3_model import SD3JointBlock
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gh, gw = ctx["grid"]
+        h, w = ctx["hw"]
+        img, txt, temb = payload
+        b = img.shape[0]
+
+        (img, _), _ = SD3JointBlock(cfg, context_pre_only=True).apply(
+            {"params": p_rest["final_block"]}, (img, txt), temb
+        )
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["norm_out_linear"]}, nn.silu(temb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        img = modulate(layer_norm_no_affine(img), shift, scale)
+        out = LoraDense(p * p * cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, img)
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = out.transpose(0, 5, 1, 3, 2, 4).reshape(
+            b, cfg.out_channels, h, w)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -1,7 +1,8 @@
-"""Generic pipeline parallelism (parallel/model_pp.py): wan + hunyuan-video
-GPipe programs reproduce single-device loss and LoRA gradients at 2 and 4
-stages — the reference behavior where ANY model partitions via to_layers()
-+ PipelineModule (models/base.py:294-391, utils/pipeline.py:11-53).
+"""Generic pipeline parallelism (parallel/model_pp.py): wan, hunyuan-video,
+sd3, qwen_image, and the lumina_2 family (incl. z_image / omnigen2) GPipe
+programs reproduce single-device loss and LoRA gradients at 2 and 4 stages —
+the reference behavior where ANY model partitions via to_layers() +
+PipelineModule (models/base.py:294-391, utils/pipeline.py:11-53).
 BASELINE.json configs[4] is a 4-stage HunyuanVideo run.
 """
 
@@ -44,6 +45,81 @@ def _hv_batch(b):
     }
 
 
+def _sd3_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 8, 8)),
+        "prompt_embed": jax.random.normal(k, (b, 8, 24)),
+        "prompt_2_embed": jax.random.normal(k, (b, 8, 24)),
+        "pooled_prompt_embed": jax.random.normal(k, (b, 16)),
+        "pooled_prompt_2_embed": jax.random.normal(k, (b, 16)),
+        "t5_prompt_embed": jax.random.normal(k, (b, 8, 64)),
+    }
+
+
+def _qwen_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 1, 8, 8)),
+        "prompt_embeds": jax.random.normal(k, (b, 8, 48)),
+        "prompt_embeds_mask": jnp.concatenate(
+            [jnp.ones((b, 5), jnp.int32), jnp.zeros((b, 3), jnp.int32)], 1),
+    }
+
+
+def _lumina_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 8, 8)),
+        "cap_feats": jax.random.normal(k, (b, 8, 32)),
+        "cap_mask": jnp.concatenate(
+            [jnp.ones((b, 5), jnp.int32), jnp.zeros((b, 3), jnp.int32)], 1),
+    }
+
+
+def _zimage_batch(b):
+    lb = _lumina_batch(b)
+    return {
+        "latents": lb["latents"],
+        "text_embeds_0": lb["cap_feats"],
+        "attention_mask_0": lb["cap_mask"],
+    }
+
+
+def _omnigen2_batch(b):
+    lb = _lumina_batch(b)
+    return {
+        "latents": lb["latents"],
+        "prompt_embeds": lb["cap_feats"],
+        "prompt_attention_mask": lb["cap_mask"],
+    }
+
+
+PP_FAMILIES = [
+    ("wan", _wan_batch),
+    ("hunyuan-video", _hv_batch),
+    ("sd3", _sd3_batch),
+    ("qwen_image", _qwen_batch),
+    ("lumina_2", _lumina_batch),
+]
+
+
+@pytest.mark.parametrize("model_type,batch_fn", [
+    ("z_image", _zimage_batch), ("omnigen2", _omnigen2_batch),
+])
+def test_generic_pp_lumina_children(model_type, batch_fn):
+    """z_image / omnigen2 inherit Lumina2Pipeline.make_pp_program; 2-stage
+    loss parity confirms the shared program under their configs."""
+    pipeline, mesh, trainable, frozen, batch = _setup(
+        model_type, 2, batch_fn)
+    rng = jax.random.PRNGKey(7)
+    loss_fn = make_generic_pipelined_loss_fn(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp = float(jax.jit(loss_fn)(trainable, frozen, batch, rng))
+    loss_ref = float(_reference_loss(pipeline, trainable, frozen, batch, rng))
+    np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-5)
+
+
 def _setup(model_type, stages, batch_fn):
     cfg = {
         "save_every_n_epochs": 1,
@@ -74,9 +150,7 @@ def _reference_loss(pipeline, trainable, frozen, batch, rng):
     return jnp.mean(jnp.stack(losses))
 
 
-@pytest.mark.parametrize("model_type,batch_fn", [
-    ("wan", _wan_batch), ("hunyuan-video", _hv_batch),
-])
+@pytest.mark.parametrize("model_type,batch_fn", PP_FAMILIES)
 @pytest.mark.parametrize("stages", [2, 4])
 def test_generic_pp_loss_matches_single(model_type, batch_fn, stages):
     pipeline, mesh, trainable, frozen, batch = _setup(
@@ -89,9 +163,7 @@ def test_generic_pp_loss_matches_single(model_type, batch_fn, stages):
     np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("model_type,batch_fn", [
-    ("wan", _wan_batch), ("hunyuan-video", _hv_batch),
-])
+@pytest.mark.parametrize("model_type,batch_fn", PP_FAMILIES)
 def test_generic_pp_grads_match_single(model_type, batch_fn):
     stages = 4
     pipeline, mesh, trainable, frozen, batch = _setup(

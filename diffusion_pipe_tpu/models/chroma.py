@@ -113,6 +113,13 @@ class ChromaPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: double-block then single-block phases;
+        the Approximator runs on stage 0 and its per-block modulation slices
+        travel in the payload, indexed by global block position
+        (PPPhase.needs_index). See parallel/model_pp.py."""
+        return _ChromaPPProgram(self)
+
     # Chroma uses the flux VAE (16ch): borrow FluxPipeline's unbound
     # implementations (they only touch model_config/_vae attributes).
     def _load_vae(self):
@@ -244,3 +251,121 @@ class ChromaPipeline(BasePipeline):
         return keymap_to_flax(
             load_sd_for_pipeline(self), self.keymap(), self.chroma_config
         )
+
+
+class _ChromaPPProgram:
+    """PPProgram for ChromaTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of chroma_model.py's __call__ split at the two
+    block scans. The distilled-modulation Approximator output is computed
+    once in embed and carried (it is tiny next to the hidden states);
+    blocks slice their own [B,12,D]/[B,3,D] rows by global block index.
+    Phase 1 payload: (img, txt, dmods, smods, fmods, txt_mask);
+    phase 2 (after concat `pre`): (x, smods, fmods, kv_mask).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.chroma_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("double_blocks", cfg.num_layers, self._apply_double,
+                    needs_index=True),
+            PPPhase("single_blocks", cfg.num_single_layers,
+                    self._apply_single, pre=self._to_single_stream,
+                    needs_index=True),
+        ]
+
+    def _apply_double(self, p_i, payload, ctx, bi):
+        from .chroma_model import ChromaDoubleBlock
+
+        img, txt, dmods, smods, fmods, txt_mask = payload
+        mods_i = jax.lax.dynamic_index_in_dim(dmods, bi, 1, False)
+        (img, txt), _ = ChromaDoubleBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), mods_i, ctx["rope_cos"],
+            ctx["rope_sin"], txt_mask,
+        )
+        return (img, txt, dmods, smods, fmods, txt_mask)
+
+    def _to_single_stream(self, payload, ctx):
+        img, txt, _dmods, smods, fmods, txt_mask = payload
+        x = jnp.concatenate([txt, img], axis=1)
+        kv_mask = jnp.concatenate(
+            [txt_mask.astype(jnp.int32),
+             jnp.ones((img.shape[0], img.shape[1]), jnp.int32)], axis=1,
+        )
+        return (x, smods, fmods, kv_mask)
+
+    def _apply_single(self, p_i, payload, ctx, bi):
+        from .chroma_model import ChromaSingleBlock
+
+        x, smods, fmods, kv_mask = payload
+        # slot indices are phase-local (stack_for_stages numbers each
+        # phase's blocks from 0)
+        mods_i = jax.lax.dynamic_index_in_dim(smods, bi, 1, False)
+        x, _ = ChromaSingleBlock(self.cfg).apply(
+            {"params": p_i}, x, mods_i, ctx["rope_cos"], ctx["rope_sin"],
+            kv_mask,
+        )
+        return (x, smods, fmods, kv_mask)
+
+    def make_ctx(self, p_rest, mi0):
+        from .layers import rope_frequencies
+
+        cfg = self.cfg
+        ids = jnp.concatenate([mi0["txt_ids"], mi0["img_ids"]], axis=0)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.axes_dims_rope, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "txt_len": mi0["encoder_hidden_states"].shape[1]}
+
+    def embed(self, p_rest, mi, ctx):
+        from .chroma_model import Approximator
+        from .layers import LoraDense
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        b = mi["hidden_states"].shape[0]
+
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["x_embedder"]},
+            mi["hidden_states"].astype(cfg.dtype))
+        txt = LoraDense(dim, **dd).apply(
+            {"params": p_rest["context_embedder"]},
+            mi["encoder_hidden_states"].astype(cfg.dtype))
+        guidance = mi.get("guidance")
+        if guidance is None:
+            guidance = jnp.zeros((b,), jnp.float32)
+        mod_vectors = Approximator(cfg).apply(
+            {"params": p_rest["distilled_guidance_layer"]},
+            mi["timestep"], guidance,
+        )
+        ns, nd = cfg.num_single_layers, cfg.num_layers
+        smods = mod_vectors[:, : 3 * ns].reshape(b, ns, 3, dim)
+        dmods = mod_vectors[:, 3 * ns: 3 * ns + 12 * nd].reshape(
+            b, nd, 12, dim)
+        fmods = mod_vectors[:, -2:]
+        txt_mask = mi.get("txt_mask")
+        if txt_mask is None:
+            txt_mask = jnp.ones((b, txt.shape[1]), jnp.int32)
+        return (img, txt, dmods, smods, fmods, txt_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        from .chroma_model import _mod
+        from .layers import LoraDense, layer_norm_no_affine
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, _smods, fmods, _kvm = payload
+
+        out = x[:, ctx["txt_len"]:]
+        out = out[:, : target.shape[1]]
+        shift, scale = fmods[:, 0], fmods[:, 1]
+        out = _mod(layer_norm_no_affine(out), shift, scale)
+        out = LoraDense(cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, out)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -132,6 +132,13 @@ class CosmosPipeline(BasePipeline):
         )
         return model_inputs, latents, mask  # target = clean latents
 
+    def make_pp_program(self):
+        """EDM variant of the Predict2 pipeline program: (x_t, sigma) travel
+        in the payload so the last stage can apply the c_skip/c_out
+        preconditioning before the per-sigma weighted loss (reference
+        models/cosmos.py:239-296). See parallel/model_pp.py."""
+        return _CosmosEDMPPProgram(self)
+
     def forward(self, params, model_inputs):
         x_t = model_inputs.pop("_x_t")
         sigma = model_inputs.pop("_sigma")
@@ -231,3 +238,27 @@ class CosmosPipeline(BasePipeline):
             return {"prompt_embeds": h * m[..., None].astype(h.dtype)}
 
         return [fn]
+
+
+class _CosmosEDMPPProgram:
+    """EDM PPProgram for the cosmos pipeline: subclasses the Predict2
+    program lazily (import at construction) and threads (x_t, sigma)
+    through the payload to the head (see cosmos.py forward/loss_fn)."""
+
+    def __new__(cls, pipeline):
+        from .cosmos_predict2 import _CosmosPredict2PPProgram
+
+        class _Impl(_CosmosPredict2PPProgram):
+            def _extras(self, mi):
+                return (mi["_x_t"], mi["_sigma"])
+
+            def _finalize(self, net_out, extras, target, mask):
+                x_t, sigma = extras
+                exp = (sigma.shape[0],) + (1,) * (x_t.ndim - 1)
+                c_skip, c_out, _, _ = edm_scalings(sigma)
+                x0_pred = (c_skip.reshape(exp) * x_t
+                           + c_out.reshape(exp)
+                           * net_out.astype(jnp.float32))
+                return self.pipeline.loss_fn((x0_pred, sigma), target, mask)
+
+        return _Impl(pipeline)

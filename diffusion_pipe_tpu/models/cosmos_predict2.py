@@ -177,6 +177,15 @@ class CosmosPredict2Pipeline(BasePipeline):
             )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: one phase over the MiniTrainDIT block
+        scan; patch/time embedding (+ the Anima LLMAdapter, whose context
+        output rides in the payload) on stage 0, adaLN-LoRA final layer +
+        unpatchify + loss on the last stage. Subclassed by the EDM cosmos
+        pipeline which threads (x_t, sigma) to the head for c_skip/c_out
+        preconditioning. See parallel/model_pp.py."""
+        return _CosmosPredict2PPProgram(self)
+
     def forward(self, params, model_inputs):
         if self.anima:
             mi = dict(model_inputs)
@@ -410,3 +419,146 @@ def cosmos_predict2_keymap():
                         "net."),
         lora_prefix="diffusion_model.",
     )
+
+
+class _CosmosPredict2PPProgram:
+    """PPProgram for CosmosPredict2Transformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of cosmos_predict2_model.py's __call__ split at
+    the block scan. Payload: (xe [B,L,D], emb [B,D], adaln_lora [B,3D],
+    context [B,Lc,D], extras) where extras is () or the EDM (x_t, sigma).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.cp_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("blocks", cfg.num_blocks, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        from .cosmos_predict2_model import CosmosBlock
+
+        xe, emb, adaln_lora, context, extras = payload
+        xe, _ = CosmosBlock(self.cfg).apply(
+            {"params": p_i}, xe, emb, adaln_lora, context,
+            ctx["rope_cos"], ctx["rope_sin"],
+        )
+        return (xe, emb, adaln_lora, context, extras)
+
+    def make_ctx(self, p_rest, mi0):
+        from .cosmos_predict2_model import cosmos_rope_angles
+
+        cfg = self.cfg
+        _b, _c, tt, hh, ww = mi0["x"].shape
+        ps, pt = cfg.patch_spatial, cfg.patch_temporal
+        gt, gh, gw = tt // pt, hh // ps, ww // ps
+        angles = jnp.asarray(cosmos_rope_angles(cfg, gt, gh, gw, None))
+        return {"rope_cos": jnp.cos(angles), "rope_sin": jnp.sin(angles),
+                "grid": (gt, gh, gw)}
+
+    def _extras(self, mi):
+        return ()
+
+    def _context(self, p_rest, mi):
+        if getattr(self.pipeline, "anima", False):
+            return self.pipeline.llm_adapter.apply(
+                {"params": p_rest["llm_adapter"]},
+                mi["llm_hidden_states"],
+                mi["t5_input_ids"],
+                source_mask=mi["llm_mask"],
+            )
+        return mi["context"]
+
+    def embed(self, p_rest, mi, ctx):
+        import math
+
+        import flax.linen as nn
+
+        from .layers import LoraDense, RMSNorm
+
+        cfg = self.cfg
+        dim = cfg.model_channels
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, t = mi["x"], mi["t"]
+        b, c, tt, hh, ww = x.shape
+        ps, pt = cfg.patch_spatial, cfg.patch_temporal
+        gt, gh, gw = ctx["grid"]
+        seq = gt * gh * gw
+
+        if cfg.concat_padding_mask:
+            pm = jnp.zeros((b, 1, tt, hh, ww), x.dtype)
+            x = jnp.concatenate([x, pm.astype(x.dtype)], axis=1)
+            c = c + 1
+        xe = x.reshape(b, c, gt, pt, gh, ps, gw, ps)
+        xe = jnp.einsum("bctrhmwn->bthwcrmn", xe).reshape(
+            b, seq, c * pt * ps * ps)
+        xe = LoraDense(dim, use_bias=False, **dd).apply(
+            {"params": p_rest["x_embedder"]}, xe.astype(cfg.dtype))
+
+        half = dim // 2
+        exponent = jnp.exp(
+            -math.log(10000) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * exponent[None]
+        sincos = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        e1 = LoraDense(dim, use_bias=not cfg.use_adaln_lora, **dd).apply(
+            {"params": p_rest["t_embedder_1"]}, sincos.astype(cfg.dtype))
+        e2 = LoraDense(
+            3 * dim if cfg.use_adaln_lora else dim, use_bias=False, **dd
+        ).apply({"params": p_rest["t_embedder_2"]}, nn.silu(e1))
+        if cfg.use_adaln_lora:
+            emb, adaln_lora = sincos.astype(cfg.dtype), e2
+        else:
+            emb, adaln_lora = e2, jnp.zeros((b, 3 * dim), cfg.dtype)
+        emb = RMSNorm(eps=1e-6, dtype=cfg.dtype,
+                      param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["t_embedding_norm"]}, emb)
+
+        context = self._context(p_rest, mi).astype(cfg.dtype)
+        return (xe, emb, adaln_lora, context, self._extras(mi))
+
+    def _finalize(self, out, extras, target, mask):
+        return self.pipeline.loss_fn(out, target, mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        import flax.linen as nn
+
+        from .layers import LoraDense
+
+        cfg = self.cfg
+        dim = cfg.model_channels
+        ps, pt = cfg.patch_spatial, cfg.patch_temporal
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gt, gh, gw = ctx["grid"]
+        xe, emb, adaln_lora, _context, extras = payload
+        b = xe.shape[0]
+
+        if cfg.use_adaln_lora:
+            y = LoraDense(cfg.adaln_lora_dim, use_bias=False, **dd).apply(
+                {"params": p_rest["final_adaln_1"]}, nn.silu(emb))
+            y = LoraDense(2 * dim, use_bias=False, **dd).apply(
+                {"params": p_rest["final_adaln_2"]}, y)
+            y = y + adaln_lora[:, : 2 * dim]
+        else:
+            y = LoraDense(2 * dim, use_bias=False, **dd).apply(
+                {"params": p_rest["final_adaln_1"]}, nn.silu(emb))
+        shift, scale = jnp.split(y, 2, axis=-1)
+        xf = xe.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.var(xf, -1, keepdims=True)
+        xf = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+        xf = xf * (1 + scale[:, None].astype(jnp.float32)) + shift[
+            :, None
+        ].astype(jnp.float32)
+        out = LoraDense(ps * ps * pt * cfg.out_channels, use_bias=False,
+                        dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, xf)
+        out = out.reshape(b, gt, gh, gw, ps, ps, pt, cfg.out_channels)
+        out = jnp.einsum("bthwmnrc->bctrhmwn", out)
+        out = out.reshape(b, cfg.out_channels, gt * pt, gh * ps, gw * ps)
+        return self._finalize(out, extras, target, mask)

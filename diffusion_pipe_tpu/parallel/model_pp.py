@@ -52,6 +52,11 @@ class PPPhase:
     num_blocks: int
     apply_block: Callable
     pre: Optional[Callable] = None
+    # when True, apply_block is called as (block_params_i, payload, ctx,
+    # block_index) with the block's PHASE-LOCAL position (0-based within
+    # this phase's stack) — for per-block-position conditioning (chroma
+    # modulation slices, hidream llama injections)
+    needs_index: bool = False
 
 
 class PPProgram:
@@ -85,7 +90,8 @@ def stack_for_stages(config: Dict[str, Any], stacked, num_layers: int,
     sequence (offset per phase; out-of-phase boundaries clip to empty
     chunks that run as identity slots).
 
-    Returns (padded [S*k, ...], enabled [S*k], block_to_slot [L] int32).
+    Returns (padded [S*k, ...], enabled [S*k], slot_to_block [S*k] int32 —
+    the global block position each slot holds; 0 for disabled slots).
     """
     split = config.get("partition_split",
                        config.get("manual_partition_split"))
@@ -97,12 +103,15 @@ def stack_for_stages(config: Dict[str, Any], stacked, num_layers: int,
         padded, enabled, k = pad_stack_for_manual_split(
             stacked, num_layers, num_stages, counts
         )
-        b2s = []
-        for d, c in enumerate(counts):
-            b2s.extend(range(d * k, d * k + c))
-        return padded, enabled, jnp.asarray(b2s, jnp.int32)
-    padded, enabled, _k = pad_stack_for_stages(stacked, num_layers, num_stages)
-    return padded, enabled, jnp.arange(num_layers, dtype=jnp.int32)
+        s2b = []
+        start = 0
+        for c in counts:
+            s2b.extend(range(start, start + c))
+            s2b.extend([0] * (k - c))  # disabled slots
+            start += c
+        return padded, enabled, jnp.asarray(s2b, jnp.int32)
+    padded, enabled, k = pad_stack_for_stages(stacked, num_layers, num_stages)
+    return padded, enabled, jnp.arange(k * num_stages, dtype=jnp.int32)
 
 
 def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
@@ -120,15 +129,16 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
         params = merge_params(trainable, frozen)["params"]
         block_keys = {ph.param_key for ph in program.phases}
         p_rest = {k: v for k, v in params.items() if k not in block_keys}
-        stacks, enables = [], []
+        stacks, enables, slot_idx = [], [], []
         offset = 0
         for ph in program.phases:
-            padded, en, _b2s = stack_for_stages(
+            padded, en, s2b = stack_for_stages(
                 pipeline.config, params[ph.param_key], ph.num_blocks, s,
                 offset,
             )
             stacks.append(padded)
             enables.append(en)
+            slot_idx.append(s2b)
             offset += ph.num_blocks
 
         # per-microbatch input prep (in-graph noising; M static)
@@ -149,7 +159,8 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
             else None
         )
 
-        def body(p_rest, stacks, enables, mi_mb, target_mb, mask_mb):
+        def body(p_rest, stacks, enables, slot_idx, mi_mb, target_mb,
+                 mask_mb):
             mi0 = jax.tree.map(lambda x: x[0], mi_mb)
             ctx = program.make_ctx(p_rest, mi0)
 
@@ -174,7 +185,13 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
                         return _pre(payload, ctx) if _pre else payload
 
                 def compute(payload, _ab=ph.apply_block, _p=stacks[i],
-                            _en=enables[i]):
+                            _en=enables[i], _si=slot_idx[i],
+                            _ni=ph.needs_index):
+                    if _ni:
+                        return apply_local_blocks(
+                            lambda p_i, c, bi: _ab(p_i, c, ctx, bi),
+                            _p, _en, payload, local_index=_si,
+                        )
                     return apply_local_blocks(
                         lambda p_i, c: _ab(p_i, c, ctx), _p, _en, payload
                     )
@@ -204,11 +221,13 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
             body,
             mesh=mesh,
             axis_names={STAGE_AXIS},
-            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(), P(), P()),
+            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                      P(), P(), P()),
             out_specs=P(),
         )
         return shard_body(
-            p_rest, tuple(stacks), tuple(enables), mi_mb, target_mb, mask_mb
+            p_rest, tuple(stacks), tuple(enables), tuple(slot_idx),
+            mi_mb, target_mb, mask_mb
         )
 
     return loss_fn

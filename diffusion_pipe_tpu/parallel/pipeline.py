@@ -121,22 +121,35 @@ def pad_stack_for_manual_split(stacked: Any, num_layers: int,
 
 
 def apply_local_blocks(block_apply: Callable, local_params: Any,
-                       local_enabled: jax.Array, carry: Any, *broadcast):
+                       local_enabled: jax.Array, carry: Any, *broadcast,
+                       local_index: Any = None):
     """Run this stage's k blocks (inner scan), identity for disabled slots.
 
     block_apply(params_i, carry, *broadcast) -> new_carry
     local_params leaves: [k, ...]; local_enabled: [k].
+    With local_index ([k] int32 global block positions), block_apply is
+    called as block_apply(params_i, carry, block_index, *broadcast) —
+    for blocks consuming per-block-position data (e.g. chroma's distilled
+    modulation slices).
     """
 
     def body(c, xs):
-        p_i, en = xs
-        new_c = block_apply(p_i, c, *broadcast)
+        if local_index is None:
+            p_i, en = xs
+            new_c = block_apply(p_i, c, *broadcast)
+        else:
+            p_i, en, bi = xs
+            new_c = block_apply(p_i, c, bi, *broadcast)
         out = jax.tree.map(
             lambda a, b: jnp.where(en > 0, a, b), new_c, c
         )
         return out, None
 
-    out, _ = jax.lax.scan(body, carry, (local_params, local_enabled))
+    xs = (
+        (local_params, local_enabled) if local_index is None
+        else (local_params, local_enabled, local_index)
+    )
+    out, _ = jax.lax.scan(body, carry, xs)
     return out
 
 

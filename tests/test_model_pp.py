@@ -95,12 +95,41 @@ def _omnigen2_batch(b):
     }
 
 
+def _chroma_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 8, 8)),
+        "t5_embed": jax.random.normal(k, (b, 8, 64)),
+        "t5_mask": jnp.concatenate(
+            [jnp.ones((b, 5), jnp.int32), jnp.zeros((b, 3), jnp.int32)], 1),
+    }
+
+
+def _cosmos_p2_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 1, 8, 8)),
+        "t5_embed": jax.random.normal(k, (b, 8, 32)),
+    }
+
+
+def _cosmos_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 1, 8, 8)) * 0.5,
+        "prompt_embeds": jax.random.normal(k, (b, 8, 32)),
+    }
+
+
 PP_FAMILIES = [
     ("wan", _wan_batch),
     ("hunyuan-video", _hv_batch),
     ("sd3", _sd3_batch),
     ("qwen_image", _qwen_batch),
     ("lumina_2", _lumina_batch),
+    ("chroma", _chroma_batch),
+    ("cosmos_predict2", _cosmos_p2_batch),
+    ("cosmos", _cosmos_batch),
 ]
 
 

@@ -392,6 +392,13 @@ class AuraFlowPipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: joint then single block phases; the
+        learned pos-embed crop + register tokens embed on stage 0, the
+        pre-final modulation + unpatchify on the last stage. See
+        parallel/model_pp.py."""
+        return _AuraFlowPPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -511,3 +518,104 @@ def convert_diffusers_auraflow(sd: Dict[str, np.ndarray], cfg: AuraFlowConfig):
     p["single_blocks"] = stack(cfg.num_single_layers,
                                "single_transformer_blocks", single_map)
     return {"params": p}
+
+
+class _AuraFlowPPProgram:
+    """PPProgram for AuraFlowTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the two block scans.
+    Phase 1 payload: (x, ctx_emb, temb); phase 2 (after the [ctx, x]
+    concat `pre`): (combined, temb).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.af_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("joint_blocks", cfg.num_layers, self._apply_joint),
+            PPPhase("single_blocks", cfg.num_single_layers,
+                    self._apply_single, pre=self._to_single_stream),
+        ]
+
+    def _apply_joint(self, p_i, payload, ctx):
+        x, ce, temb = payload
+        (x, ce), _ = AuraFlowJointBlock(self.cfg).apply(
+            {"params": p_i}, (x, ce), temb)
+        return (x, ce, temb)
+
+    def _to_single_stream(self, payload, ctx):
+        x, ce, temb = payload
+        return (jnp.concatenate([ce, x], axis=1), temb)
+
+    def _apply_single(self, p_i, payload, ctx):
+        combined, temb = payload
+        combined, _ = AuraFlowSingleBlock(self.cfg).apply(
+            {"params": p_i}, combined, temb)
+        return (combined, temb)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        _b, _c, hh, ww = mi0["latents"].shape
+        p = cfg.patch_size
+        hp, wp = hh // p, ww // p
+        ctx_len = (cfg.num_register_tokens
+                   + mi0["encoder_hidden_states"].shape[1])
+        return {"grid": (hp, wp), "hw": (hh, ww), "ctx_len": ctx_len}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        latents = mi["latents"]
+        b, c = latents.shape[:2]
+        hp, wp = ctx["grid"]
+
+        x = latents.reshape(b, c, hp, p, wp, p)
+        x = jnp.einsum("bchpwq->bhwpqc", x).reshape(b, hp * wp, p * p * c)
+        x = LoraDense(dim, **dd).apply(
+            {"params": p_rest["patch_proj"]}, x.astype(cfg.dtype))
+        sel = pe_selection_indices(cfg.pos_embed_max_size, hp, wp)
+        x = x + jnp.asarray(p_rest["pos_embed"], cfg.dtype)[:, sel]
+
+        temb = sinusoidal_timestep_embedding(
+            mi["timestep"].astype(jnp.float32), 256, scale=1000.0)
+        temb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_linear_1"]}, temb.astype(cfg.dtype))
+        temb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_linear_2"]}, nn.silu(temb))
+
+        ce = LoraDense(dim, use_bias=False, **dd).apply(
+            {"params": p_rest["context_embedder"]},
+            mi["encoder_hidden_states"].astype(cfg.dtype))
+        reg = jnp.broadcast_to(
+            jnp.asarray(p_rest["register_tokens"], cfg.dtype),
+            (b, cfg.num_register_tokens, dim),
+        )
+        ce = jnp.concatenate([reg, ce], axis=1)
+        return (x, ce, temb)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        hp, wp = ctx["grid"]
+        hh, ww = ctx["hw"]
+        combined, temb = payload
+        b = combined.shape[0]
+
+        out = combined[:, ctx["ctx_len"]:]
+        mod = LoraDense(2 * dim, use_bias=False, **dd).apply(
+            {"params": p_rest["norm_out_linear"]}, nn.silu(temb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        out = modulate(layer_norm_no_affine(out, 1e-6), shift, scale)
+        out = LoraDense(p * p * cfg.out_channels, use_bias=False, **dd).apply(
+            {"params": p_rest["proj_out_linear"]}, out)
+        out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
+        out = jnp.einsum("bhwpqc->bchpwq", out)
+        out = out.reshape(b, cfg.out_channels, hp * p, wp * p)
+        return self.pipeline.loss_fn(out, target, mask)

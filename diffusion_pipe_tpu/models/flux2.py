@@ -409,6 +409,12 @@ class Flux2Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: double then single block phases with
+        the GLOBAL modulation vectors computed once on stage 0 and carried
+        (they are [B, k*D] — tiny). See parallel/model_pp.py."""
+        return _Flux2PPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -526,3 +532,115 @@ class Flux2Pipeline(BasePipeline):
             return {"text_embeds_0": np.asarray(h)}
 
         return [fn]
+
+
+class _Flux2PPProgram:
+    """PPProgram for Flux2Transformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the two block scans.
+    Phase 1 payload: (img, txt, dmods [B,12D], smods [B,3D], vec);
+    phase 2 (after concat `pre`): (x, smods, vec).
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.f2_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("double_blocks", cfg.num_layers, self._apply_double),
+            PPPhase("single_blocks", cfg.num_single_layers,
+                    self._apply_single, pre=self._to_single_stream),
+        ]
+
+    def _apply_double(self, p_i, payload, ctx):
+        img, txt, dmods, smods, vec = payload
+        mods = tuple(jnp.split(dmods, 12, -1))
+        (img, txt), _ = Flux2DoubleBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), mods, ctx["rope_cos"],
+            ctx["rope_sin"],
+        )
+        return (img, txt, dmods, smods, vec)
+
+    def _to_single_stream(self, payload, ctx):
+        img, txt, _dmods, smods, vec = payload
+        return (jnp.concatenate([txt, img], axis=1), smods, vec)
+
+    def _apply_single(self, p_i, payload, ctx):
+        x, smods, vec = payload
+        mods = tuple(jnp.split(smods, 3, -1))
+        x, _ = Flux2SingleBlock(self.cfg).apply(
+            {"params": p_i}, x, mods, ctx["rope_cos"], ctx["rope_sin"]
+        )
+        return (x, smods, vec)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        stxt = mi0["encoder_hidden_states"].shape[1]
+        txt_ids = np.zeros((stxt, len(cfg.axes_dims_rope)), np.float32)
+        for ax in cfg.txt_ids_dims:
+            txt_ids[:, ax] = np.arange(stxt, dtype=np.float32)
+        ids = jnp.concatenate([jnp.asarray(txt_ids), mi0["img_ids"]], axis=0)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.axes_dims_rope, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos.astype(jnp.float32),
+                "rope_sin": rope_sin.astype(jnp.float32),
+                "txt_len": stxt}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["img_in"]},
+            mi["hidden_states"].astype(cfg.dtype))
+        txt = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["txt_norm"]},
+            mi["encoder_hidden_states"].astype(cfg.dtype))
+        txt = LoraDense(dim, **dd).apply({"params": p_rest["txt_in"]}, txt)
+
+        temb = sinusoidal_timestep_embedding(
+            mi["timestep"].astype(jnp.float32) * 1000.0, 256)
+        vec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_in_1"]}, temb.astype(cfg.dtype))
+        vec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_in_2"]}, nn.silu(vec))
+        guidance = mi.get("guidance")
+        if cfg.guidance_embeds and guidance is not None:
+            ge = sinusoidal_timestep_embedding(
+                guidance.astype(jnp.float32) * 1000.0, 256)
+            g = LoraDense(dim, **dd).apply(
+                {"params": p_rest["guidance_in_1"]}, ge.astype(cfg.dtype))
+            g = LoraDense(dim, **dd).apply(
+                {"params": p_rest["guidance_in_2"]}, nn.silu(g))
+            vec = vec + g
+
+        sv = nn.silu(vec)
+        mod_img = LoraDense(6 * dim, **dd).apply(
+            {"params": p_rest["double_stream_modulation_img"]}, sv)
+        mod_txt = LoraDense(6 * dim, **dd).apply(
+            {"params": p_rest["double_stream_modulation_txt"]}, sv)
+        dmods = jnp.concatenate([mod_img, mod_txt], axis=-1)
+        smods = LoraDense(3 * dim, **dd).apply(
+            {"params": p_rest["single_stream_modulation"]}, sv)
+        return (img, txt, dmods, smods, vec)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, _smods, vec = payload
+
+        out = x[:, ctx["txt_len"]:]
+        out = out[:, : target.shape[1]]
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["final_mod"]}, nn.silu(vec))
+        shift, scale = jnp.split(mod, 2, -1)
+        out = modulate(layer_norm_no_affine(out), shift, scale)
+        out = LoraDense(cfg.out_channels, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, out)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -565,6 +565,14 @@ class HiDreamPipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: double then single block phases; the
+        per-block Llama caption projections are computed on stage 0 and
+        travel stacked in the payload, sliced by phase-local block index
+        (PPPhase.needs_index). MoE expert kernels stay GSPMD-sharded over
+        'tensor'. See parallel/model_pp.py."""
+        return _HiDreamPPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -643,3 +651,111 @@ class HiDreamPipeline(BasePipeline):
             return {"llama_embeds": states}
 
         return [pooled_fn, t5_fn, llama_fn]
+
+
+class _HiDreamPPProgram:
+    """PPProgram for HiDreamTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the two block scans.
+    Phase 1 payload: (img, txt, temb, llama_proj [B,NB,S_l,D]);
+    phase 2 (after the img-first concat `pre`): (xcat, temb, llama_proj).
+    Single blocks slice llama_proj at num_double_layers + local index.
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.hd_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("double_blocks", cfg.num_double_layers,
+                    self._apply_double, needs_index=True),
+            PPPhase("single_blocks", cfg.num_single_layers,
+                    self._apply_single, pre=self._to_single_stream,
+                    needs_index=True),
+        ]
+
+    def _apply_double(self, p_i, payload, ctx, bi):
+        img, txt, temb, lp = payload
+        lctx = jax.lax.dynamic_index_in_dim(lp, bi, 1, False)
+        (img, txt), _ = HiDreamDoubleBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), temb, lctx, ctx["rope_cos"],
+            ctx["rope_sin"],
+        )
+        return (img, txt, temb, lp)
+
+    def _to_single_stream(self, payload, ctx):
+        img, txt, temb, lp = payload
+        return (jnp.concatenate([img, txt], axis=1), temb, lp)
+
+    def _apply_single(self, p_i, payload, ctx, bi):
+        xcat, temb, lp = payload
+        lctx = jax.lax.dynamic_index_in_dim(
+            lp, self.cfg.num_double_layers + bi, 1, False)
+        xcat, _ = HiDreamSingleBlock(self.cfg).apply(
+            {"params": p_i}, xcat, temb, lctx, ctx["rope_cos"],
+            ctx["rope_sin"],
+        )
+        return (xcat, temb, lp)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        st = (mi0["t5_embeds"].shape[1]
+              + mi0["llama_embeds"].shape[2])
+        txt_ids = jnp.zeros((st, 3), jnp.float32)
+        ids = jnp.concatenate([mi0["img_ids"], txt_ids], axis=0)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x_tokens = mi["x_tokens"]
+        llama_embeds = mi["llama_embeds"]
+
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["x_embedder"]}, x_tokens.astype(cfg.dtype))
+        t_sin = sinusoidal_timestep_embedding(
+            mi["timesteps"].astype(jnp.float32), 256)
+        temb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["t_embed_1"]}, t_sin.astype(cfg.dtype))
+        temb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["t_embed_2"]}, nn.silu(temb))
+        p = LoraDense(dim, **dd).apply(
+            {"params": p_rest["p_embed_1"]}, mi["pooled"].astype(cfg.dtype))
+        p = LoraDense(dim, **dd).apply(
+            {"params": p_rest["p_embed_2"]}, nn.silu(p))
+        temb = temb + p
+
+        t5 = LoraDense(dim, use_bias=False, **dd).apply(
+            {"params": p_rest["t5_projection"]},
+            mi["t5_embeds"].astype(cfg.dtype))
+        nb = cfg.num_double_layers + cfg.num_single_layers
+        n_layers = llama_embeds.shape[1]
+        sel = cfg.llama_layers or tuple(i % n_layers for i in range(nb))
+        selected = jnp.stack(
+            [llama_embeds[:, sel[i]] for i in range(nb)], axis=1)
+        llama_proj = jnp.einsum(
+            "bnsd,ndo->bnso", selected.astype(cfg.dtype),
+            jnp.asarray(p_rest["caption_projection"], cfg.dtype),
+        )
+        return (img, t5, temb, llama_proj)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        xcat, temb, _lp = payload
+
+        out = xcat[:, : target.shape[1]]
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["final_mod"]}, nn.silu(temb))
+        shift, scale = jnp.split(mod, 2, -1)
+        out = layer_norm_no_affine(out) * (1 + scale[:, None]) + shift[:, None]
+        out = LoraDense(cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, out)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -350,6 +350,14 @@ class LTXVideoPipeline(BasePipeline):
         )
         return model_inputs, target, loss_mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program: one phase over the LTXBlock scan;
+        adaln-single timestep path + caption projection on stage 0, the
+        scale_shift_table output layer on the last stage (reference
+        partitions via to_layers() + PipelineModule, models/ltx_video.py).
+        See parallel/model_pp.py."""
+        return _LTXPPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -499,3 +507,85 @@ class LTXVideoPipeline(BasePipeline):
                     "prompt_attention_mask": m.astype(np.int32)}
 
         return [t5_fn]
+
+
+class _LTXPPProgram:
+    """PPProgram for LTXTransformer (see parallel/model_pp.py).
+
+    Raw-param re-expression of the __call__ split at the block scan.
+    Payload: (h, timestep_6d, ctx_emb, context_bias, embedded_timestep) —
+    embedded_timestep feeds the scale_shift_table output layer on the last
+    stage.
+    """
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.ltx_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("blocks", cfg.num_layers, self._apply_block)
+        ]
+
+    def _apply_block(self, p_i, payload, ctx):
+        h, t6, ce, cb, et = payload
+        h, _ = LTXBlock(self.cfg).apply(
+            {"params": p_i}, h, t6, ce, cb, ctx["rope_cos"], ctx["rope_sin"]
+        )
+        return (h, t6, ce, cb, et)
+
+    def make_ctx(self, p_rest, mi0):
+        ids = jnp.transpose(mi0["fractional_coords"][0], (1, 0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, self.cfg.rope_axes_dim, self.cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, t = mi["x"], mi["t"]
+
+        h = LoraDense(dim, **dd).apply(
+            {"params": p_rest["patchify_proj"]}, x.astype(cfg.dtype))
+
+        ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
+        emb = sinusoidal_timestep_embedding(ts, 256)
+        emb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["adaln_linear_1"]}, emb.astype(cfg.dtype))
+        embedded_timestep = LoraDense(dim, **dd).apply(
+            {"params": p_rest["adaln_linear_2"]}, nn.silu(emb))
+        timestep_6d = LoraDense(6 * dim, **dd).apply(
+            {"params": p_rest["adaln_proj"]},
+            nn.silu(embedded_timestep))[:, None]
+
+        ce = LoraDense(dim, **dd).apply(
+            {"params": p_rest["caption_projection_1"]},
+            mi["prompt_embeds"].astype(cfg.dtype))
+        ce = nn.gelu(ce, approximate=True)
+        ce = LoraDense(dim, **dd).apply(
+            {"params": p_rest["caption_projection_2"]}, ce)
+        pm = mi.get("prompt_mask")
+        if pm is None:
+            cb = jnp.zeros((x.shape[0], 1, ce.shape[1]), jnp.float32)
+        else:
+            cb = ((1.0 - pm.astype(jnp.float32)) * -10000.0)[:, None]
+        return (h, timestep_6d, ce, cb, embedded_timestep)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        h, _t6, _ce, _cb, embedded_timestep = payload
+
+        out_table = p_rest["scale_shift_table"]
+        mods = (jnp.asarray(out_table)[None, None].astype(jnp.float32)
+                + embedded_timestep[:, None, None, :].astype(jnp.float32))
+        shift, scale = mods[:, :, 0], mods[:, :, 1]
+        hf = layer_norm_no_affine(h).astype(jnp.float32)
+        hf = hf * (1 + scale) + shift
+        out = LoraDense(cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, hf.astype(cfg.dtype))
+        return self.pipeline.loss_fn(out, target, mask)

@@ -121,6 +121,42 @@ def _cosmos_batch(b):
     }
 
 
+def _ltx_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 2, 4, 4)),
+        "prompt_embeds": jax.random.normal(k, (b, 8, 32)),
+        "prompt_attention_mask": jnp.concatenate(
+            [jnp.ones((b, 5), jnp.int32), jnp.zeros((b, 3), jnp.int32)], 1),
+    }
+
+
+def _flux2_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 4, 8, 8)),
+        "text_embeds_0": jax.random.normal(k, (b, 8, 24)),
+    }
+
+
+def _hidream_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 16, 8, 8)) * 0.5,
+        "t5_embeds": jax.random.normal(k, (b, 8, 16)),
+        "pooled": jax.random.normal(k, (b, 16)),
+        "llama_embeds": jax.random.normal(k, (b, 2, 8, 24)),
+    }
+
+
+def _auraflow_batch(b):
+    k = jax.random.PRNGKey(1)
+    return {
+        "latents": jax.random.normal(k, (b, 4, 8, 8)),
+        "prompt_embeds": jax.random.normal(k, (b, 8, 24)),
+    }
+
+
 PP_FAMILIES = [
     ("wan", _wan_batch),
     ("hunyuan-video", _hv_batch),
@@ -130,6 +166,10 @@ PP_FAMILIES = [
     ("chroma", _chroma_batch),
     ("cosmos_predict2", _cosmos_p2_batch),
     ("cosmos", _cosmos_batch),
+    ("ltx-video", _ltx_batch),
+    ("flux2", _flux2_batch),
+    ("hidream", _hidream_batch),
+    ("auraflow", _auraflow_batch),
 ]
 
 

@@ -298,6 +298,11 @@ class ErnieImagePipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program (reference partitions any model via
+        to_layers() + PipelineModule). See parallel/model_pp.py."""
+        return _ErniePPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -390,3 +395,99 @@ class ErnieImagePipeline(BasePipeline):
             return {"text_embeds_0": h, "attention_mask_0": m.astype(np.int32)}
 
         return [fn]
+
+
+class _ErniePPProgram:
+    """PPProgram for ErnieImageTransformer (see parallel/model_pp.py).
+    Payload: (h [B,Li+Lt,D], mods [B,6D] shared adaLN, cvec [B,D],
+    kv_mask [B,Li+Lt])."""
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.ernie_config
+        self.cfg = cfg
+        self.phases = [PPPhase("layers", cfg.num_layers, self._apply_block)]
+
+    def _apply_block(self, p_i, payload, ctx):
+        h, mods, cvec, kv_mask = payload
+        h, _ = ErnieSharedAdaLNBlock(self.cfg).apply(
+            {"params": p_i}, h, tuple(jnp.split(mods, 6, -1)),
+            ctx["rope_cos"], ctx["rope_sin"], kv_mask,
+        )
+        return (h, mods, cvec, kv_mask)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        p = cfg.patch_size
+        _b, _c, hh, ww = mi0["x"].shape
+        gh, gw = hh // p, ww // p
+        img_len = gh * gw
+        tmax = mi0["text_embeds"].shape[1]
+        text_ids = np.zeros((tmax, 3), np.float32)
+        text_ids[:, 0] = np.arange(tmax, dtype=np.float32)
+        img_ids = np.zeros((img_len, 3), np.float32)
+        img_ids[:, 0] = float(tmax)
+        img_ids[:, 1] = np.repeat(np.arange(gh, dtype=np.float32), gw)
+        img_ids[:, 2] = np.tile(np.arange(gw, dtype=np.float32), gh)
+        ids = jnp.asarray(np.concatenate([img_ids, text_ids], axis=0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.axes_dims_rope, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gh, gw), "hw": (hh, ww), "img_len": img_len}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, text_embeds, text_mask = mi["x"], mi["text_embeds"], mi["text_mask"]
+        b, c = x.shape[:2]
+        gh, gw = ctx["grid"]
+        img_len = ctx["img_len"]
+
+        xi = x.reshape(b, c, gh, p, gw, p)
+        xi = jnp.einsum("bchpwq->bhwpqc", xi).reshape(b, img_len, p * p * c)
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["x_embedder"]}, xi.astype(cfg.dtype))
+        txt = LoraDense(dim, **dd).apply(
+            {"params": p_rest["text_proj"]}, text_embeds.astype(cfg.dtype))
+        h = jnp.concatenate([img, txt], axis=1)
+
+        temb = sinusoidal_timestep_embedding(mi["t"].astype(jnp.float32), 256)
+        cvec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_embedding_1"]}, temb.astype(cfg.dtype))
+        cvec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_embedding_2"]}, nn.silu(cvec))
+        mods = LoraDense(6 * dim, **dd).apply(
+            {"params": p_rest["adaLN_modulation"]}, nn.silu(cvec))
+        kv_mask = jnp.concatenate(
+            [jnp.ones((b, img_len), jnp.int32), text_mask.astype(jnp.int32)],
+            axis=1,
+        )
+        return (h, mods, cvec, kv_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gh, gw = ctx["grid"]
+        hh, ww = ctx["hw"]
+        h, _mods, cvec, _kv = payload
+        b = h.shape[0]
+
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["final_norm_mod"]}, nn.silu(cvec))
+        shift, scale = jnp.split(mod, 2, -1)
+        hn = modulate(layer_norm_no_affine(h), shift, scale)
+        out = LoraDense(p * p * cfg.out_channels, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, hn)
+        out = out[:, : ctx["img_len"]]
+        out = out.reshape(b, gh, gw, p, p, cfg.out_channels)
+        out = jnp.einsum("bhwpqc->bchpwq", out).reshape(
+            b, cfg.out_channels, hh, ww)
+        return self.pipeline.loss_fn(out, target, mask)

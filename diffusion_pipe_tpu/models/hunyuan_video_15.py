@@ -304,6 +304,11 @@ class HunyuanVideo15Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program (reference partitions any model via
+        to_layers() + PipelineModule). See parallel/model_pp.py."""
+        return _HunyuanVideo15PPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -439,3 +444,133 @@ class HunyuanVideo15Pipeline(BasePipeline):
         from .hunyuan_image import HunyuanImagePipeline
 
         return HunyuanImagePipeline.get_call_text_encoder_fns(self)
+
+
+class _HunyuanVideo15PPProgram:
+    """PPProgram for HunyuanVideo15Transformer (see parallel/model_pp.py).
+    Single double-block phase; token refiner, cond-type embedding, and the
+    byT5 glyph mapper run on stage 0. Payload: (img, txt, vec, full_mask)."""
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.hv15_config
+        self.cfg = cfg
+        self.phases = [
+            PPPhase("double_blocks", cfg.num_layers, self._apply_double),
+        ]
+
+    def _apply_double(self, p_i, payload, ctx):
+        from .hunyuan_video_model import HunyuanDoubleBlock
+
+        img, txt, vec, fm = payload
+        (img, txt), _ = HunyuanDoubleBlock(self.cfg).apply(
+            {"params": p_i}, (img, txt), vec, ctx["rope_cos"],
+            ctx["rope_sin"], fm,
+        )
+        return (img, txt, vec, fm)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        _b, _c, f, h, w = mi0["x"].shape
+        pt, ph, pw = cfg.patch_size
+        gf, gh, gw = f // pt, h // ph, w // pw
+        fi = jnp.repeat(jnp.arange(gf), gh * gw)
+        hi = jnp.tile(jnp.repeat(jnp.arange(gh), gw), gf)
+        wi = jnp.tile(jnp.arange(gw), gf * gh)
+        ids = jnp.stack([fi, hi, wi], axis=-1)
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.rope_axes_dim, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gf, gh, gw), "fhw": (f, h, w),
+                "img_len": gf * gh * gw}
+
+    def embed(self, p_rest, mi, ctx):
+        from .hunyuan_video_model import TokenRefinerBlock
+
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, t = mi["x"], mi["t"]
+        text_states, text_mask = mi["text_states"], mi["text_mask"]
+        byt5_states, byt5_mask = mi["byt5_states"], mi["byt5_mask"]
+        b = x.shape[0]
+
+        xe = jnp.transpose(x, (0, 2, 3, 4, 1)).astype(cfg.dtype)
+        xe = nn.Conv(dim, cfg.patch_size, strides=cfg.patch_size,
+                     padding="VALID", dtype=cfg.dtype,
+                     param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["img_in"]}, xe)
+        img = xe.reshape(b, ctx["img_len"], dim)
+
+        temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)
+        vec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_in_1"]}, temb.astype(cfg.dtype))
+        vec = LoraDense(dim, **dd).apply(
+            {"params": p_rest["time_in_2"]}, nn.silu(vec))
+
+        txt = LoraDense(dim, **dd).apply(
+            {"params": p_rest["txt_in_proj"]}, text_states.astype(cfg.dtype))
+        tm = text_mask.astype(jnp.float32)
+        pooled_txt = jnp.sum(
+            text_states.astype(jnp.float32) * tm[..., None], axis=1
+        ) / jnp.maximum(jnp.sum(tm, axis=1, keepdims=True), 1.0)
+        rc = LoraDense(dim, **dd).apply(
+            {"params": p_rest["refiner_t_embed_1"]}, temb.astype(cfg.dtype))
+        rc = LoraDense(dim, **dd).apply(
+            {"params": p_rest["refiner_t_embed_2"]}, nn.silu(rc))
+        rp = LoraDense(dim, **dd).apply(
+            {"params": p_rest["refiner_c_embed_1"]},
+            pooled_txt.astype(cfg.dtype))
+        rp = LoraDense(dim, **dd).apply(
+            {"params": p_rest["refiner_c_embed_2"]}, nn.silu(rp))
+        refiner_c = rc + rp
+        for i in range(cfg.refiner_layers):
+            txt = TokenRefinerBlock(cfg).apply(
+                {"params": p_rest[f"refiner_{i}"]}, txt, refiner_c, text_mask)
+
+        type_emb = jnp.asarray(
+            p_rest["cond_type_embedding"]["embedding"], cfg.dtype)
+        txt = txt + type_emb[0][None, None]
+
+        g = nn.LayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["byt5_layernorm"]},
+            byt5_states.astype(cfg.dtype))
+        g = LoraDense(cfg.byt5_mapper_dim, **dd).apply(
+            {"params": p_rest["byt5_fc1"]}, g)
+        g = nn.gelu(g, approximate=True)
+        g = LoraDense(cfg.byt5_mapper_dim, **dd).apply(
+            {"params": p_rest["byt5_fc2"]}, g)
+        g = nn.gelu(g, approximate=True)
+        g = LoraDense(dim, **dd).apply({"params": p_rest["byt5_fc3"]}, g)
+        g = g + type_emb[1][None, None]
+
+        txt = jnp.concatenate([g, txt], axis=1)
+        full_mask = jnp.concatenate(
+            [byt5_mask.astype(jnp.int32), text_mask.astype(jnp.int32)],
+            axis=1,
+        )
+        return (img, txt, vec, full_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        pt, ph, pw = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gf, gh, gw = ctx["grid"]
+        img, _txt, vec, _fm = payload
+        b = img.shape[0]
+
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["final_mod"]}, nn.silu(vec))
+        shift, scale = jnp.split(mod, 2, -1)
+        img = modulate(layer_norm_no_affine(img), shift, scale)
+        out = LoraDense(pt * ph * pw * cfg.out_channels, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, img)
+        out = out.reshape(b, gf, gh, gw, pt, ph, pw, cfg.out_channels)
+        out = jnp.einsum("bfhwpqrc->bcfphqwr", out)
+        out = out.reshape(b, cfg.out_channels, gf * pt, gh * ph, gw * pw)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -337,6 +337,11 @@ class Ideogram4Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program (reference partitions any model via
+        to_layers() + PipelineModule). See parallel/model_pp.py."""
+        return _Ideogram4PPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -436,3 +441,106 @@ class Ideogram4Pipeline(BasePipeline):
             return {"text_embeds_0": h, "attention_mask_0": m.astype(np.int32)}
 
         return [fn]
+
+
+class _Ideogram4PPProgram:
+    """PPProgram for Ideogram4Transformer (see parallel/model_pp.py).
+    Payload: (h [B,Lt+Li,D], adaln_input [B,D], kv_mask)."""
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.ideo_config
+        self.cfg = cfg
+        self.phases = [PPPhase("layers", cfg.num_layers, self._apply_block)]
+
+    def _apply_block(self, p_i, payload, ctx):
+        h, adaln, kv_mask = payload
+        h, _ = Ideogram4Block(self.cfg).apply(
+            {"params": p_i}, h, adaln, ctx["rope_cos"], ctx["rope_sin"],
+            kv_mask,
+        )
+        return (h, adaln, kv_mask)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        _b, c, gh, gw = mi0["x"].shape
+        tlen = mi0["text_embeds"].shape[1]
+        text_pos = np.tile(
+            np.arange(tlen, dtype=np.float32)[:, None], (1, 3))
+        hi = np.repeat(np.arange(gh, dtype=np.float32), gw)
+        wi = np.tile(np.arange(gw, dtype=np.float32), gh)
+        img_pos = np.stack(
+            [np.zeros_like(hi), hi, wi], -1) + IMAGE_POSITION_OFFSET
+        ids = jnp.asarray(np.concatenate([text_pos, img_pos], axis=0))
+        rope_cos, rope_sin = interleaved_mrope_frequencies(
+            ids, cfg.mrope_section, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gh, gw), "tlen": tlen}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, text_embeds, text_mask = mi["x"], mi["text_embeds"], mi["text_mask"]
+        b, c, gh, gw = x.shape
+        img_len = gh * gw
+        tlen = ctx["tlen"]
+
+        img_tokens = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, img_len, c)
+        full = jnp.concatenate(
+            [jnp.zeros((b, tlen, c), x.dtype), img_tokens], axis=1)
+        h = LoraDense(dim, **dd).apply(
+            {"params": p_rest["input_proj"]}, full.astype(cfg.dtype))
+
+        llm = RMSNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["llm_cond_norm"]},
+            text_embeds.astype(cfg.dtype))
+        llm = LoraDense(dim, **dd).apply(
+            {"params": p_rest["llm_cond_proj"]}, llm)
+        llm = llm * text_mask.astype(cfg.dtype)[..., None]
+        h = h.at[:, :tlen].add(llm)
+
+        is_image = jnp.concatenate(
+            [jnp.zeros((b, tlen), jnp.int32),
+             jnp.ones((b, img_len), jnp.int32)], axis=1)
+        ind = jnp.asarray(
+            p_rest["embed_image_indicator"]["embedding"], cfg.dtype)
+        h = h + ind[is_image]
+
+        temb = sinusoidal_timestep_embedding(
+            mi["t"].astype(jnp.float32) * 1000.0, 256)
+        te = LoraDense(dim, **dd).apply(
+            {"params": p_rest["t_embedding_1"]}, temb.astype(cfg.dtype))
+        te = LoraDense(dim, **dd).apply(
+            {"params": p_rest["t_embedding_2"]}, nn.silu(te))
+        adaln = nn.silu(LoraDense(dim, **dd).apply(
+            {"params": p_rest["adaln_proj"]}, te))
+
+        kv_mask = jnp.concatenate(
+            [text_mask.astype(jnp.int32), jnp.ones((b, img_len), jnp.int32)],
+            axis=1,
+        )
+        return (h, adaln, kv_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gh, gw = ctx["grid"]
+        h, adaln, _kv = payload
+        b = h.shape[0]
+
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["final_mod"]}, adaln)
+        shift, scale = jnp.split(mod, 2, -1)
+        hn = modulate(layer_norm_no_affine(h), shift, scale)
+        out = LoraDense(cfg.latent_dim, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["final_linear"]}, hn)
+        out = -out[:, ctx["tlen"]:]
+        out = jnp.transpose(
+            out.reshape(b, gh, gw, cfg.latent_dim), (0, 3, 1, 2))
+        return self.pipeline.loss_fn(out, target, mask)

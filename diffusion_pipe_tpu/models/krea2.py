@@ -337,6 +337,11 @@ class Krea2Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program (reference partitions any model via
+        to_layers() + PipelineModule). See parallel/model_pp.py."""
+        return _Krea2PPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -490,3 +495,109 @@ class Krea2Pipeline(BasePipeline):
                                                    np.int32)}
 
         return [fn]
+
+
+class _Krea2PPProgram:
+    """PPProgram for Krea2Transformer (see parallel/model_pp.py).
+    The TextFusionTransformer + txtmlp run on stage 0.
+    Payload: (combined [B,Lt+Li,D], tvec [B,D], tm [B,D] raw time MLP for
+    the final layer, kv_mask)."""
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.krea_config
+        self.cfg = cfg
+        self.phases = [PPPhase("blocks", cfg.num_layers, self._apply_block)]
+
+    def _apply_block(self, p_i, payload, ctx):
+        combined, tvec, tm, kv_mask = payload
+        combined, _ = Krea2Block(self.cfg).apply(
+            {"params": p_i}, combined, tvec, ctx["rope_cos"],
+            ctx["rope_sin"], kv_mask,
+        )
+        return (combined, tvec, tm, kv_mask)
+
+    def make_ctx(self, p_rest, mi0):
+        cfg = self.cfg
+        p = cfg.patch_size
+        _b, _c, hh, ww = mi0["x"].shape
+        gh, gw = hh // p, ww // p
+        img_len = gh * gw
+        tlen = mi0["context"].shape[1]
+        txt_ids = np.zeros((tlen, 3), np.float32)
+        img_ids = np.zeros((img_len, 3), np.float32)
+        img_ids[:, 1] = np.repeat(np.arange(gh, dtype=np.float32), gw)
+        img_ids[:, 2] = np.tile(np.arange(gw, dtype=np.float32), gh)
+        ids = jnp.asarray(np.concatenate([txt_ids, img_ids], 0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, cfg.axes_dims_rope, cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin,
+                "grid": (gh, gw), "hw": (hh, ww), "tlen": tlen,
+                "img_len": img_len}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        lora = cfg.lora_kwargs
+        x, context, text_mask = mi["x"], mi["context"], mi["text_mask"]
+        b, c = x.shape[:2]
+        gh, gw = ctx["grid"]
+        img_len = ctx["img_len"]
+        tlen = ctx["tlen"]
+
+        xi = x.reshape(b, c, gh, p, gw, p)
+        xi = jnp.einsum("bchpwq->bhwcpq", xi).reshape(b, img_len, c * p * p)
+        img = LoraDense(dim, **dd).apply(
+            {"params": p_rest["first"]}, xi.astype(cfg.dtype))
+
+        cx = context.reshape(b, tlen, cfg.text_layers, cfg.text_dim)
+        cx = jnp.transpose(cx, (0, 2, 1, 3))
+        txt = TextFusionTransformer(cfg).apply(
+            {"params": p_rest["txtfusion"]}, cx)
+        txt = LoraDense(dim, **dd, **lora).apply(
+            {"params": p_rest["txtmlp_1"]}, txt)
+        txt = LoraDense(dim, **dd, **lora).apply(
+            {"params": p_rest["txtmlp_2"]}, nn.gelu(txt, approximate=True))
+
+        temb = sinusoidal_timestep_embedding(
+            mi["t"].astype(jnp.float32) * 1000.0, 256)
+        tm = LoraDense(dim, **dd).apply(
+            {"params": p_rest["tmlp_1"]}, temb.astype(cfg.dtype))
+        tm = LoraDense(dim, **dd).apply(
+            {"params": p_rest["tmlp_2"]}, nn.silu(tm))
+        tvec = LoraDense(dim, **dd).apply({"params": p_rest["tproj"]}, tm)
+
+        combined = jnp.concatenate([txt, img], axis=1)
+        kv_mask = jnp.concatenate(
+            [text_mask.astype(jnp.int32), jnp.ones((b, img_len), jnp.int32)],
+            axis=1,
+        )
+        return (combined, tvec, tm, kv_mask)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        p = cfg.patch_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        gh, gw = ctx["grid"]
+        hh, ww = ctx["hw"]
+        combined, _tvec, tm, _kv = payload
+        b = combined.shape[0]
+
+        mod = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["last_mod"]}, nn.silu(tm))
+        shift, scale = jnp.split(mod, 2, -1)
+        out = modulate(layer_norm_no_affine(combined), shift, scale)
+        out = LoraDense(cfg.out_channels * p * p, dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype).apply(
+            {"params": p_rest["last_linear"]}, out)
+        out = out[:, ctx["tlen"]: ctx["tlen"] + ctx["img_len"]]
+        out = out.reshape(b, gh, gw, cfg.out_channels, p, p)
+        out = jnp.einsum("bhwcpq->bchpwq", out).reshape(
+            b, cfg.out_channels, hh, ww)
+        return self.pipeline.loss_fn(out, target, mask)

@@ -409,6 +409,11 @@ class LTX2Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def make_pp_program(self):
+        """Pipeline-parallel program (reference partitions any model via
+        to_layers() + PipelineModule). See parallel/model_pp.py."""
+        return _LTX2PPProgram(self)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
@@ -547,3 +552,83 @@ class LTX2Pipeline(BasePipeline):
             return {"text_embeds_0": h, "attention_mask_0": m.astype(np.int32)}
 
         return [fn]
+
+
+class _LTX2PPProgram:
+    """PPProgram for LTX2Transformer (see parallel/model_pp.py).
+    The caption projection + Connector1D run on stage 0; per-block
+    scale_shift/prompt tables live in the block stack. Payload:
+    (h, timestep_6d, prompt_2d, ctx_emb, embedded_timestep)."""
+
+    def __init__(self, pipeline):
+        from ..parallel.model_pp import PPPhase
+
+        self.pipeline = pipeline
+        cfg = pipeline.ltx2_config
+        self.cfg = cfg
+        self.phases = [PPPhase("blocks", cfg.num_layers, self._apply_block)]
+
+    def _apply_block(self, p_i, payload, ctx):
+        h, t6, p2, ce, et = payload
+        h, _ = LTX2Block(self.cfg).apply(
+            {"params": p_i}, h, t6, p2, ce, ctx["rope_cos"], ctx["rope_sin"]
+        )
+        return (h, t6, p2, ce, et)
+
+    def make_ctx(self, p_rest, mi0):
+        ids = jnp.transpose(mi0["fractional_coords"][0], (1, 0))
+        rope_cos, rope_sin = rope_frequencies(
+            ids, self.cfg.rope_axes_dim, self.cfg.rope_theta
+        )
+        return {"rope_cos": rope_cos, "rope_sin": rope_sin}
+
+    def embed(self, p_rest, mi, ctx):
+        cfg = self.cfg
+        dim = cfg.hidden_size
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        x, t = mi["x"], mi["t"]
+
+        h = LoraDense(dim, **dd).apply(
+            {"params": p_rest["patchify_proj"]}, x.astype(cfg.dtype))
+
+        ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
+        emb = sinusoidal_timestep_embedding(ts, 256)
+        emb = LoraDense(dim, **dd).apply(
+            {"params": p_rest["adaln_linear_1"]}, emb.astype(cfg.dtype))
+        embedded_timestep = LoraDense(dim, **dd).apply(
+            {"params": p_rest["adaln_linear_2"]}, nn.silu(emb))
+        timestep_6d = LoraDense(6 * dim, **dd).apply(
+            {"params": p_rest["adaln_proj"]},
+            nn.silu(embedded_timestep))[:, None]
+        prompt_2d = LoraDense(2 * dim, **dd).apply(
+            {"params": p_rest["prompt_adaln_proj"]},
+            nn.silu(embedded_timestep))
+
+        prompt_embeds = mi["prompt_embeds"]
+        width = prompt_embeds.shape[-1]
+        if width == cfg.cross_attention_dim + cfg.audio_cross_attention_dim:
+            ctx_vid = prompt_embeds[..., : cfg.cross_attention_dim]
+        else:
+            ctx_vid = prompt_embeds
+        ce = LoraDense(dim, **dd).apply(
+            {"params": p_rest["caption_projection"]},
+            ctx_vid.astype(cfg.dtype))
+        ce = Connector1D(cfg, dim).apply(
+            {"params": p_rest["video_embeddings_connector"]},
+            ce, mi["prompt_mask"])
+        return (h, timestep_6d, prompt_2d, ce, embedded_timestep)
+
+    def head_loss(self, p_rest, payload, target, mask, ctx):
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        h, _t6, _p2, _ce, embedded_timestep = payload
+
+        out_table = p_rest["scale_shift_table"]
+        mods = (jnp.asarray(out_table)[None, None].astype(jnp.float32)
+                + embedded_timestep[:, None, None, :].astype(jnp.float32))
+        shift, scale = mods[:, :, 0], mods[:, :, 1]
+        hf = _rms_noscale(h).astype(jnp.float32)
+        hf = hf * (1 + scale) + shift
+        out = LoraDense(cfg.out_channels, **dd).apply(
+            {"params": p_rest["proj_out"]}, hf.astype(cfg.dtype))
+        return self.pipeline.loss_fn(out, target, mask)

@@ -157,6 +157,34 @@ def _auraflow_batch(b):
     }
 
 
+def _te0_batch(latent_shape, tdim=24):
+    def fn(b):
+        k = jax.random.PRNGKey(1)
+        return {
+            "latents": jax.random.normal(k, (b,) + latent_shape),
+            "text_embeds_0": jax.random.normal(k, (b, 8, tdim)),
+            "attention_mask_0": jnp.concatenate(
+                [jnp.ones((b, 5), jnp.int32),
+                 jnp.zeros((b, 3), jnp.int32)], 1),
+        }
+    return fn
+
+
+def _byt5_batch(latent_shape):
+    def fn(b):
+        k = jax.random.PRNGKey(1)
+        return {
+            "latents": jax.random.normal(k, (b,) + latent_shape),
+            "text_states": jax.random.normal(k, (b, 8, 32)),
+            "text_mask": jnp.concatenate(
+                [jnp.ones((b, 5), jnp.int32),
+                 jnp.zeros((b, 3), jnp.int32)], 1),
+            "byt5_states": jax.random.normal(k, (b, 4, 16)),
+            "byt5_mask": jnp.ones((b, 4), jnp.int32),
+        }
+    return fn
+
+
 PP_FAMILIES = [
     ("wan", _wan_batch),
     ("hunyuan-video", _hv_batch),
@@ -170,6 +198,12 @@ PP_FAMILIES = [
     ("flux2", _flux2_batch),
     ("hidream", _hidream_batch),
     ("auraflow", _auraflow_batch),
+    ("ernie_image", _te0_batch((4, 8, 8))),
+    ("ideogram4", _te0_batch((16, 4, 4))),
+    ("krea2", _te0_batch((4, 8, 8))),
+    ("ltx2", _te0_batch((16, 2, 4, 4))),
+    ("hunyuan_image", _byt5_batch((8, 8, 8))),
+    ("hunyuan_video_15", _byt5_batch((4, 2, 8, 8))),
 ]
 
 

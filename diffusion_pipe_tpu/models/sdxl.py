@@ -264,9 +264,10 @@ class SDXLPipeline(BasePipeline):
         # them through the output tuple, sdxl.py:630-648)
         return model_inputs, target, mask
 
-    def forward(self, params, model_inputs):
+    def encode_text(self, p, ids1, ids2):
+        """(ctx [B,T,2048], pooled [B,1280]) from token ids; shared by
+        forward() and the pipeline-parallel program (sdxl_pp.py)."""
         te1, te2 = self._text_encoders()
-        p = params["params"]
         # -2 == penultimate layer; SDXL always indexes from the penultimate
         # even under clip_skip (reference sdxl.py:771-775)
         clip_skip = self.model_config.get("clip_skip")
@@ -296,13 +297,18 @@ class SDXLPipeline(BasePipeline):
                 pooled = pooled.reshape(b, c, -1)[:, 0]
             return hidden, pooled
 
-        ids1 = model_inputs["input_ids"]
-        ids2 = model_inputs["input_ids_2"]
         if ids1.ndim == 2:  # allow unchunked [B, 77] callers
             ids1, ids2 = ids1[:, None], ids2[:, None]
         h1, _ = run_te(te1, p["text_encoder"], ids1)
         h2, pooled = run_te(te2, p["text_encoder_2"], ids2)
         ctx = jnp.concatenate([h1, h2], axis=-1)
+        return ctx, pooled
+
+    def forward(self, params, model_inputs):
+        p = params["params"]
+        ctx, pooled = self.encode_text(
+            p, model_inputs["input_ids"], model_inputs["input_ids_2"]
+        )
         pred = self.model.apply(
             {"params": p["unet"]},
             model_inputs["sample"],
@@ -324,6 +330,69 @@ class SDXLPipeline(BasePipeline):
             self.debiased_estimation_loss, self.v_pred,
         )
         return jnp.mean(loss * w)
+
+    def sample(self, params, width, height, key, num_steps=30,
+               guidance_scale=1.0, caption="", negative_caption="", **_):
+        """DDIM (eta=0) sampling through the training forward — in-graph
+        text encoders, eps or v-prediction (reference CommonPipeline.sample
+        analogue for SDXL's DDPMScheduler, models/base.py:263-291).
+        Returns latents [B, 4, h, w]."""
+        p = params["params"]
+        ids = jnp.asarray(self._tokenize([caption]))
+        ctx, pooled = self.encode_text(p, ids, ids)
+        if guidance_scale != 1.0:
+            un_ids = jnp.asarray(self._tokenize([negative_caption]))
+            un_ctx, un_pooled = self.encode_text(p, un_ids, un_ids)
+        b = 1
+        h, w = height // 8, width // 8
+        add_time_ids = jnp.asarray(
+            [[height, width, 0, 0, height, width]], jnp.float32)
+
+        ac = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
+        n_train = self.schedule.num_train_timesteps
+        steps = jnp.linspace(n_train - 1, 0, num_steps).astype(jnp.int32)
+
+        def eps_x0(x, t_scalar, c, pl):
+            pred = self.model.apply(
+                {"params": p["unet"]}, x, jnp.full((b,), t_scalar),
+                c, pl, add_time_ids,
+            ).astype(jnp.float32)
+            a = jnp.sqrt(ac[t_scalar])
+            o = jnp.sqrt(1.0 - ac[t_scalar])
+            if self.v_pred:
+                x0 = a * x - o * pred
+                eps = o * x + a * pred
+            else:
+                eps = pred
+                x0 = (x - o * eps) / a
+            return eps, x0
+
+        def body(i, x):
+            t = steps[i]
+            eps, x0 = eps_x0(x, t, ctx, pooled)
+            if guidance_scale != 1.0:
+                eps_u, x0_u = eps_x0(x, t, un_ctx, un_pooled)
+                eps = eps_u + guidance_scale * (eps - eps_u)
+                a = jnp.sqrt(ac[t])
+                o = jnp.sqrt(1.0 - ac[t])
+                x0 = (x - o * eps) / a
+            t_prev = jnp.where(i + 1 < num_steps, steps[
+                jnp.minimum(i + 1, num_steps - 1)], -1)
+            a_prev = jnp.where(t_prev >= 0, ac[jnp.maximum(t_prev, 0)], 1.0)
+            return (jnp.sqrt(a_prev) * x0
+                    + jnp.sqrt(1.0 - a_prev) * eps)
+
+        x = jax.random.normal(key, (b, 4, h, w), jnp.float32)
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
+    def make_pp_loss_fn(self, mesh, num_microbatches, timestep_quantile=None):
+        """Pipeline-parallel GPipe loss (reference models/sdxl.py:589-975
+        to_layers + PipelineModule). See models/sdxl_pp.py."""
+        from .sdxl_pp import make_sdxl_pipelined_loss_fn
+
+        return make_sdxl_pipelined_loss_fn(
+            self, mesh, num_microbatches, timestep_quantile=timestep_quantile
+        )
 
     def load_weights(self):
         """diffusers-folder OR original-SD single-file UNet weights + HF

@@ -258,6 +258,9 @@ def main(argv=None):
         for fn in te_fns:
             embeds.update(fn([args.test_sample]))
         sample_kwargs = {k: jnp.asarray(v) for k, v in embeds.items()}
+        if pipeline.pass_captions_to_batch:
+            # in-graph text encoders (SDXL): hand the raw prompt through
+            sample_kwargs["caption"] = args.test_sample
         latents = pipeline.sample(
             merge_params(state.trainable, state.frozen),
             width=512, height=512, key=jax.random.PRNGKey(0),
@@ -320,6 +323,15 @@ def main(argv=None):
                 )
             pp_eval_builder = lambda q: make_pipelined_loss_fn(  # noqa: E731
                 pipeline, mesh, num_microbatches=gas, timestep_quantile=q
+            )
+        elif hasattr(pipeline, "make_pp_loss_fn"):
+            # heterogeneous-stage program (SDXL UNet: lax.switch stage
+            # dispatch + shape-union payload, models/sdxl_pp.py)
+            pp_loss = pipeline.make_pp_loss_fn(mesh, gas)
+            pp_eval_builder = (
+                lambda q: pipeline.make_pp_loss_fn(  # noqa: E731
+                    mesh, gas, timestep_quantile=q
+                )
             )
         elif hasattr(pipeline, "make_pp_program"):
             # generic GPipe program from the model's PPProgram

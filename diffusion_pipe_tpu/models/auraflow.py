@@ -392,6 +392,31 @@ class AuraFlowPipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, 4, h, w] (SDXL-arch VAE)."""
+        from ..training.sampling import euler_flow_sample
+
+        pe = embeds["prompt_embeds"]
+        b = pe.shape[0]
+        h, w = height // 8, width // 8
+        c = self.af_config.in_channels
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                latents=x.astype(self.af_config.dtype),
+                encoder_hidden_states=pe,
+                timestep=t,
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: joint then single block phases; the
         learned pos-embed crop + register tokens embed on stage 0, the

@@ -18,7 +18,12 @@ from ..training.flow import TimestepDistribution, sample_timesteps
 from . import register_model
 from .base import BasePipeline
 from .chroma_model import ChromaConfig, ChromaTransformer
-from .flux import latent_image_ids, pack_latents, resize_mask_to_latents
+from .flux import (
+    latent_image_ids,
+    pack_latents,
+    resize_mask_to_latents,
+    unpack_latents,
+)
 from .layers import remat_spec
 
 
@@ -112,6 +117,40 @@ class ChromaPipeline(BasePipeline):
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
+
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, 16, h, w]."""
+        from ..training.sampling import euler_flow_sample
+
+        t5 = embeds["t5_embed"]
+        b = t5.shape[0]
+        h, w = height // 8, width // 8
+        img_ids = latent_image_ids(h // 2, w // 2)
+        txt_ids = jnp.zeros((t5.shape[1], 3), jnp.float32)
+        t5_mask = embeds.get("t5_mask")
+
+        def vel(x, t):
+            out = self.forward(params, dict(
+                hidden_states=pack_latents(x),
+                encoder_hidden_states=t5,
+                timestep=t,
+                img_ids=img_ids,
+                txt_ids=txt_ids,
+                guidance=jnp.zeros((b,), jnp.float32),
+                txt_mask=t5_mask.reshape(b, -1)
+                if t5_mask is not None else None,
+                img_seq_len=(h // 2) * (w // 2),
+            ))
+            return unpack_latents(out.astype(jnp.float32), h, w)
+
+        return euler_flow_sample(
+            vel, (b, 16, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
 
     def make_pp_program(self):
         """Pipeline-parallel program: double-block then single-block phases;

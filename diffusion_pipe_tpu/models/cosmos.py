@@ -132,6 +132,49 @@ class CosmosPipeline(BasePipeline):
         )
         return model_inputs, latents, mask  # target = clean latents
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """EDM Euler sampling over the Karras sigma schedule through the
+        training forward (the training graph validated as the inference
+        graph; reference CommonPipeline.sample, models/base.py:263-291,
+        EDM preconditioning models/cosmos.py:21-45). Returns latents
+        [B, C, F, h, w]."""
+        from ..training.edm import edm_scalings
+
+        ctx = embeds["prompt_embeds"]
+        b = ctx.shape[0]
+        c = self.cp_config.in_channels
+        h, w = height // 8, width // 8
+        f = max(1, (int(num_frames) - 1) // 8 + 1)
+
+        # Karras schedule (EDM paper defaults)
+        rho, s_min, s_max = 7.0, 0.002, 80.0
+        i = jnp.arange(num_steps)
+        sigmas = (s_max ** (1 / rho) + i / max(num_steps - 1, 1)
+                  * (s_min ** (1 / rho) - s_max ** (1 / rho))) ** rho
+        sigmas = jnp.concatenate([sigmas, jnp.zeros((1,))])
+
+        def x0_pred(x, sigma):
+            sig = jnp.full((b,), sigma)
+            c_skip, c_out, c_in, c_noise = edm_scalings(sig)
+            exp = (b,) + (1,) * (x.ndim - 1)
+            net_out = self.model.apply(params, **dict(
+                x=(x * c_in.reshape(exp)).astype(self.cp_config.dtype),
+                t=c_noise,
+                context=ctx,
+            ))
+            return (c_skip.reshape(exp) * x
+                    + c_out.reshape(exp) * net_out.astype(jnp.float32))
+
+        x = jax.random.normal(key, (b, c, f, h, w), jnp.float32) * sigmas[0]
+
+        def body(i, x):
+            sig = sigmas[i]
+            d = (x - x0_pred(x, sig)) / sig
+            return x + (sigmas[i + 1] - sig) * d
+
+        return jax.lax.fori_loop(0, num_steps, body, x)
+
     def make_pp_program(self):
         """EDM variant of the Predict2 pipeline program: (x_t, sigma) travel
         in the payload so the last stage can apply the c_skip/c_out

@@ -177,6 +177,44 @@ class CosmosPredict2Pipeline(BasePipeline):
             )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). t2i/t2v preview;
+        Anima samples through its Qwen conditioning. Returns latents
+        [B, C, F, h, w] (Wan VAE: /8 spatial, 4x temporal)."""
+        from ..training.sampling import euler_flow_sample
+
+        b = (embeds["llm_hidden_states"] if self.anima
+             else embeds["t5_embed"]).shape[0]
+        c = self.cp_config.in_channels
+        h, w = height // 8, width // 8
+        f = max(1, (int(num_frames) - 1) // 4 + 1)
+
+        def vel(x, t):
+            if self.anima:
+                mi = dict(
+                    x=x.astype(self.cp_config.dtype),
+                    t=t,
+                    llm_hidden_states=embeds["llm_hidden_states"],
+                    llm_mask=embeds["llm_mask"].reshape(b, -1),
+                    t5_input_ids=embeds["t5_input_ids"].reshape(b, -1)
+                    .astype(jnp.int32),
+                )
+            else:
+                mi = dict(
+                    x=x.astype(self.cp_config.dtype),
+                    t=t,
+                    context=embeds["t5_embed"],
+                )
+            return self.forward(params, mi).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: one phase over the MiniTrainDIT block
         scan; patch/time embedding (+ the Anima LLMAdapter, whose context

@@ -298,6 +298,33 @@ class ErnieImagePipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, C, h, w]."""
+        from ..training.sampling import euler_flow_sample
+
+        te = embeds["text_embeds_0"]
+        b = te.shape[0]
+        c = self.ernie_config.in_channels
+        h, w = height // 8, width // 8
+        tmask = embeds["attention_mask_0"]
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                x=x.astype(self.ernie_config.dtype),
+                t=t * 1000.0,  # reference ernie_image.py:87
+                text_embeds=te,
+                text_mask=tmask.reshape(b, -1),
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""

@@ -409,6 +409,37 @@ class Flux2Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, C, h, w] (flux2 VAE: 32 latent channels)."""
+        from ..training.sampling import euler_flow_sample
+        from .flux import pack_latents, unpack_latents
+
+        te = embeds["text_embeds_0"]
+        b = te.shape[0]
+        c = self.f2_config.in_channels // 4  # 2x2-packed latent channels
+        h, w = height // 8, width // 8
+        ids = jnp.asarray(_latent_ids(h // 2, w // 2))
+
+        def vel(x, t):
+            out = self.forward(params, dict(
+                hidden_states=pack_latents(x),
+                encoder_hidden_states=te,
+                timestep=t,
+                img_ids=ids,
+                guidance=jnp.ones((b,), jnp.float32),
+                img_seq_len=None,
+            ))
+            return unpack_latents(out.astype(jnp.float32), h, w)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: double then single block phases with
         the GLOBAL modulation vectors computed once on stage 0 and carried

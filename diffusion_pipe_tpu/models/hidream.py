@@ -565,6 +565,40 @@ class HiDreamPipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). HiDream predicts
+        latents - noise (sign flip, reference hidream.py:254-256), so the
+        noise->data velocity is the NEGATED model output. Returns latents
+        [B, C, h, w]."""
+        from ..training.sampling import euler_flow_sample
+        from .flux import unpack_latents
+
+        t5 = embeds["t5_embeds"]
+        b = t5.shape[0]
+        c = self.hd_config.in_channels // 4  # 2x2-packed latent channels
+        h, w = height // 8, width // 8
+        img_ids = latent_image_ids(h // 2, w // 2)
+
+        def vel(x, t):
+            out = self.forward(params, dict(
+                x_tokens=pack_latents(x),
+                img_ids=img_ids,
+                timesteps=t * 1000.0,
+                pooled=embeds["pooled"],
+                t5_embeds=t5,
+                llama_embeds=embeds["llama_embeds"],
+                img_seq_len=(h // 2) * (w // 2),
+            ))
+            return -unpack_latents(out.astype(jnp.float32), h, w)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: double then single block phases; the
         per-block Llama caption projections are computed on stage 0 and

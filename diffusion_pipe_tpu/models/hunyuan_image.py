@@ -305,6 +305,34 @@ class HunyuanImagePipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, C, h, w] (HunyuanImage 32x deep-compression VAE)."""
+        from ..training.sampling import euler_flow_sample
+
+        ts = embeds["text_states"]
+        b = ts.shape[0]
+        c = self.hi_config.in_channels
+        h, w = height // 32, width // 32
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                x=x.astype(self.hi_config.dtype),
+                t=t * 1000.0,  # reference hunyuan_image.py:317
+                text_states=ts,
+                text_mask=embeds["text_mask"].reshape(b, -1),
+                byt5_states=embeds["byt5_states"],
+                byt5_mask=embeds["byt5_mask"].reshape(b, -1),
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""

@@ -116,6 +116,37 @@ class HunyuanVideoPipeline(BasePipeline):
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, 16, F, h, w]."""
+        from ..training.sampling import euler_flow_sample
+
+        ts = embeds["text_states"]
+        b = ts.shape[0]
+        f = max(1, (int(num_frames) - 1) // 4 + 1)  # hyvideo VAE 4x temporal
+        h, w = height // 8, width // 8
+        guidance = jnp.full(
+            (b,), float(self.model_config.get("guidance", 1.0)) * 1000.0
+        )
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                x=x.astype(self.hv_config.dtype),
+                t=t * 1000.0,
+                text_states=ts,
+                text_mask=embeds["text_mask"].reshape(b, -1),
+                pooled=embeds["clip_pooled"],
+                guidance=guidance,
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, 16, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift", 7.0),
+        )
+
     def _keymap_config(self):
         return self.hv_config
 

@@ -304,6 +304,41 @@ class HunyuanVideo15Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). t2v: zero
+        conditioning latents + zero mask channel concatenated like training
+        (reference hunyuan_video_15.py:175-177). Returns latents
+        [B, C, F, h, w] (HV1.5 VAE: 16x spatial, 4x temporal)."""
+        from ..training.sampling import euler_flow_sample
+
+        ts = embeds["text_states"]
+        b = ts.shape[0]
+        c = self.hv15_config.latent_channels
+        h, w = height // 16, width // 16
+        f = max(1, (int(num_frames) - 1) // 4 + 1)
+
+        def vel(x, t):
+            x_in = jnp.concatenate(
+                [x, jnp.zeros_like(x), jnp.zeros((b, 1, f, h, w), x.dtype)],
+                axis=1,
+            )
+            return self.forward(params, dict(
+                x=x_in.astype(self.hv15_config.dtype),
+                t=t * 1000.0,
+                text_states=ts,
+                text_mask=embeds["text_mask"].reshape(b, -1),
+                byt5_states=embeds["byt5_states"],
+                byt5_mask=embeds["byt5_mask"].reshape(b, -1),
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""

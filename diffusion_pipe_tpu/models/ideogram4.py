@@ -337,6 +337,35 @@ class Ideogram4Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents in
+        the cached convention: [B, latent_dim, H/16, W/16] (flux2-VAE 32ch
+        at /8, 2x2 channel-packed). Model time input is 1 - t (reference
+        ideogram4.py:155)."""
+        from ..training.sampling import euler_flow_sample
+
+        te = embeds["text_embeds_0"]
+        b = te.shape[0]
+        c = self.ideo_config.latent_dim
+        h, w = height // 16, width // 16
+        tmask = embeds["attention_mask_0"]
+
+        def vel(x, t):
+            return self.forward(params, dict(
+                x=x.astype(self.ideo_config.dtype),
+                t=1.0 - t,
+                text_embeds=te,
+                text_mask=tmask.reshape(b, -1),
+            )).astype(jnp.float32)
+
+        return euler_flow_sample(
+            vel, (b, c, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""

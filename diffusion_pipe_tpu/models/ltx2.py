@@ -409,6 +409,44 @@ class LTX2Pipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, C, F, h, w] (LTX2 VAE: 32x spatial, 8x temporal)."""
+        from ..training.sampling import euler_flow_sample
+
+        te = embeds["text_embeds_0"]
+        b = te.shape[0]
+        c = self.ltx2_config.in_channels
+        h, w = height // 32, width // 32
+        f = max(1, (int(num_frames) - 1) // 8 + 1)
+        s = f * h * w
+        fi = np.repeat(np.arange(f, dtype=np.float32), h * w) / self.framerate
+        hi = np.tile(np.repeat(np.arange(h, dtype=np.float32), w), f)
+        wi = np.tile(np.arange(w, dtype=np.float32), f * h)
+        coords = jnp.asarray(
+            np.stack([fi, hi, wi], 0)[None].repeat(b, 0))
+        tmask = embeds["attention_mask_0"]
+
+        def vel(x, t):
+            tokens = jnp.transpose(x.reshape(b, c, s), (0, 2, 1))
+            out = self.forward(params, dict(
+                x=tokens,
+                prompt_embeds=te,
+                prompt_mask=tmask.reshape(b, -1),
+                t=t,
+                fractional_coords=coords,
+            ))
+            return jnp.transpose(
+                out.astype(jnp.float32), (0, 2, 1)).reshape(b, c, f, h, w)
+
+        return euler_flow_sample(
+            vel, (b, c, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""

@@ -350,6 +350,44 @@ class LTXVideoPipeline(BasePipeline):
         )
         return model_inputs, target, loss_mask
 
+    def sample(self, params, width, height, key, num_steps=20,
+               guidance_scale=1.0, num_frames=1, **embeds):
+        """Euler flow sampling through the training forward (reference
+        CommonPipeline.sample, models/base.py:263-291). Returns latents
+        [B, C, F, h, w] (LTX VAE: 32x spatial, 8x temporal)."""
+        from ..training.sampling import euler_flow_sample
+
+        pe = embeds["prompt_embeds"]
+        b = pe.shape[0]
+        c = self.ltx_config.in_channels
+        h, w = height // 32, width // 32
+        f = max(1, (int(num_frames) - 1) // 8 + 1)
+        s = f * h * w
+        fi = jnp.repeat(jnp.arange(f), h * w).astype(jnp.float32)
+        hi = jnp.tile(jnp.repeat(jnp.arange(h), w), f).astype(jnp.float32)
+        wi = jnp.tile(jnp.arange(w), f * h).astype(jnp.float32)
+        coords = jnp.stack([fi / self.framerate, hi, wi])[None].repeat(b, 0)
+        pmask = embeds.get("prompt_attention_mask")
+
+        def vel(x, t):
+            tokens = x.reshape(b, c, s).transpose(0, 2, 1)
+            out = self.forward(params, dict(
+                x=tokens,
+                prompt_embeds=pe,
+                prompt_mask=pmask.reshape(b, -1)
+                if pmask is not None else None,
+                t=t,
+                fractional_coords=coords,
+            ))
+            return out.astype(jnp.float32).transpose(0, 2, 1).reshape(
+                b, c, f, h, w)
+
+        return euler_flow_sample(
+            vel, (b, c, f, h, w), key, num_steps=num_steps,
+            guidance_scale=guidance_scale,
+            shift=self.model_config.get("shift"),
+        )
+
     def make_pp_program(self):
         """Pipeline-parallel program: one phase over the LTXBlock scan;
         adaln-single timestep path + caption projection on stage 0, the

@@ -366,11 +366,23 @@ class Lumina2Pipeline(BasePipeline):
         return _Lumina2PPProgram(self)
 
     def sample(self, params, width, height, key, num_steps=20,
-               guidance_scale=1.0, cap_feats=None, cap_mask=None):
+               guidance_scale=1.0, cap_feats=None, cap_mask=None, **embeds):
         """Euler flow sampling. The model predicts latents - noise with time
         input 1 - t (reference lumina_2.py:173-179), so the sampler's
-        noise->data velocity is the NEGATED model output at 1 - t."""
+        noise->data velocity is the NEGATED model output at 1 - t.
+
+        Accepts the child families' cached-embedding key names too
+        (omnigen2: prompt_embeds/prompt_attention_mask; z_image:
+        text_embeds_0/attention_mask_0), so the CLI --test_sample path can
+        call sample(**cached_embeds) uniformly."""
         from ..training.sampling import euler_flow_sample
+
+        if cap_feats is None:
+            cap_feats = embeds.get(
+                "prompt_embeds", embeds.get("text_embeds_0"))
+        if cap_mask is None:
+            cap_mask = embeds.get(
+                "prompt_attention_mask", embeds.get("attention_mask_0"))
 
         b = cap_feats.shape[0]
         h, w = height // 8, width // 8

@@ -32,8 +32,10 @@ p.add_argument("--txt", type=int, default=512)
 p.add_argument("--int8", default=None)
 p.add_argument("--fp8", action="store_true")
 p.add_argument("--offload", action="store_true")
-p.add_argument("--remat", default="full")  # full | dots | unsloth | none
+p.add_argument("--remat", default="full")  # full | dots | attn | unsloth | none
 p.add_argument("--steps", type=int, default=5)
+p.add_argument("--profile_dir", default=None,
+               help="capture a jax.profiler trace of the timed steps")
 args = p.parse_args()
 
 from diffusion_pipe_tpu.models import get_model_class
@@ -97,11 +99,15 @@ state, metrics = step(state, batch, jax.random.PRNGKey(2))
 _ = jax.device_get(metrics["loss"])
 print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
 
+if args.profile_dir:
+    jax.profiler.start_trace(args.profile_dir)
 t0 = time.perf_counter()
 for i in range(args.steps):
     state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
 _ = jax.device_get(metrics["loss"])
 dt = (time.perf_counter() - t0) / args.steps
+if args.profile_dir:
+    jax.profiler.stop_trace()
 tokens = f * (hw // 2) * (hw // 2)
 print(json.dumps({
     "variant": args.variant, "bs": bs, "latent_frames": f,

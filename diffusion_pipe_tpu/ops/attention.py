@@ -34,18 +34,25 @@ def _use_flash(q, k) -> bool:
 
 def _pick_block(s: int, pref: int, min_divisor: int = 1024) -> int:
     """Largest multiple of LANES <= pref that divides s (so the kernel runs
-    the unmasked, unpadded path). A too-small divisor costs more in
-    per-block online-softmax bookkeeping than ragged-tail padding does
-    (e.g. 18900 tokens: divisor 512 runs at 63 TFLOP/s vs ~100 for 2048
-    blocks + tail_len), so below min_divisor we fall back to the preferred
-    block and let the dispatcher pad + tail-mask the last block."""
+    the unmasked, unpadded path), preferring multiples of 512 — MXU-tile-
+    friendly blocks measurably beat larger non-512-multiples (21504-token
+    wan self-attention: block_k 1536 runs 110 TFLOP/s fwd vs 102 for 1792).
+    A too-small divisor costs more in per-block online-softmax bookkeeping
+    than ragged-tail padding does (e.g. 18900 tokens: divisor 512 runs at
+    63 TFLOP/s vs ~100 for 2048 blocks + tail_len), so below min_divisor we
+    fall back to the preferred block and let the dispatcher pad + tail-mask
+    the last block."""
     best = 0
+    best512 = 0
     top = min(s, pref)
     for m in range(LANES, top + 1, LANES):
         if s % m == 0:
             best = m
-    if best and (best >= min_divisor or best == top):
-        return best
+            if m % 512 == 0:
+                best512 = m
+    cand = best512 if best512 >= min_divisor else best
+    if cand and (cand >= min_divisor or cand == top):
+        return cand
     return min(pref, round_up_to_multiple(s, LANES))
 
 
@@ -97,14 +104,15 @@ def dot_product_attention(
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
-    # (512, 2048) measured best on v5e at 8k tokens: large K blocks amortize
-    # the per-block online-softmax bookkeeping against MXU work
-    # (52 -> 103 TFLOP/s forward). When the lengths don't divide the
-    # preferred blocks, prefer DIVISOR blocks over pad+mask: the masked
-    # kernel runs ~2.6x slower (jnp.where on every [bq, bk] tile breaks the
-    # MXU pipeline; measured 38 vs 100+ TFLOP/s on 21504-token wan video
-    # self-attention, which 2048 does not divide).
-    block_q = _pick_block(sq, 512, min_divisor=256)
+    # Large K blocks amortize the per-block online-softmax bookkeeping
+    # against MXU work (52 -> 103+ TFLOP/s forward vs small blocks);
+    # multiple-of-512 blocks and block_q up to 1024 measured best on v5e
+    # (21504-token wan self-attention: (1024, 1536) = 110 TFLOP/s fwd /
+    # 99 effective fwd+bwd). When the lengths don't divide the preferred
+    # blocks, prefer DIVISOR blocks over pad+mask: the masked kernel runs
+    # ~2.6x slower (jnp.where on every [bq, bk] tile breaks the MXU
+    # pipeline; measured 38 vs 100+ TFLOP/s).
+    block_q = _pick_block(sq, 1024, min_divisor=256)
     block_k = _pick_block(skv, 2048)
     sq_pad = round_up_to_multiple(sq, block_q)
     skv_pad = round_up_to_multiple(skv, block_k)

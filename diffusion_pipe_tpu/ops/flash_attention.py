@@ -33,6 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# exp2 trick (splash-attention style): exp(x) lowers to exp2(x * log2(e)) on
+# TPU, costing a hidden per-element multiply inside every softmax exp. We
+# fold log2(e) into the one scale multiply the kernel already does on the
+# [bq, bk] score tile and call exp2 directly; the online-softmax max/sum
+# run in the base-2 domain and finalize converts the stored lse back to
+# natural log (external consumers — bwd recompute, ragged LSE-merge — keep
+# natural-domain semantics).
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 # Set DPIPE_PALLAS_INTERPRET=1 to run kernels in the Pallas interpreter
 # (slow, but lets the CPU test suite exercise the real kernel code path).
@@ -68,7 +77,7 @@ def _fwd_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale  # [bq, bk]
+    s = s * (scale * LOG2E)  # [bq, bk], base-2 domain (see LOG2E comment)
 
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]  # [bk] int32; >0 means valid key
@@ -78,8 +87,8 @@ def _fwd_kernel(
     l_prev = l_scr[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-    p = jnp.exp(s - m_new)  # [bq, bk] f32
+    alpha = jnp.exp2(m_prev - m_new)  # [bq, 1]
+    p = jnp.exp2(s - m_new)  # [bq, bk] f32
     l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -98,8 +107,9 @@ def _fwd_kernel(
         # All-masked rows have l == 0; emit zeros there instead of inf/nan.
         safe_l = jnp.where(l_fin > 0.0, l_fin, 1.0)
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        # natural-domain lse: m is base-2, l is a plain probability sum
         lse = jnp.where(
-            l_fin > 0.0, m_fin + jnp.log(safe_l), DEFAULT_MASK_VALUE
+            l_fin > 0.0, m_fin * LN2 + jnp.log(safe_l), DEFAULT_MASK_VALUE
         )  # [bq, 1]
         lse_ref[0, 0] = lse
 
@@ -214,11 +224,11 @@ def _dq_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    ) * (scale * LOG2E)
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]
         s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
-    p = jnp.exp(s - lse)  # [bq, bk]
+    p = jnp.exp2(s - lse * LOG2E)  # [bq, bk]; lse scale is [bq,1]-cheap
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -261,11 +271,11 @@ def _dkv_kernel(
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    ) * (scale * LOG2E)  # [bq, bk]
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]
         s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
-    p = jnp.exp(s - lse)  # [bq, bk]
+    p = jnp.exp2(s - lse * LOG2E)  # [bq, bk]
 
     # dV += P^T @ dO
     dv_scr[:] += jax.lax.dot_general(

@@ -173,6 +173,8 @@ class WanPipeline(BasePipeline):
             self._skyreels = True
         if variant not in WAN_VARIANTS:
             raise NotImplementedError(f"wan variant {variant!r}")
+        if mc.get("num_layers"):  # depth override (per-block microbenches)
+            kwargs["num_layers"] = int(mc["num_layers"])
         return WanConfig(**{**WAN_VARIANTS[variant], **kwargs})
 
     def build_model(self):

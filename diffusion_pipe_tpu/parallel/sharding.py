@@ -47,3 +47,35 @@ def batch_sharding(mesh: Mesh, leading_microbatch_axis: bool = False):
     if leading_microbatch_axis:
         return NamedSharding(mesh, P(None, "data"))
     return NamedSharding(mesh, P("data"))
+
+
+def zero1_opt_state_sharding(mesh: Mesh, opt_state: Any):
+    """ZeRO-1-style optimizer-state sharding (`optimizer.state_sharding`).
+
+    The reference replicates optimizer state per DP rank (its DeepSpeed
+    pipeline engine excludes ZeRO, SURVEY.md section 2.7); on TPU the
+    sharded variant comes nearly free under GSPMD: give every moment-like
+    leaf a NamedSharding with the first evenly-divisible (and not already
+    sharded) axis partitioned over 'data', and XLA turns the optimizer
+    update into reduce-scatter + sharded-update + all-gather on its own.
+    Scalars / tiny leaves (step counts) stay replicated; existing 'tensor'
+    sharding on TP kernel moments is preserved.
+    """
+    n = int(mesh.shape.get("data", 1))
+
+    def shard_of(x):
+        cur = (
+            x.sharding.spec
+            if isinstance(getattr(x, "sharding", None), NamedSharding)
+            else P()
+        )
+        if n <= 1 or not hasattr(x, "ndim") or x.ndim == 0 or x.size < 2 * n:
+            return NamedSharding(mesh, cur)
+        spec = list(cur) + [None] * (x.ndim - len(cur))
+        for i in range(x.ndim):
+            if spec[i] is None and x.shape[i] % n == 0:
+                spec[i] = "data"
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(shard_of, opt_state)

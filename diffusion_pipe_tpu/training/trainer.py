@@ -44,6 +44,7 @@ def make_train_step(
     gradient_release: bool = False,
     loss_fn_override=None,
     grad_fn_override=None,
+    opt_state_shardings=None,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -71,6 +72,15 @@ def make_train_step(
     pipelined = loss_fn_override is not None or grad_fn_override is not None
     gas = 1 if pipelined else gradient_accumulation_steps
 
+    def _constrain_opt(opt_state):
+        # ZeRO-1 state sharding (optimizer.state_sharding): pin the new
+        # optimizer state to its 'data'-sharded layout so GSPMD keeps the
+        # update math reduce-scattered instead of replicating it
+        # (parallel/sharding.py zero1_opt_state_sharding).
+        if opt_state_shardings is None:
+            return opt_state
+        return jax.lax.with_sharding_constraint(opt_state, opt_state_shardings)
+
     def gradient_release_step(state: TrainState, batch: Dict[str, Any], rng):
         """One optimizer step PER MICRO-BATCH (reference train.py:694-748
         gradient release): no gradient accumulator buffer is ever
@@ -90,6 +100,7 @@ def make_train_step(
                 s = jnp.minimum(1.0, gradient_clipping / (gn + 1e-6))
                 g_i = jax.tree.map(lambda g: g * s, g_i)
             updates, opt_state = optimizer.update(g_i, opt_state, trainable)
+            opt_state = _constrain_opt(opt_state)
             if skip_invalid_grads:
                 updates = jax.tree.map(
                     lambda u, ok: jnp.where(ok, u, jnp.zeros([], u.dtype)),
@@ -165,6 +176,7 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * scale, grads)
 
         updates, opt_state = optimizer.update(grads, src_opt, src_trainable)
+        opt_state = _constrain_opt(opt_state)
         if skip_invalid_grads:
             updates = jax.tree.map(
                 lambda u, ok: jnp.where(ok, u, jnp.zeros([], u.dtype)),
@@ -248,7 +260,8 @@ def jit_train_step(step_fn, state, donate=True):
 
 
 def init_train_state(
-    pipeline, optimizer, rng, predicate, params=None, host_stacks=()
+    pipeline, optimizer, rng, predicate, params=None, host_stacks=(),
+    zero_sharding_mesh=None,
 ) -> TrainState:
     from .train_state import partition_params
 
@@ -281,6 +294,13 @@ def init_train_state(
         frozen = offload_param_stacks(frozen, host_stacks)
     else:
         opt_state = optimizer.init(trainable)
+    if zero_sharding_mesh is not None:
+        # ZeRO-1: moment leaves live 'data'-sharded from the start
+        from ..parallel.sharding import zero1_opt_state_sharding
+
+        opt_state = jax.device_put(
+            opt_state, zero1_opt_state_sharding(zero_sharding_mesh, opt_state)
+        )
     return TrainState(
         step=jnp.zeros([], jnp.int32),
         trainable=trainable,

@@ -217,3 +217,63 @@ def test_host_offload_train_step_matches_default():
     base = run(False)
     offl = run(True)
     np.testing.assert_allclose(offl, base, rtol=1e-5)
+
+
+def test_zero1_opt_state_sharding_matches_replicated():
+    """optimizer.state_sharding: moments live 'data'-sharded and the update
+    math matches the replicated run exactly (ZeRO-1; the reference's
+    DeepSpeed pipeline engine excludes ZeRO, SURVEY.md 2.7)."""
+    from diffusion_pipe_tpu.mesh import make_mesh
+    from diffusion_pipe_tpu.parallel.sharding import (
+        zero1_opt_state_sharding,
+    )
+
+    mesh = make_mesh(pipeline_stages=1, tensor_parallel=1)  # data=8
+    optimizer = optax.adam(1e-2)
+
+    def make(shard):
+        trainable = {"params": {"w": jnp.arange(32, dtype=jnp.float32)
+                                .reshape(8, 4)}}
+        opt_state = optimizer.init(trainable)
+        shardings = None
+        if shard:
+            opt_state = jax.device_put(
+                opt_state, zero1_opt_state_sharding(mesh, opt_state))
+            shardings = jax.tree.map(lambda x: x.sharding, opt_state)
+        state = TrainState(
+            step=jnp.zeros([], jnp.int32),
+            trainable=trainable,
+            frozen={"params": {"w": None}},
+            opt_state=opt_state,
+            examples=jnp.zeros([], jnp.int32),
+        )
+        return state, shardings
+
+    class _P:
+        def prepare_inputs(self, rng, batch, timestep_quantile=None):
+            return batch, jnp.zeros_like(batch["x"]), None
+
+        def forward(self, params, batch):
+            return batch["x"][:, None, None] * params["params"]["w"]
+
+        def loss_fn(self, output, target, mask):
+            return jnp.mean(output**2)
+
+    batch = {"x": jnp.arange(8, dtype=jnp.float32)}
+    results = {}
+    with jax.set_mesh(mesh):
+        for shard in (False, True):
+            state, shardings = make(shard)
+            step = jax.jit(make_train_step(
+                _P(), optimizer, opt_state_shardings=shardings))
+            for i in range(3):
+                state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            results[shard] = state
+            if shard:
+                mu = state.opt_state[0].mu["params"]["w"]
+                assert "data" in tuple(mu.sharding.spec)
+    np.testing.assert_allclose(
+        np.asarray(results[True].trainable["params"]["w"]),
+        np.asarray(results[False].trainable["params"]["w"]),
+        rtol=1e-6,
+    )

@@ -36,6 +36,8 @@ p.add_argument("--remat", default="full")  # full | dots | attn | unsloth | none
 p.add_argument("--steps", type=int, default=5)
 p.add_argument("--profile_dir", default=None,
                help="capture a jax.profiler trace of the timed steps")
+p.add_argument("--layers", type=int, default=None,
+               help="override num_layers (per-block 14B microbench)")
 args = p.parse_args()
 
 from diffusion_pipe_tpu.models import get_model_class
@@ -48,6 +50,8 @@ from diffusion_pipe_tpu.training.trainer import (
 )
 
 mc = {"type": "wan", "dtype": args.dtype, "variant": args.variant}
+if args.layers:
+    mc["num_layers"] = args.layers
 if args.fp8:
     mc["transformer_dtype"] = "float8"
 if args.int8:

@@ -242,9 +242,17 @@ def main(argv=None):
             ) or 0,
         )
         print(f"host-offloading block stacks: {host_stacks}")
+    # ZeRO-1-style optimizer-state sharding over the 'data' axis (the
+    # reference's DeepSpeed pipeline engine excludes ZeRO and replicates
+    # state per DP rank; on TPU GSPMD this is a sharding annotation)
+    zero1 = (
+        bool(config.get("optimizer", {}).get("state_sharding", False))
+        and mesh.shape["data"] > 1
+    )
     state = init_train_state(
         pipeline, optimizer, jax.random.PRNGKey(config["seed"]), predicate,
         params=params, host_stacks=host_stacks,
+        zero_sharding_mesh=mesh if zero1 else None,
     )
 
     # `params` may be stale after init_train_state (int8 prequantization
@@ -365,6 +373,10 @@ def main(argv=None):
         gradient_release=bool(ocfg.get("gradient_release", False)),
         loss_fn_override=pp_loss,
         grad_fn_override=pp_grad,
+        opt_state_shardings=(
+            jax.tree.map(lambda x: x.sharding, state.opt_state)
+            if zero1 else None
+        ),
     )
     if host_stacks:
         # entry-output layouts must carry the pinned_host memory kinds of

@@ -139,6 +139,8 @@ class WanPipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            sequence_sharding=bool(
+                self.config.get("sequence_sharding", False)),
         )
         from ..parallel.offload import offload_stacks_from_config
 

@@ -69,6 +69,7 @@ class WanConfig:
     lokr_rank_dropout: float = 0.0
     remat: bool = False
     offload_blocks: Tuple[str, ...] = ()
+    sequence_sharding: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -260,6 +261,19 @@ class WanTransformer(nn.Module):
             name="patch_embedding",
         )(xe)  # [B, gf, gh, gw, dim]
         xe = xe.reshape(b, seq_len, dim)
+        if cfg.sequence_sharding:
+            # sequence parallelism: token dim sharded over 'tensor' between
+            # attention ops — GSPMD partitions the per-token linears/norms
+            # and inserts the gathers the attention kernel needs (same
+            # scheme as flux, flux_model.py seq_shard). At 21.5k video
+            # tokens this is the activation-memory lever for multi-chip.
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                xe = jax.lax.with_sharding_constraint(
+                    xe, P("data", "tensor", None))
+            except RuntimeError:
+                pass  # no mesh in context (single-chip init)
 
         # time embedding (f32, model.py:485-488)
         temb = sinusoidal_timestep_embedding(t, cfg.freq_dim)

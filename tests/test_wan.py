@@ -173,3 +173,42 @@ def test_wan_uncached_text_embeddings():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_wan_sequence_sharding_loss_matches_unsharded():
+    """`sequence_sharding = true` (token dim over 'tensor' between attention
+    ops) is numerics-neutral: same loss as the unsharded program on a
+    data=4 x tensor=2 mesh."""
+    import numpy as np
+
+    from diffusion_pipe_tpu.mesh import make_mesh
+
+    mesh = make_mesh(pipeline_stages=1, tensor_parallel=2)
+    losses = {}
+    for flag in (False, True):
+        cfg = {
+            "save_every_n_epochs": 1,
+            "model": {"type": "wan", "dtype": "float32", "_tiny": True},
+            "adapter": {"type": "lora", "rank": 4, "alpha": 4,
+                        "dropout": 0.0},
+            "optimizer": {"type": "adamw", "lr": 1e-3},
+            "sequence_sharding": flag,
+        }
+        pipe = get_model_class("wan")(cfg)
+        params = pipe.init_params(jax.random.PRNGKey(0))
+        k = jax.random.PRNGKey(1)
+        batch = {
+            "latents": jax.random.normal(k, (4, 16, 2, 8, 8)),
+            "text_embeddings": jax.random.normal(k, (4, 16, 32)),
+            "seq_lens": jnp.full((4,), 7, jnp.int32),
+        }
+
+        def loss(params, batch, rng):
+            mi, tgt, msk = pipe.prepare_inputs(rng, batch)
+            return pipe.loss_fn(pipe.forward(params, mi), tgt, msk)
+
+        with jax.set_mesh(mesh):
+            losses[flag] = float(
+                jax.jit(loss)(params, batch, jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)

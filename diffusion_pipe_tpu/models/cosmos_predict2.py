@@ -101,6 +101,8 @@ class CosmosPredict2Pipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            sequence_sharding=bool(
+                self.config.get("sequence_sharding", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

@@ -56,6 +56,7 @@ class CosmosPredict2Config:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    sequence_sharding: bool = False
 
     @property
     def head_dim(self):
@@ -238,6 +239,9 @@ class CosmosPredict2Transformer(nn.Module):
         xe = LoraDense(dim, use_bias=False, name="x_embedder", **dd)(
             xe.astype(cfg.dtype)
         )
+        from .layers import seq_shard
+
+        xe = seq_shard(xe, cfg.sequence_sharding)
 
         # timestep embedding: sinusoidal proj (cos|sin) -> (adaLN-LoRA path)
         half = dim // 2

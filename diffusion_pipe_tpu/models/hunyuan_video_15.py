@@ -74,6 +74,7 @@ class HunyuanVideo15Config:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    sequence_sharding: bool = False
 
     @property
     def in_channels(self):
@@ -131,6 +132,9 @@ class HunyuanVideo15Transformer(nn.Module):
                      padding="VALID", dtype=cfg.dtype,
                      param_dtype=cfg.param_dtype, name="img_in")(xe)
         img = xe.reshape(b, img_len, dim)
+        from .layers import seq_shard
+
+        img = seq_shard(img, cfg.sequence_sharding)
 
         temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)
         vec = LoraDense(dim, name="time_in_1", **dd)(temb.astype(cfg.dtype))
@@ -236,6 +240,8 @@ class HunyuanVideo15Pipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            sequence_sharding=bool(
+                self.config.get("sequence_sharding", False)),
         )
         for knob in ("num_layers", "num_attention_heads", "attention_head_dim",
                      "latent_channels", "text_dim"):

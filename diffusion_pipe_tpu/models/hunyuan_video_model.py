@@ -62,6 +62,7 @@ class HunyuanVideoConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    sequence_sharding: bool = False
 
     @property
     def hidden_size(self):
@@ -278,6 +279,9 @@ class HunyuanVideoTransformer(nn.Module):
                      padding="VALID", dtype=cfg.dtype,
                      param_dtype=cfg.param_dtype, name="img_in")(xe)
         img = xe.reshape(b, img_len, dim)
+        from .layers import seq_shard
+
+        img = seq_shard(img, cfg.sequence_sharding)
 
         # conditioning vector: timestep + guidance + pooled text
         temb = sinusoidal_timestep_embedding(t.astype(jnp.float32), 256)

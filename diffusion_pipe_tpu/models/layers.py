@@ -699,3 +699,20 @@ class GELU(nn.Module):
             kernel_axes=self.kernel_axes, name="proj", **(self.lora or {}),
         )(x)
         return nn.gelu(x, approximate=True)
+
+
+def seq_shard(tokens, enabled: bool):
+    """Sequence-parallel activation sharding: [B, S, D] token dim over the
+    'tensor' mesh axis (GSPMD partitions per-token linears/norms and
+    inserts the gathers attention needs). No-op when disabled or when no
+    mesh is installed (single-chip init)."""
+    if not enabled:
+        return tokens
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        return jax.lax.with_sharding_constraint(
+            tokens, P("data", "tensor", None)
+        )
+    except RuntimeError:
+        return tokens

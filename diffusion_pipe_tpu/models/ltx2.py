@@ -86,6 +86,7 @@ class LTX2Config:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    sequence_sharding: bool = False
 
     @property
     def head_dim(self):
@@ -256,6 +257,9 @@ class LTX2Transformer(nn.Module):
         b, s, _ = x.shape
 
         h = LoraDense(dim, name="patchify_proj", **dd)(x.astype(cfg.dtype))
+        from .layers import seq_shard
+
+        h = seq_shard(h, cfg.sequence_sharding)
 
         ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
         emb = sinusoidal_timestep_embedding(ts, 256)
@@ -334,6 +338,8 @@ class LTX2Pipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            sequence_sharding=bool(
+                self.config.get("sequence_sharding", False)),
         )
         for knob in ("hidden_size", "num_layers", "num_heads",
                      "cross_attention_dim", "audio_cross_attention_dim",

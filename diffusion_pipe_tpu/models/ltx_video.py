@@ -63,6 +63,7 @@ class LTXConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    sequence_sharding: bool = False
 
     @property
     def head_dim(self):
@@ -179,6 +180,9 @@ class LTXTransformer(nn.Module):
         b, s, _ = x.shape
 
         h = LoraDense(dim, name="patchify_proj", **dd)(x.astype(cfg.dtype))
+        from .layers import seq_shard
+
+        h = seq_shard(h, cfg.sequence_sharding)
 
         # adaln_single: sinusoidal(256) -> MLP -> 6*dim, + embedded dim
         ts = t.astype(jnp.float32) * cfg.timestep_scale_multiplier
@@ -262,6 +266,8 @@ class LTXVideoPipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            sequence_sharding=bool(
+                self.config.get("sequence_sharding", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(

@@ -231,3 +231,167 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
         )
 
     return loss_fn
+
+
+def _block_to_slot(config: Dict[str, Any], num_layers: int, num_stages: int):
+    """Inverse of stack_for_stages' slot layout: for each block j, the
+    padded-slot index that holds it (pure python — usable under jit)."""
+    split = config.get("partition_split",
+                       config.get("manual_partition_split"))
+    if (str(config.get("partition_method", "")).lower() == "manual"
+            and split is not None):
+        counts = counts_from_manual_split(
+            num_layers, num_stages, [int(b) for b in split]
+        )
+        k = max(max(counts), 1)
+        out = []
+        for d, c in enumerate(counts):
+            out.extend(d * k + i for i in range(c))
+        return jnp.asarray(out, jnp.int32)
+    return jnp.arange(num_layers, dtype=jnp.int32)
+
+
+def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
+                                        num_microbatches: int,
+                                        timestep_quantile=None):
+    """True interleaved 1F1B for any SINGLE-PHASE PPProgram family
+    (`pipeline_schedule = "1f1b"`): fn(trainable, frozen, batch, rng) ->
+    (loss, grads). Runs parallel/pipeline.pipeline_train_1f1b — backward
+    recomputes from a rotating 2S-slot input buffer so in-flight
+    activations are bounded by the schedule, not the micro-batch count
+    (the reference's DeepSpeed 1F1B TrainSchedule analogue for every
+    model, utils/patches.py:113-160).
+
+    Adapter-only training (the reference's dominant mode): embed/head
+    params (p_rest) carry no trainables under LoRA/LoKr, so their grads
+    are structurally zero; full fine-tuning and multi-phase programs
+    (flux has its own fused program) use the AD-GPipe path.
+    """
+    import flax
+    from flax import traverse_util
+
+    from ..training.train_state import lora_predicate
+    from .pipeline import apply_local_blocks, pipeline_train_1f1b
+
+    program: PPProgram = pipeline.make_pp_program()
+    if len(program.phases) != 1:
+        raise NotImplementedError(
+            f"pipeline_schedule='1f1b': {pipeline.name}'s pipeline program "
+            "has multiple phases; use the default GPipe schedule"
+        )
+    ph = program.phases[0]
+    s = mesh.shape[STAGE_AXIS]
+    m_total = num_microbatches
+
+    def grad_fn(trainable, frozen, batch, rng):
+        flat_t = traverse_util.flatten_dict(
+            flax.core.unfreeze(trainable)["params"]
+            if "params" in trainable else trainable
+        )
+        for path, leaf in flat_t.items():
+            if leaf is not None and path[0] != ph.param_key:
+                raise NotImplementedError(
+                    "pipeline_schedule='1f1b' supports adapter (block-level)"
+                    " training; use the GPipe schedule for full fine-tuning"
+                )
+
+        params = merge_params(trainable, frozen)["params"]
+        p_rest = {k: v for k, v in params.items() if k != ph.param_key}
+        padded, en, s2b = stack_for_stages(
+            pipeline.config, params[ph.param_key], ph.num_blocks, s, 0
+        )
+
+        def split(tree):
+            flat = traverse_util.flatten_dict(tree)
+            tr = {k: (v if lora_predicate(k, v) else None)
+                  for k, v in flat.items()}
+            fz = {k: (None if lora_predicate(k, v) else v)
+                  for k, v in flat.items()}
+            return (traverse_util.unflatten_dict(tr),
+                    traverse_util.unflatten_dict(fz))
+
+        p_t, p_f = split(padded)
+
+        keys = jax.random.split(rng, m_total)
+        preps = []
+        for i in range(m_total):
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (m_total, x.shape[0] // m_total) + x.shape[1:])[i],
+                batch,
+            )
+            preps.append(pipeline.prepare_inputs(
+                keys[i], mb, timestep_quantile=timestep_quantile))
+        mi_mb = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in preps])
+        target_mb = jnp.stack([p[1] for p in preps])
+        mask_mb = (
+            jnp.stack([p[2] for p in preps]) if preps[0][2] is not None
+            else None
+        )
+
+        def body(p_rest, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb):
+            mi0 = jax.tree.map(lambda x: x[0], mi_mb)
+            ctx = program.make_ctx(p_rest, mi0)
+
+            def get_mb(t):
+                return jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, t, 0, False),
+                    mi_mb,
+                )
+
+            def inject(t):
+                return program.embed(p_rest, get_mb(t), ctx)
+
+            def stage_fwd(p_t_local, payload):
+                p_full = merge_params(p_t_local, p_f)
+                if ph.needs_index:
+                    return apply_local_blocks(
+                        lambda p_i, c, bi: ph.apply_block(p_i, c, ctx, bi),
+                        p_full, en, payload, local_index=s2b,
+                    )
+                return apply_local_blocks(
+                    lambda p_i, c: ph.apply_block(p_i, c, ctx),
+                    p_full, en, payload,
+                )
+
+            def loss_head(payload, t):
+                target = jax.lax.dynamic_index_in_dim(target_mb, t, 0, False)
+                mask_i = (
+                    jax.lax.dynamic_index_in_dim(mask_mb, t, 0, False)
+                    if mask_mb is not None else None
+                )
+                return program.head_loss(p_rest, payload, target, mask_i, ctx)
+
+            template = jax.eval_shape(inject, jnp.zeros([], jnp.int32))
+            template = jax.tree.map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), template
+            )
+            loss, g = pipeline_train_1f1b(
+                stage_fwd, inject, loss_head, m_total, s, template, p_t
+            )
+            return loss, g
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            axis_names={STAGE_AXIS},
+            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                      P(STAGE_AXIS), P(), P(), P()),
+            out_specs=(P(), P(STAGE_AXIS)),
+        )
+        loss, g = shard_body(
+            p_rest, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb
+        )
+
+        # slot layout -> [L, ...] (block j's grad lives at slot b2s[j];
+        # identity/padding slots drop)
+        b2s = _block_to_slot(pipeline.config, ph.num_blocks, s)
+        g = jax.tree.map(lambda x: x[b2s], g)
+        flat_g = traverse_util.flatten_dict(g)
+        flat_out = {}
+        for path, leaf in flat_t.items():
+            flat_out[path] = None if leaf is None else flat_g[path[1:]]
+        grads = {"params": traverse_util.unflatten_dict(flat_out)}
+        return loss, grads
+
+    return grad_fn

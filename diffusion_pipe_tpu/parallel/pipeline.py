@@ -269,6 +269,24 @@ def pipeline_train_1f1b(
         out = stage_fwd(params, payload)
         return out, loss_head(out, m)
 
+    # Integer payload leaves (e.g. validity masks) ride the cotangent ring
+    # as f32 zeros; at the vjp boundary they convert to/from float0.
+    import numpy as _onp
+
+    def _to_vjp_cot(cot_tree):
+        return jax.tree.map(
+            lambda c, t: c if jnp.issubdtype(t.dtype, jnp.inexact)
+            else _onp.zeros(t.shape, jax.dtypes.float0),
+            cot_tree, payload_template,
+        )
+
+    def _from_vjp_cot(dx_tree, gate):
+        return jax.tree.map(
+            lambda d, t: (gate * d) if jnp.issubdtype(t.dtype, jnp.inexact)
+            else jnp.zeros(t.shape, jnp.float32),
+            dx_tree, payload_template,
+        )
+
     def tick(carry, tau):
         fwd_buf, inputs_buf, bwd_cot, grads, loss_acc = carry
         stage = stage_index()
@@ -309,7 +327,7 @@ def pipeline_train_1f1b(
             jax.tree.map(jnp.zeros_like, bwd_cot),
         )
         loss_seed = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
-        dparams, dx = vjp((cot_out, loss_seed))
+        dparams, dx = vjp((_to_vjp_cot(cot_out), loss_seed))
         gate = active_b.astype(jnp.float32)
         grads = jax.tree.map(
             lambda g, d: g + gate * d.astype(jnp.float32), grads, dparams
@@ -319,7 +337,7 @@ def pipeline_train_1f1b(
         )
         # cotangents travel the reverse ring (stage s -> s-1); zero out
         # inactive contributions so bubbles don't pollute
-        dx = jax.tree.map(lambda d: gate * d, dx)
+        dx = _from_vjp_cot(dx, gate)
         bwd_cot = jax.tree.map(
             lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)), dx
         )

@@ -349,3 +349,55 @@ def test_generic_pp_manual_partition_split():
         loss_pp = float(jax.jit(loss_fn)(trainable, frozen, batch, rng))
     loss_ref = float(_reference_loss(pipeline, trainable, frozen, batch, rng))
     np.testing.assert_allclose(loss_pp, loss_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_generic_1f1b_grads_match_single():
+    """pipeline_schedule='1f1b' for single-phase PPProgram families: wan at
+    4 stages reproduces single-device loss and LoRA grads (the reference's
+    DeepSpeed 1F1B TrainSchedule runs every model)."""
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup("wan", 4, _wan_batch)
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    loss_ref = _reference_loss(pipeline, trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_pp = jax.tree.leaves(g_pp)
+    flat_ref = jax.tree.leaves(g_ref)
+    assert len(flat_pp) == len(flat_ref)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat_pp)
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_generic_1f1b_manual_split():
+    """1F1B + manual_partition_split (uneven per-stage blocks)."""
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+        make_generic_pipelined_loss_fn,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup("wan", 2, _wan_batch)
+    pipeline.config["partition_method"] = "manual"
+    pipeline.config["partition_split"] = [1]  # tiny wan: 2 blocks -> 1 + 1
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )

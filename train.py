@@ -346,12 +346,20 @@ def main(argv=None):
             # (reference: any model partitions via to_layers() +
             # PipelineModule, utils/pipeline.py:11-53)
             from diffusion_pipe_tpu.parallel.model_pp import (
+                make_generic_pipelined_grad_fn_1f1b,
                 make_generic_pipelined_loss_fn,
             )
 
-            pp_loss = make_generic_pipelined_loss_fn(
-                pipeline, mesh, num_microbatches=gas
-            )
+            if schedule == "1f1b":
+                # fused interleaved fwd/bwd schedule (single-phase
+                # programs, adapter training)
+                pp_grad = make_generic_pipelined_grad_fn_1f1b(
+                    pipeline, mesh, num_microbatches=gas
+                )
+            else:
+                pp_loss = make_generic_pipelined_loss_fn(
+                    pipeline, mesh, num_microbatches=gas
+                )
             pp_eval_builder = (
                 lambda q: make_generic_pipelined_loss_fn(  # noqa: E731
                     pipeline, mesh, num_microbatches=gas, timestep_quantile=q

@@ -18,7 +18,9 @@ matmul also int8; tiny-flux loss trajectories deviate <0.2% from bf16),
 bs2+int8-fwd_bwd+prequantized-kernels 2.61 (frozen kernels quantized
 ONCE at state init — int8 storage + per-channel scales — instead of
 re-quantized on every forward/remat/dgrad; forward bit-identical to
-the dynamic path).
+the dynamic path), +activation_checkpointing='attn' (save flash o/lse
+across remat so backward never re-runs the attention forward) 2.649;
+'attn' at bs4 exceeds HBM (16.89G/15.75G).
 
 vs_baseline is measured samples/sec divided by 1.0 samples/sec/chip — the
 A100 ballpark for flux-dev LoRA @512 (the reference publishes no numbers;
@@ -51,7 +53,7 @@ def main():
         "adapter": {"type": "lora", "rank": 32, "alpha": 32, "dropout": 0.0},
         "optimizer": {"type": "adamw8bit", "lr": 1e-4},
         "gradient_clipping": 1.0,
-        "activation_checkpointing": True,
+        "activation_checkpointing": "attn",
     }
 
     batch_size = 2

@@ -359,35 +359,66 @@ def _cosmos_keymap():
     return cosmos_predict2_keymap()
 
 
-def test_cosmos_predict2_forward_matches_reference():
-    """Full MiniTrainDIT forward (reference vendored
-    models/cosmos_predict2_modeling.py) vs our CosmosPredict2Transformer
-    with keymap-converted weights."""
+def _stub_torchvision():
+    """torchvision is not installed; the reference modules only touch
+    transforms.functional.resize / InterpolationMode, stub those."""
     import types
     import importlib.machinery
 
     import torch
 
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    tr = types.ModuleType("torchvision.transforms")
+    tr.__spec__ = importlib.machinery.ModuleSpec(
+        "torchvision.transforms", None)
+
+    class _F:
+        @staticmethod
+        def resize(img, size, **kw):
+            if tuple(img.shape[-2:]) == tuple(size):
+                return img
+            return torch.nn.functional.interpolate(img, size=tuple(size))
+
+    tr.functional = _F
+    tr.InterpolationMode = type("IM", (), {"NEAREST": "nearest",
+                                           "BICUBIC": "bicubic"})
+
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, x):
+            mean = torch.tensor(self.mean).view(-1, 1, 1)
+            std = torch.tensor(self.std).view(-1, 1, 1)
+            return (x - mean) / std
+
+    tr.Compose = _Compose
+    tr.Normalize = _Normalize
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+
+
+def test_cosmos_predict2_forward_matches_reference():
+    """Full MiniTrainDIT forward (reference vendored
+    models/cosmos_predict2_modeling.py) vs our CosmosPredict2Transformer
+    with keymap-converted weights."""
+    import torch
+
     _ref_path()
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
-        tr = types.ModuleType("torchvision.transforms")
-        tr.__spec__ = importlib.machinery.ModuleSpec(
-            "torchvision.transforms", None)
-
-        class _F:
-            @staticmethod
-            def resize(img, size, **kw):
-                if tuple(img.shape[-2:]) == tuple(size):
-                    return img
-                return torch.nn.functional.interpolate(img, size=tuple(size))
-
-        tr.functional = _F
-        tr.InterpolationMode = type("IM", (), {"NEAREST": "nearest"})
-        tv.transforms = tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tr
+    _stub_torchvision()
 
     from models.cosmos_predict2_modeling import MiniTrainDIT
 
@@ -432,3 +463,63 @@ def test_cosmos_predict2_forward_matches_reference():
     ))
     assert out_ref.shape == out_ours.shape
     np.testing.assert_allclose(out_ours, out_ref, atol=5e-4)
+
+
+def test_wan_clip_vision_matches_reference():
+    """Reference vendored XLM-Roberta-CLIP vision tower
+    (models/wan/clip.py VisionTransformer, use_31_block=True — the i2v
+    conditioning path, clip.py:521-535) vs our WanClipVision with
+    converted weights. The reference forward takes already CLIP-normalized
+    pixels; ours takes [-1,1] pixels and normalizes in-graph, so the torch
+    side gets the normalization applied manually here."""
+    import torch
+
+    _ref_path()
+    _stub_modules()
+    _stub_torchvision()
+    import models.wan.clip as ref_clip_mod
+    from models.wan.clip import VisionTransformer
+
+    ref_clip_mod.flash_attention = _sdpa_flash
+
+    torch.manual_seed(0)
+    m = VisionTransformer(
+        image_size=28, patch_size=14, dim=32, mlp_ratio=4, out_dim=16,
+        num_heads=4, num_layers=2, pool_type="token", pre_norm=True,
+        post_norm=False, activation="gelu", norm_eps=1e-5,
+    )
+    m = m.float().eval()
+    sd = {"visual." + k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.wan_clip import (
+        CLIP_MEAN,
+        CLIP_STD,
+        WanClipVision,
+        WanClipVisionConfig,
+        convert_wan_clip_visual,
+    )
+
+    cfg = WanClipVisionConfig.tiny()  # 28px/14 dim=32 heads=4 layers=2
+    assert cfg.image_size == 28 and cfg.num_layers == 2
+    params = convert_wan_clip_visual(sd, cfg)
+    ours = WanClipVision(cfg)
+
+    rng = np.random.default_rng(0)
+    # pixels in [-1, 1] at the target size (resize is then identity on
+    # both sides, so only the module math is compared)
+    px = rng.uniform(-1.0, 1.0, (2, 3, 28, 28)).astype(np.float32)
+
+    mean = np.asarray(CLIP_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(CLIP_STD, np.float32).reshape(1, 3, 1, 1)
+    px_norm = (px * 0.5 + 0.5 - mean) / std
+    with torch.no_grad():
+        out_ref = m(torch.from_numpy(px_norm), use_31_block=True).numpy()
+
+    out_ours = np.asarray(ours.apply(
+        jax.tree_util.tree_map(np.asarray, params), jnp.asarray(px)
+    ))
+    assert out_ref.shape == out_ours.shape
+    np.testing.assert_allclose(out_ours, out_ref, atol=2e-4)

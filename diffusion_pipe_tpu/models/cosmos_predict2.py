@@ -52,7 +52,9 @@ class CosmosPredict2Pipeline(BasePipeline):
                     target_dim=self.cp_config.crossattn_emb_channels,
                     model_dim=int(mc.get("llm_adapter_dim", 1024)),
                     num_layers=int(mc.get("llm_adapter_layers", 6)),
-                    self_attn=bool(mc.get("llm_adapter_self_attn", False)),
+                    # reference hardcodes self_attn=True when building the
+                    # Anima adapter (cosmos_predict2_modeling.py:1257-1263)
+                    self_attn=bool(mc.get("llm_adapter_self_attn", True)),
                 )
             self.adapter_config = acfg
             self.llm_adapter = LLMAdapter(acfg)
@@ -313,9 +315,27 @@ class CosmosPredict2Pipeline(BasePipeline):
     def load_weights(self):
         from .keymaps import keymap_to_flax, load_sd_for_pipeline
 
-        return keymap_to_flax(
-            load_sd_for_pipeline(self), self.keymap(), self.cp_config
-        )
+        sd = load_sd_for_pipeline(self)
+        params = keymap_to_flax(sd, self.keymap(), self.cp_config)
+        if self.anima:
+            # Trainable LLMAdapter weights: a standalone llm_adapter_path
+            # file, or llm_adapter.* keys shipped inside the DiT checkpoint
+            # (reference cosmos_predict2.py:274-300). Absent both, the
+            # adapter keeps its from-scratch init (the reference trains it
+            # from scratch in that case too).
+            from .llm_adapter import convert_llm_adapter
+
+            mc = self.model_config
+            if mc.get("llm_adapter_path"):
+                from .weights import load_safetensors_dir
+
+                asd = load_safetensors_dir(mc["llm_adapter_path"])
+                params["params"]["llm_adapter"] = convert_llm_adapter(asd)
+            elif "llm_adapter.out_proj.weight" in sd:
+                asd = {k: v for k, v in sd.items()
+                       if k.startswith("llm_adapter.")}
+                params["params"]["llm_adapter"] = convert_llm_adapter(asd)
+        return params
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

@@ -99,6 +99,61 @@ class _AdapterAttention(nn.Module):
         return LoraDense(x.shape[-1], name="o_proj", **dd)(o)
 
 
+def convert_llm_adapter(sd) -> dict:
+    """torch LLMAdapter state dict -> our flax param subtree.
+
+    Accepts the standalone `llm_adapter_path` file layout AND the keys
+    embedded inside an Anima DiT checkpoint under the `llm_adapter.`
+    prefix (reference models/cosmos_predict2.py:274-300). Reference
+    module names: models/llm_adapter.py LLMAdapter:164-199 (embed,
+    in_proj, blocks.N.{norm_self_attn,self_attn,norm_cross_attn,
+    cross_attn,norm_mlp,mlp.{0,2}}, out_proj, norm); rotary_emb.inv_freq
+    is a non-persistent buffer and never appears."""
+    sd = {
+        (k[len("llm_adapter."):] if k.startswith("llm_adapter.") else k):
+            np.asarray(v)
+        for k, v in sd.items()
+    }
+    out: dict = {}
+
+    def lin(dst, src):
+        entry = {"kernel": np.ascontiguousarray(sd[src + ".weight"].T)}
+        if src + ".bias" in sd:
+            entry["bias"] = sd[src + ".bias"]
+        out[dst] = entry
+
+    def attn(dst, src):
+        d = {}
+        for t in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            d[t] = {"kernel": np.ascontiguousarray(
+                sd[f"{src}.{t}.weight"].T)}
+        d["q_norm"] = {"scale": sd[f"{src}.q_norm.weight"]}
+        d["k_norm"] = {"scale": sd[f"{src}.k_norm.weight"]}
+        out[dst] = d
+
+    out["embed"] = {"embedding": sd["embed.weight"]}
+    if "in_proj.weight" in sd:
+        lin("in_proj", "in_proj")
+    n = 0
+    while f"blocks.{n}.norm_cross_attn.weight" in sd:
+        n += 1
+    for i in range(n):
+        p = f"blocks.{i}"
+        if f"{p}.norm_self_attn.weight" in sd:
+            out[f"blocks_{i}_norm_self"] = {
+                "scale": sd[f"{p}.norm_self_attn.weight"]}
+            attn(f"blocks_{i}_self_attn", f"{p}.self_attn")
+        out[f"blocks_{i}_norm_cross"] = {
+            "scale": sd[f"{p}.norm_cross_attn.weight"]}
+        attn(f"blocks_{i}_cross_attn", f"{p}.cross_attn")
+        out[f"blocks_{i}_norm_mlp"] = {"scale": sd[f"{p}.norm_mlp.weight"]}
+        lin(f"blocks_{i}_mlp1", f"{p}.mlp.0")
+        lin(f"blocks_{i}_mlp2", f"{p}.mlp.2")
+    lin("out_proj", "out_proj")
+    out["norm"] = {"scale": sd["norm.weight"]}
+    return out
+
+
 class LLMAdapter(nn.Module):
     config: LLMAdapterConfig
 

@@ -523,3 +523,54 @@ def test_wan_clip_vision_matches_reference():
     ))
     assert out_ref.shape == out_ours.shape
     np.testing.assert_allclose(out_ours, out_ref, atol=2e-4)
+
+
+def test_llm_adapter_matches_reference():
+    """Anima's trainable LLMAdapter (reference models/llm_adapter.py, fully
+    self-contained torch) vs our Flax port through convert_llm_adapter —
+    the converter the llm_adapter_path load path uses. self_attn=True is
+    the reference's hardcoded Anima construction
+    (cosmos_predict2_modeling.py:1257-1263)."""
+    import torch
+
+    _ref_path()
+    from models.llm_adapter import LLMAdapter as RefAdapter
+
+    torch.manual_seed(3)
+    ref = RefAdapter(source_dim=24, target_dim=40, model_dim=32,
+                     num_layers=2, num_heads=4, self_attn=True)
+    ref = ref.float().eval()
+
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.llm_adapter import (
+        LLMAdapter,
+        LLMAdapterConfig,
+        convert_llm_adapter,
+    )
+
+    cfg = LLMAdapterConfig(source_dim=24, target_dim=40, model_dim=32,
+                           num_layers=2, num_heads=4, vocab=32128,
+                           self_attn=True)
+    params = convert_llm_adapter(
+        {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal((2, 7, 24)).astype(np.float32)
+    ids = rng.integers(0, 32128, (2, 5)).astype(np.int64)
+    tmask = np.array([[1, 1, 1, 1, 0], [1, 1, 1, 0, 0]], np.int64)
+    smask = np.array([[1] * 7, [1, 1, 1, 1, 1, 0, 0]], np.int64)
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(src), torch.from_numpy(ids),
+            target_attention_mask=torch.from_numpy(tmask),
+            source_attention_mask=torch.from_numpy(smask),
+        ).numpy()
+
+    out_ours = np.asarray(LLMAdapter(cfg).apply(
+        {"params": params}, jnp.asarray(src), jnp.asarray(ids, jnp.int32),
+        target_mask=jnp.asarray(tmask), source_mask=jnp.asarray(smask),
+    ))
+    assert out_ref.shape == out_ours.shape
+    np.testing.assert_allclose(out_ours, out_ref, atol=2e-4)

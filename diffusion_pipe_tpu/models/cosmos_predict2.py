@@ -172,6 +172,9 @@ class CosmosPredict2Pipeline(BasePipeline):
                 llm_mask=batch["llm_mask"].reshape(b, -1),
                 t5_input_ids=batch["t5_input_ids"].reshape(b, -1)
                 .astype(jnp.int32),
+                # self-attn mask over the padded T5 query stream + padded-
+                # row zeroing (reference cosmos_predict2.py:584-593)
+                t5_mask=batch["t5_mask"].reshape(b, -1).astype(jnp.int32),
             )
         else:
             model_inputs = dict(
@@ -204,6 +207,8 @@ class CosmosPredict2Pipeline(BasePipeline):
                     llm_mask=embeds["llm_mask"].reshape(b, -1),
                     t5_input_ids=embeds["t5_input_ids"].reshape(b, -1)
                     .astype(jnp.int32),
+                    t5_mask=embeds["t5_mask"].reshape(b, -1)
+                    .astype(jnp.int32),
                 )
             else:
                 mi = dict(
@@ -233,12 +238,18 @@ class CosmosPredict2Pipeline(BasePipeline):
             mi = dict(model_inputs)
             p = dict(params["params"])
             adapter_params = {"params": p.pop("llm_adapter")}
+            t5_mask = mi.pop("t5_mask", None)
             context = self.llm_adapter.apply(
                 adapter_params,
                 mi.pop("llm_hidden_states"),
                 mi.pop("t5_input_ids"),
+                target_mask=t5_mask,
                 source_mask=mi.pop("llm_mask"),
             )
+            if t5_mask is not None:
+                # reference zeroes padded adapter-output rows
+                # (cosmos_predict2.py:593: crossattn_emb[~t5_attn_mask]=0)
+                context = context * t5_mask[..., None].astype(context.dtype)
             return self.model.apply({"params": p}, context=context, **mi)
         return self.model.apply(params, **model_inputs)
 
@@ -313,9 +324,14 @@ class CosmosPredict2Pipeline(BasePipeline):
         return cosmos_predict2_keymap()
 
     def load_weights(self):
-        from .keymaps import keymap_to_flax, load_sd_for_pipeline
+        from .keymaps import (keymap_to_flax, load_sd_for_pipeline,
+                              strip_known_prefixes)
 
-        sd = load_sd_for_pipeline(self)
+        # strip 'net.'/'diffusion_model.' wrappers BEFORE the embedded-
+        # adapter membership check below: reference checkpoints prefix
+        # every key with 'net.' and the reference strips it first
+        # (cosmos_predict2.py:264-284)
+        sd = strip_known_prefixes(load_sd_for_pipeline(self), self.keymap())
         params = keymap_to_flax(sd, self.keymap(), self.cp_config)
         if self.anima:
             # Trainable LLMAdapter weights: a standalone llm_adapter_path
@@ -327,9 +343,9 @@ class CosmosPredict2Pipeline(BasePipeline):
 
             mc = self.model_config
             if mc.get("llm_adapter_path"):
-                from .weights import load_safetensors_dir
+                from .weights import load_state_dict_any
 
-                asd = load_safetensors_dir(mc["llm_adapter_path"])
+                asd = load_state_dict_any(mc["llm_adapter_path"])
                 params["params"]["llm_adapter"] = convert_llm_adapter(asd)
             elif "llm_adapter.out_proj.weight" in sd:
                 asd = {k: v for k, v in sd.items()
@@ -525,12 +541,18 @@ class _CosmosPredict2PPProgram:
 
     def _context(self, p_rest, mi):
         if getattr(self.pipeline, "anima", False):
-            return self.pipeline.llm_adapter.apply(
+            t5_mask = mi.get("t5_mask")
+            context = self.pipeline.llm_adapter.apply(
                 {"params": p_rest["llm_adapter"]},
                 mi["llm_hidden_states"],
                 mi["t5_input_ids"],
+                target_mask=t5_mask,
                 source_mask=mi["llm_mask"],
             )
+            if t5_mask is not None:
+                # reference cosmos_predict2.py:593
+                context = context * t5_mask[..., None].astype(context.dtype)
+            return context
         return mi["context"]
 
     def embed(self, p_rest, mi, ctx):

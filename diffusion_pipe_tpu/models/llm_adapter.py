@@ -114,6 +114,17 @@ def convert_llm_adapter(sd) -> dict:
             np.asarray(v)
         for k, v in sd.items()
     }
+    # layer_norm=True checkpoints use nn.LayerNorm (weight+bias, mean
+    # subtraction) where we build RMSNorm; converting them silently would
+    # be numerically wrong. The reference hardcodes layer_norm=False for
+    # Anima (cosmos_predict2_modeling.py:1257-1263), so only guard.
+    ln_bias = [k for k in sd
+               if k.endswith(".bias") and ".norm" in f".{k}"]
+    if ln_bias:
+        raise ValueError(
+            "LLMAdapter checkpoint has LayerNorm biases "
+            f"({ln_bias[:3]}…): layer_norm=True adapters are not "
+            "supported (Anima uses RMSNorm / layer_norm=False)")
     out: dict = {}
 
     def lin(dst, src):

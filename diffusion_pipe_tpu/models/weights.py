@@ -29,6 +29,32 @@ def load_safetensors_dir(path) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_state_dict_any(path) -> Dict[str, np.ndarray]:
+    """Load a checkpoint that may be safetensors OR a torch pickle
+    (.pt/.pth/.bin/.ckpt). The reference's `load_state_dict`
+    (utils/common.py) accepts both for paths like `llm_adapter_path`
+    (models/cosmos_predict2.py:274-280); mirror that here so configs valid
+    in the reference don't silently fall back to random init."""
+    p = str(path)
+    if os.path.isfile(p) and p.endswith((".pt", ".pth", ".bin", ".ckpt")):
+        import torch
+
+        sd = torch.load(p, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+            sd = sd["state_dict"]
+
+        def to_np(v):
+            if v.dtype == torch.bfloat16:
+                import ml_dtypes
+
+                return v.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            return v.numpy()
+
+        return {k: to_np(v) for k, v in sd.items()
+                if isinstance(v, torch.Tensor)}
+    return load_safetensors_dir(p)
+
+
 def merge_adapters_into_state_dict(
     sd: Dict[str, np.ndarray], adapter_paths
 ) -> Dict[str, np.ndarray]:

@@ -1,0 +1,380 @@
+"""Golden parity for the Hunyuan MM blocks (VERDICT r2 item #1).
+
+The reference vendors the HunyuanImage-2.1 MMDoubleStreamBlock /
+MMSingleStreamBlock torch code verbatim
+(/root/reference/models/hunyuan_image_modeling.py:61-344) — the exact block
+math shared by our hunyuan_image, hunyuan_video and hunyuan_video_15
+families. Its imports come from the (empty) HunyuanImage-2.1 submodule, so
+this test supplies faithful torch stubs of those small public leaf layers
+(MLP, RMSNorm, ModulateDiT, modulate/apply_gate, interleaved rope, flash
+varlen attention emulated with SDPA + zeroed padded-query rows) and lets
+the REFERENCE's own block forward drive the comparison:
+
+    torch block state dict -> our hunyuan_image KeyMap (keymap_to_flax)
+    -> HunyuanDoubleBlock / HunyuanSingleBlock forward -> match <=5e-4.
+
+This externally verifies the fused-qkv split order, qk-norm plumbing,
+modulation chunk order, rope convention (interleaved pairs, per-axis theta
+split) and the [img, txt] joint-attention layout behind three families.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def _install_hyimage_stubs():
+    """Register torch stubs for the hyimage leaf modules the vendored block
+    file imports. Semantics follow the public HunyuanVideo/HunyuanImage
+    module definitions (hyimage/models/hunyuan/modules/*.py upstream)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    if "hyimage.models.hunyuan.modules.mlp_layers" in sys.modules:
+        return
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    for name in ("hyimage", "hyimage.models", "hyimage.models.hunyuan",
+                 "hyimage.models.hunyuan.modules"):
+        if name not in sys.modules:
+            _mod(name)
+
+    # --- flash_attn_no_pad: varlen flash == SDPA over valid keys, with
+    # unpad/pad_input semantics (padded-QUERY output rows come back 0).
+    fa = _mod("hyimage.models.hunyuan.modules.flash_attn_no_pad")
+
+    def flash_attn_no_pad(qkv, key_padding_mask, causal=False,
+                          dropout_p=0.0, softmax_scale=None):
+        q, k, v = qkv.unbind(2)  # [B, S, H, D]
+        mask = key_padding_mask.bool()
+        bias = torch.zeros(
+            mask.shape[0], 1, 1, mask.shape[1], dtype=q.dtype)
+        bias.masked_fill_(~mask[:, None, None, :], float("-inf"))
+        out = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+            attn_mask=bias, scale=softmax_scale,
+        ).transpose(1, 2)
+        return out * mask[:, :, None, None].to(out.dtype)
+
+    fa.flash_attn_no_pad = flash_attn_no_pad
+
+    # --- activation_layers
+    act = _mod("hyimage.models.hunyuan.modules.activation_layers")
+
+    def get_activation_layer(name):
+        return {
+            "silu": nn.SiLU,
+            "gelu_tanh": lambda: nn.GELU(approximate="tanh"),
+            "gelu": nn.GELU,
+            "relu": nn.ReLU,
+        }[name]
+
+    act.get_activation_layer = get_activation_layer
+
+    # --- mlp_layers: fc1 -> act -> fc2 (timm-style MLP, param names fc1/fc2)
+    mlp_mod = _mod("hyimage.models.hunyuan.modules.mlp_layers")
+
+    class MLP(nn.Module):
+        def __init__(self, in_channels, hidden_channels=None, act_layer=None,
+                     norm_layer=None, bias=True, drop=0.0, use_conv=False,
+                     device=None, dtype=None):
+            super().__init__()
+            kw = {"device": device, "dtype": dtype}
+            self.fc1 = nn.Linear(in_channels, hidden_channels, bias=bias, **kw)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_channels, in_channels, bias=bias, **kw)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class LinearWarpforSingle(nn.Linear):
+        pass
+
+    mlp_mod.MLP = MLP
+    mlp_mod.LinearWarpforSingle = LinearWarpforSingle
+
+    # --- modulate_layers
+    modl = _mod("hyimage.models.hunyuan.modules.modulate_layers")
+
+    class ModulateDiT(nn.Module):
+        def __init__(self, hidden_size, factor, act_layer, device=None,
+                     dtype=None):
+            super().__init__()
+            kw = {"device": device, "dtype": dtype}
+            self.act = act_layer()
+            self.linear = nn.Linear(hidden_size, factor * hidden_size,
+                                    bias=True, **kw)
+
+        def forward(self, x):
+            return self.linear(self.act(x))
+
+    def modulate(x, shift=None, scale=None):
+        if scale is None and shift is None:
+            return x
+        if shift is None:
+            return x * (1 + scale.unsqueeze(1))
+        return x * (1 + scale.unsqueeze(1)) + shift.unsqueeze(1)
+
+    def apply_gate(x, gate=None, tanh=False):
+        if gate is None:
+            return x
+        g = gate.tanh() if tanh else gate
+        return x * g.unsqueeze(1)
+
+    modl.ModulateDiT = ModulateDiT
+    modl.modulate = modulate
+    modl.apply_gate = apply_gate
+
+    # --- norm_layers
+    norml = _mod("hyimage.models.hunyuan.modules.norm_layers")
+
+    class RMSNorm(nn.Module):
+        def __init__(self, dim, elementwise_affine=True, eps=1e-6,
+                     device=None, dtype=None):
+            super().__init__()
+            self.eps = eps
+            if elementwise_affine:
+                self.weight = nn.Parameter(
+                    torch.ones(dim, device=device, dtype=dtype))
+            else:
+                self.weight = None
+
+        def forward(self, x):
+            out = (x.float() *
+                   torch.rsqrt(x.float().pow(2).mean(-1, keepdim=True)
+                               + self.eps)).type_as(x)
+            if self.weight is not None:
+                out = out * self.weight
+            return out
+
+    def get_norm_layer(name):
+        assert name == "rms"
+        return RMSNorm
+
+    norml.RMSNorm = RMSNorm
+    norml.get_norm_layer = get_norm_layer
+
+    # --- posemb_layers: interleaved-pair rope with (cos, sin) tables of
+    # full head_dim width (repeat_interleave(2) of the half tables)
+    pos = _mod("hyimage.models.hunyuan.modules.posemb_layers")
+
+    def _rotate_half(x):
+        xr = x.float().reshape(*x.shape[:-1], -1, 2)
+        x_real, x_imag = xr.unbind(-1)
+        return torch.stack([-x_imag, x_real], dim=-1).flatten(-2)
+
+    def apply_rotary_emb(xq, xk, freqs_cis, head_first=False):
+        assert not head_first
+        cos, sin = freqs_cis  # [S, D]
+        cos = cos[None, :, None, :].float()
+        sin = sin[None, :, None, :].float()
+        xq_out = (xq.float() * cos + _rotate_half(xq) * sin).type_as(xq)
+        xk_out = (xk.float() * cos + _rotate_half(xk) * sin).type_as(xk)
+        return xq_out, xk_out
+
+    pos.apply_rotary_emb = apply_rotary_emb
+
+
+def _make_pipeline():
+    from diffusion_pipe_tpu.models import get_model_class
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "hunyuan_image", "dtype": "float32",
+                  "_tiny": True},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    return get_model_class("hunyuan_image")(cfg)
+
+
+def _rope_tables(pipe, gh, gw):
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.layers import rope_frequencies
+
+    cfg = pipe.hi_config
+    hi = jnp.repeat(jnp.arange(gh), gw)
+    wi = jnp.tile(jnp.arange(gw), gh)
+    ids = jnp.stack([hi, wi], axis=-1)
+    return rope_frequencies(ids, cfg.rope_axes_dim, cfg.rope_theta)
+
+
+def _sliced(params, group, i):
+    import jax
+
+    return jax.tree.map(lambda a: np.asarray(a)[i], params[group])
+
+
+def test_mm_double_stream_block_golden():
+    import torch
+
+    _install_hyimage_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.hunyuan_image_modeling import MMDoubleStreamBlock
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.hunyuan_video_model import (
+        HunyuanDoubleBlock,
+    )
+    from diffusion_pipe_tpu.models.keymaps import keymap_from_flax, keymap_to_flax
+
+    pipe = _make_pipeline()
+    cfg = pipe.hi_config
+    dim, heads = cfg.hidden_size, cfg.num_attention_heads
+
+    torch.manual_seed(0)
+    ref_blocks = [
+        MMDoubleStreamBlock(hidden_size=dim, heads_num=heads,
+                            mlp_width_ratio=cfg.mlp_ratio,
+                            qkv_bias=True).float().eval()
+        for _ in range(cfg.num_layers)
+    ]
+    # non-trivial weights everywhere (default init leaves some at zero-mean
+    # tiny values, fine; reseed norms so qk-norm scales aren't all-ones)
+    with torch.no_grad():
+        for blk in ref_blocks:
+            for p in blk.parameters():
+                p.add_(torch.randn_like(p) * 0.02)
+
+    # complete checkpoint skeleton from our own export, block keys replaced
+    # by the reference blocks' tensors
+    import flax.linen as nn
+
+    params0 = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+    sd = keymap_from_flax(params0, pipe.keymap(), cfg)
+    for i, blk in enumerate(ref_blocks):
+        for k, v in blk.state_dict().items():
+            key = f"double_blocks.{i}.{k}"
+            assert key in sd, f"export/keymap key mismatch: {key}"
+            sd[key] = v.detach().numpy()
+    params = keymap_to_flax(sd, pipe.keymap(), cfg)
+
+    rng = np.random.default_rng(0)
+    gh = gw = 4
+    si, st = gh * gw, 6
+    img = rng.standard_normal((2, si, dim)).astype(np.float32)
+    txt = rng.standard_normal((2, st, dim)).astype(np.float32)
+    vec = rng.standard_normal((2, dim)).astype(np.float32)
+    text_mask = np.array([[1, 1, 1, 1, 0, 0], [1] * 6], np.int64)
+
+    rope_cos, rope_sin = _rope_tables(pipe, gh, gw)
+    cos_t = torch.from_numpy(
+        np.repeat(np.asarray(rope_cos), 2, axis=-1))
+    sin_t = torch.from_numpy(
+        np.repeat(np.asarray(rope_sin), 2, axis=-1))
+
+    img_t, txt_t = torch.from_numpy(img), torch.from_numpy(txt)
+    with torch.no_grad():
+        for blk in ref_blocks:
+            img_t, txt_t = blk(
+                img_t, txt_t, torch.from_numpy(vec),
+                freqs_cis=(cos_t, sin_t),
+                text_mask=torch.from_numpy(text_mask),
+            )
+
+    img_j, txt_j = jnp.asarray(img), jnp.asarray(txt)
+    for i in range(cfg.num_layers):
+        (img_j, txt_j), _ = HunyuanDoubleBlock(cfg).apply(
+            {"params": _sliced(params["params"], "double_blocks", i)},
+            (img_j, txt_j), jnp.asarray(vec), rope_cos, rope_sin,
+            jnp.asarray(text_mask),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(img_j), img_t.numpy(), atol=5e-4,
+        err_msg="img stream diverged")
+    # padded txt rows differ by design (flash zeroes padded-query rows; we
+    # leave them untouched — they are masked as keys downstream either way)
+    valid = text_mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(txt_j)[valid], txt_t.numpy()[valid], atol=5e-4,
+        err_msg="txt stream diverged at valid positions")
+
+
+def test_mm_single_stream_block_golden():
+    import torch
+
+    _install_hyimage_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from models.hunyuan_image_modeling import MMSingleStreamBlock
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_pipe_tpu.models.hunyuan_video_model import (
+        HunyuanSingleBlock,
+    )
+    from diffusion_pipe_tpu.models.keymaps import keymap_from_flax, keymap_to_flax
+
+    pipe = _make_pipeline()
+    cfg = pipe.hi_config
+    dim, heads = cfg.hidden_size, cfg.num_attention_heads
+
+    torch.manual_seed(1)
+    ref_blocks = [
+        MMSingleStreamBlock(hidden_size=dim, heads_num=heads,
+                            mlp_width_ratio=cfg.mlp_ratio).float().eval()
+        for _ in range(cfg.num_single_layers)
+    ]
+    with torch.no_grad():
+        for blk in ref_blocks:
+            for p in blk.parameters():
+                p.add_(torch.randn_like(p) * 0.02)
+
+    import flax.linen as nn
+
+    params0 = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+    sd = keymap_from_flax(params0, pipe.keymap(), cfg)
+    for i, blk in enumerate(ref_blocks):
+        for k, v in blk.state_dict().items():
+            key = f"single_blocks.{i}.{k}"
+            assert key in sd, f"export/keymap key mismatch: {key}"
+            sd[key] = v.detach().numpy()
+    params = keymap_to_flax(sd, pipe.keymap(), cfg)
+
+    rng = np.random.default_rng(2)
+    gh = gw = 4
+    si, st = gh * gw, 6
+    x = rng.standard_normal((2, si + st, dim)).astype(np.float32)
+    vec = rng.standard_normal((2, dim)).astype(np.float32)
+    text_mask = np.array([[1, 1, 1, 0, 0, 0], [1] * 6], np.int64)
+
+    rope_cos, rope_sin = _rope_tables(pipe, gh, gw)
+    cos_t = torch.from_numpy(np.repeat(np.asarray(rope_cos), 2, axis=-1))
+    sin_t = torch.from_numpy(np.repeat(np.asarray(rope_sin), 2, axis=-1))
+
+    x_t = torch.from_numpy(x)
+    with torch.no_grad():
+        for blk in ref_blocks:
+            x_t = blk(x_t, torch.from_numpy(vec), txt_len=st,
+                      freqs_cis=(cos_t, sin_t),
+                      text_mask=torch.from_numpy(text_mask))
+
+    kv_mask = jnp.concatenate(
+        [jnp.ones((2, si), jnp.int32), jnp.asarray(text_mask, jnp.int32)], 1
+    )
+    x_j = jnp.asarray(x)
+    for i in range(cfg.num_single_layers):
+        x_j, _ = HunyuanSingleBlock(cfg, si).apply(
+            {"params": _sliced(params["params"], "single_blocks", i)},
+            x_j, jnp.asarray(vec), rope_cos, rope_sin, kv_mask,
+        )
+
+    valid = np.concatenate(
+        [np.ones((2, si), bool), text_mask.astype(bool)], 1)
+    np.testing.assert_allclose(
+        np.asarray(x_j)[valid], x_t.numpy()[valid], atol=5e-4,
+        err_msg="single-stream output diverged at valid positions")

@@ -212,6 +212,89 @@ class HunyuanVAE(nn.Module):
         return self.decode(self.encode(pixels))
 
 
+def normalize_hunyuan_vae_dialect(sd: dict) -> dict:
+    """Original/ComfyUI SD-VAE naming (encoder.down.N.block.M, mid.block_1,
+    attn q/k/v/proj_out as 1x1 convs, norm_out) -> the diffusers dialect
+    convert_diffusers_hunyuan_vae expects. No-op for diffusers-layout
+    dicts. The reference reaches this VAE through ComfyUI's loader
+    (models/base.py:451-527), which accepts either dialect."""
+    if any(".down_blocks." in k or k.startswith("encoder.down_blocks")
+           for k in sd):
+        return dict(sd)
+    if not any(".down." in k for k in sd):
+        return dict(sd)
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"\.down\.(\d+)\.block\.(\d+)\.", r".down_blocks.\1.resnets.\2.", k)
+        k = re.sub(r"\.up\.(\d+)\.block\.(\d+)\.", r".up_blocks.\1.resnets.\2.", k)
+        k = re.sub(r"\.down\.(\d+)\.downsample\.conv\.", r".down_blocks.\1.downsamplers.0.conv.", k)
+        k = re.sub(r"\.up\.(\d+)\.upsample\.conv\.", r".up_blocks.\1.upsamplers.0.conv.", k)
+        k = k.replace(".mid.block_1.", ".mid_block.resnets.0.")
+        k = k.replace(".mid.block_2.", ".mid_block.resnets.1.")
+        k = k.replace(".mid.attn_1.", ".mid_block.attentions.0.")
+        k = k.replace(".norm_out.", ".conv_norm_out.")
+        if ".attentions.0." in k:
+            k = (k.replace(".q.", ".to_q.").replace(".k.", ".to_k.")
+                 .replace(".v.", ".to_v.").replace(".proj_out.", ".to_out.0.")
+                 .replace(".norm.", ".group_norm."))
+            if k.endswith(".weight") and getattr(v, "ndim", 0) > 2:
+                v = np.asarray(v).reshape(v.shape[0], v.shape[1])
+        out[k] = v
+    # SD-style decoder up blocks are indexed in REVERSE channel order
+    # (up.0 = lowest-res); diffusers up_blocks.0 = highest channel count.
+    ups = sorted({int(m.group(1)) for k in out
+                  if (m := re.match(r"decoder\.up_blocks\.(\d+)\.", k))})
+    if ups:
+        n = max(ups)
+        remapped = {}
+        for k, v in out.items():
+            m = re.match(r"decoder\.up_blocks\.(\d+)\.(.*)", k)
+            if m:
+                k = f"decoder.up_blocks.{n - int(m.group(1))}.{m.group(2)}"
+            remapped[k] = v
+        out = remapped
+    return out
+
+
+def infer_hunyuan_vae_config(
+    sd: dict,
+    temporal_downsamples: Optional[int] = None,
+    scaling_factor: Optional[float] = None,
+    dtype=jnp.float32,
+) -> HunyuanVAEConfig:
+    """Discover the causal-3D-VAE topology from a diffusers-dialect state
+    dict: block count/widths from each down block's first resnet, layers
+    per block from block 0, latent width from encoder.conv_out. Strides
+    are invisible in shapes, so temporal_downsamples stays a parameter
+    (HunyuanVideo family default: 4x temporal = 2)."""
+    import re
+
+    idxs = sorted({int(m.group(1)) for k in sd
+                   if (m := re.match(r"encoder\.down_blocks\.(\d+)\.", k))})
+    if not idxs:
+        raise ValueError("no encoder.down_blocks.* keys found")
+    chans = []
+    for i in idxs:
+        w = sd[f"encoder.down_blocks.{i}.resnets.0.conv1.weight"]
+        chans.append(int(w.shape[0]))
+    layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.match(r"encoder\.down_blocks\.0\.resnets\.(\d+)\.", k)))
+    latent = int(sd["encoder.conv_out.weight"].shape[0]) // 2
+    kw = {}
+    if scaling_factor is not None:
+        kw["scaling_factor"] = float(scaling_factor)
+    return HunyuanVAEConfig(
+        latent_channels=latent, block_out_channels=tuple(chans),
+        layers_per_block=layers,
+        temporal_downsamples=(2 if temporal_downsamples is None
+                              else int(temporal_downsamples)),
+        dtype=dtype, **kw,
+    )
+
+
 def convert_diffusers_hunyuan_vae(sd: dict, cfg: HunyuanVAEConfig):
     """diffusers AutoencoderKLHunyuanVideo state dict -> flax params.
 

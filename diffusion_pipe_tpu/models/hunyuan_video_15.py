@@ -444,19 +444,56 @@ class HunyuanVideo15Pipeline(BasePipeline):
         )
 
     def get_call_vae_fn(self):
-        """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;
-        the HunyuanVideo-1.5 video-VAE port is pending real-checkpoint
-        verification (it is not the hv1 3D VAE)."""
+        """Video VAE (reference: ComfyUI VAE loader, models/base.py:451-527
+        reached from hunyuan_video_15.py). The HunyuanVideo-1.5 VAE is the
+        HV causal-3D-VAE family at new widths (32 latent channels); its
+        topology is discovered from the checkpoint shapes
+        (infer_hunyuan_vae_config) and both the diffusers and
+        original/ComfyUI key dialects load. model.vae_temporal_downsamples
+        (default 2 = 4x) and model.vae_scaling_factor (default 1.0 —
+        hv15 publishes unit-scale latents) override the shape-invisible
+        bits; a layout that doesn't match raises instead of caching
+        garbage."""
         mc = self.model_config
         if mc.get("_tiny", False):
             return self._generic_image_vae_fn(
                 tiny_latent_channels=self.hv15_config.latent_channels,
                 video_latents=True,
             )
-        raise NotImplementedError(
-            "hunyuan_video_15: video VAE port pending; cache latents "
-            "externally or use the tiny test path"
+        from .hunyuan_vae import (
+            HunyuanVAE,
+            convert_diffusers_hunyuan_vae,
+            infer_hunyuan_vae_config,
+            normalize_hunyuan_vae_dialect,
         )
+        from .weights import load_state_dict_any
+
+        sd = load_state_dict_any(mc["vae_path"])
+        sd = {(k[4:] if k.startswith("vae.") else k): v
+              for k, v in sd.items()}
+        sd = normalize_hunyuan_vae_dialect(sd)
+        cfg = infer_hunyuan_vae_config(
+            sd,
+            temporal_downsamples=mc.get("vae_temporal_downsamples"),
+            scaling_factor=mc.get("vae_scaling_factor", 1.0),
+        )
+        if cfg.latent_channels != self.hv15_config.latent_channels:
+            raise ValueError(
+                f"VAE latent width {cfg.latent_channels} != model "
+                f"{self.hv15_config.latent_channels}")
+        vae = HunyuanVAE(cfg)
+        params = convert_diffusers_hunyuan_vae(sd, cfg)
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
+        )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

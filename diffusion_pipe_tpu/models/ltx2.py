@@ -542,8 +542,13 @@ class LTX2Pipeline(BasePipeline):
         )
 
     def get_call_vae_fn(self):
-        """Video VAE: tiny mode runs a small KL VAE with frames=1 latents;
-        the LTX-2 video-VAE port is pending real-checkpoint verification."""
+        """Video VAE (reference ltx2.py:203-232: 'vae.'-prefixed keys in
+        the combined checkpoint through ComfyUI's loader). LTX-2 keeps the
+        LTX causal-VAE encoder family (pixel-norm resnets, flat
+        down_blocks list, per_channel_statistics latent stats), so the
+        topology-discovering convert_ltx_vae handles it; an encoder layout
+        that doesn't match the family raises instead of caching garbage.
+        model.vae_path overrides the combined-file location."""
         mc = self.model_config
         if mc.get("_tiny", False):
             return self._generic_image_vae_fn(
@@ -551,10 +556,28 @@ class LTX2Pipeline(BasePipeline):
                 if self.ltx2_config.in_channels >= 8 else 4,
                 video_latents=True,
             )
-        raise NotImplementedError(
-            "ltx2: video VAE port pending; cache latents externally or "
-            "use the tiny test path"
+        from .ltx_vae import LTXVideoVAE, convert_ltx_vae
+        from .weights import load_state_dict_any
+
+        sd = load_state_dict_any(
+            mc.get("vae_path") or mc.get("diffusion_model")
+            or mc["single_file_path"])
+        vae_sd = {k: v for k, v in sd.items()
+                  if k.startswith(("vae.", "encoder.", "decoder.",
+                                   "per_channel_statistics."))}
+        cfg, params = convert_ltx_vae(vae_sd)
+        vae = LTXVideoVAE(cfg)
+        encode = jax.jit(
+            lambda px: vae.apply(params, px, method=type(vae).encode)
         )
+
+        def fn(pixels):
+            if pixels.ndim == 4:
+                pixels = pixels[:, :, None]
+            return {"latents": np.asarray(
+                encode(jnp.asarray(pixels, jnp.float32)))}
+
+        return fn
 
     def get_call_text_encoder_fns(self):
         mc = self.model_config

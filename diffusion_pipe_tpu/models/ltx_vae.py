@@ -150,6 +150,185 @@ class LTXVAEDecoder(nn.Module):
         return _unpatchify(h, cfg.patch_size, cfg.out_channels)
 
 
+def _conv3d_kernel(w):
+    """torch Conv3d [O, I, kt, kh, kw] -> flax [kt, kh, kw, I, O]."""
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 4, 1, 0))
+
+
+def convert_ltx_vae(sd):
+    """LTX-Video CausalVideoAutoencoder checkpoint -> (config, params).
+
+    The reference loads this VAE via the LTX_Video submodule
+    (models/ltx_video.py:42 CausalVideoAutoencoder.from_pretrained); its
+    encoder is a flat `encoder.down_blocks.<k>` list mixing res_x groups
+    (`res_blocks.<j>.conv{1,2}.conv`), compress convs (`conv`), and
+    channel-change resnets (`conv1.conv` at top level), ending in
+    `per_channel_statistics.{mean,std}-of-means` latent stats. Rather than
+    hardcoding one version's block list, the block SEQUENCE and channel
+    widths are discovered from the keys/shapes and matched to our
+    [res group][compress?][change?]* + mid pattern; anything that doesn't
+    fit (GroupNorm keys, attention blocks) raises instead of converting
+    silently wrong. Encoder + stats only: training caches need encode
+    (reference get_call_vae_fn, ltx_video.py:98-105); the 0.9.x decoders
+    (DepthToSpaceUpsample + timestep conditioning) are not mirrored.
+    """
+    sd = {(k[4:] if k.startswith("vae.") else k): np.asarray(v)
+          for k, v in sd.items()}
+    enc = {k[len("encoder."):]: v for k, v in sd.items()
+           if k.startswith("encoder.")}
+    if not enc:
+        raise ValueError("no encoder.* keys found in LTX VAE checkpoint")
+    for k in enc:
+        if "norm1.weight" in k or "attention" in k or "attn" in k:
+            raise ValueError(
+                f"unsupported LTX VAE variant (unexpected key {k}); expected "
+                "pixel-norm resnets without attention")
+
+    consumed = set()
+
+    def take(key):
+        consumed.add("encoder." + key)
+        return enc[key]
+
+    def lin_or_conv_shortcut(prefix):
+        """make_linear_nd ([O,I]) or 1x1x1 conv shortcut -> flax conv."""
+        if f"{prefix}.weight" in enc:
+            w = take(f"{prefix}.weight")
+        elif f"{prefix}.conv.weight" in enc:
+            w = take(f"{prefix}.conv.weight")
+        else:
+            return None
+        entry = {}
+        if w.ndim == 2:
+            entry["kernel"] = np.ascontiguousarray(
+                w.T[None, None, None])  # [1,1,1,I,O]
+        else:
+            entry["kernel"] = _conv3d_kernel(w)
+        for b in (f"{prefix}.bias", f"{prefix}.conv.bias"):
+            if b in enc:
+                entry["bias"] = take(b)
+        return entry
+
+    def conv(prefix):
+        out = {"conv": {"kernel": _conv3d_kernel(take(f"{prefix}.conv.weight"))}}
+        if f"{prefix}.conv.bias" in enc:
+            out["conv"]["bias"] = take(f"{prefix}.conv.bias")
+        return out
+
+    def resnet(prefix):
+        out = {"conv1": conv(f"{prefix}.conv1"),
+               "conv2": conv(f"{prefix}.conv2")}
+        sc = lin_or_conv_shortcut(f"{prefix}.conv_shortcut")
+        if sc is not None:
+            out["conv_shortcut"] = sc
+        return out
+
+    # --- discover the down_blocks sequence ---------------------------------
+    import re
+
+    idxs = sorted({int(m.group(1)) for k in enc
+                   if (m := re.match(r"down_blocks\.(\d+)\.", k))})
+    entries = []
+    for k in idxs:
+        keys_k = [k2[len(f"down_blocks.{k}."):] for k2 in enc
+                  if k2.startswith(f"down_blocks.{k}.")]
+        if any(k2.startswith("res_blocks.") for k2 in keys_k):
+            layers = 1 + max(int(k2.split(".")[1]) for k2 in keys_k
+                             if k2.startswith("res_blocks."))
+            ch = enc[f"down_blocks.{k}.res_blocks.0.conv1.conv.weight"].shape[0]
+            entries.append(("group", k, layers, ch))
+        elif any(k2.startswith("conv1.") for k2 in keys_k):
+            out_ch = enc[f"down_blocks.{k}.conv1.conv.weight"].shape[0]
+            entries.append(("change", k, 1, out_ch))
+        elif "conv.weight" in keys_k:
+            ch = enc[f"down_blocks.{k}.conv.weight"].shape[0]
+            entries.append(("compress", k, 0, ch))
+        else:
+            raise ValueError(
+                f"unrecognized LTX encoder block down_blocks.{k}: {keys_k}")
+
+    # --- fit to our [group][compress?][change?]* + mid pattern --------------
+    groups = []  # (torch_idx, layers, ch, scaled, compress_idx, change_idx)
+    i = 0
+    while i < len(entries):
+        kind, k, layers, ch = entries[i]
+        if kind != "group":
+            raise ValueError(
+                f"LTX encoder sequence mismatch at down_blocks.{k}: "
+                f"expected a res_x group, got {kind}")
+        i += 1
+        compress_idx = change_idx = None
+        if i < len(entries) and entries[i][0] == "compress":
+            compress_idx = entries[i][1]
+            i += 1
+        if i < len(entries) and entries[i][0] == "change":
+            change_idx = entries[i][1]
+            i += 1
+        groups.append((k, layers, ch, compress_idx, change_idx))
+
+    if len(groups) < 2 or groups[-1][3] is not None or groups[-1][4] is not None:
+        raise ValueError("LTX encoder must end in an unscaled mid res group")
+
+    conv_in_w = enc["conv_in.conv.weight"]
+    in_dim = conv_in_w.shape[1]
+    patch = int(round((in_dim / 3) ** 0.5))
+    if patch * patch * 3 != in_dim:
+        raise ValueError(f"cannot infer patch size from conv_in ({in_dim})")
+    latent_channels = enc["conv_out.conv.weight"].shape[0] // 2
+
+    chans, layers_pb, scaling = [], [], []
+    for (k, layers, ch, comp, change) in groups[:-1]:
+        chans.append(ch)
+        layers_pb.append(layers)
+        scaling.append(comp is not None)
+    layers_pb.append(groups[-1][1])  # mid
+    cfg = LTXVAEConfig(
+        latent_channels=latent_channels, patch_size=patch,
+        block_out_channels=tuple(chans),
+        layers_per_block=tuple(layers_pb),
+        spatio_temporal_scaling=tuple(scaling),
+    )
+    # structural consistency with our encoder's channel-change rule
+    full_chans = chans + [groups[-1][2]]
+    for gi in range(len(groups) - 1):
+        expect_change = full_chans[gi] != full_chans[gi + 1]
+        if expect_change != (groups[gi][4] is not None):
+            raise ValueError(
+                f"channel-change resnet mismatch at group {gi}")
+
+    # --- assemble params ----------------------------------------------------
+    ep = {"conv_in": conv(f"conv_in"), "conv_out": conv("conv_out")}
+    for gi, (k, layers, ch, comp, change) in enumerate(groups[:-1]):
+        for j in range(layers):
+            ep[f"down_{gi}_res_{j}"] = resnet(f"down_blocks.{k}.res_blocks.{j}")
+        if comp is not None:
+            ep[f"down_{gi}_downsample"] = conv(f"down_blocks.{comp}")
+        if change is not None:
+            ep[f"down_{gi}_conv_out"] = resnet(f"down_blocks.{change}")
+    mk, mlayers = groups[-1][0], groups[-1][1]
+    for j in range(mlayers):
+        ep[f"mid_res_{j}"] = resnet(f"down_blocks.{mk}.res_blocks.{j}")
+
+    leftover = [k for k in enc if "encoder." + k not in consumed]
+    if leftover:
+        raise ValueError(f"unconverted LTX encoder keys: {leftover[:8]}")
+
+    def stat(names):
+        for n in names:
+            if n in sd:
+                return np.asarray(sd[n], np.float32).reshape(-1)
+        raise ValueError(f"missing latent stats {names}")
+
+    params = {"params": {
+        "encoder": ep,
+        "latents_mean": stat(("per_channel_statistics.mean-of-means",
+                              "per_channel_statistics.mean_of_means")),
+        "latents_std": stat(("per_channel_statistics.std-of-means",
+                             "per_channel_statistics.std_of_means")),
+    }}
+    return cfg, params
+
+
 class LTXVideoVAE(nn.Module):
     """encode/decode over (B, C, F, H, W); latents normalized by the
     per-channel stats (z - mean) / std like the reference pipeline."""

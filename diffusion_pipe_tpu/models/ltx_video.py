@@ -485,24 +485,29 @@ class LTXVideoPipeline(BasePipeline):
 
             return fn
 
-        # LTX causal video VAE (ltx_vae.py). Weight conversion is pending
-        # real-checkpoint verification (0.9.x layouts differ); pass
-        # vae_params_path to a pre-converted flax msgpack, else random init
-        # is rejected to avoid silently caching garbage latents.
-        from .ltx_vae import LTXVAEConfig, LTXVideoVAE
+        # LTX causal video VAE (ltx_vae.py): convert directly from the
+        # checkpoint (reference ltx_video.py:42 loads the VAE from the
+        # combined single file), with topology discovered from the keys.
+        # vae_params_path (pre-converted flax msgpack) remains an override.
+        from .ltx_vae import LTXVAEConfig, LTXVideoVAE, convert_ltx_vae
 
-        if not mc.get("vae_params_path"):
-            raise NotImplementedError(
-                "LTX VAE weight conversion pending verification; provide "
-                "model.vae_params_path (flax msgpack) or cache latents "
-                "externally"
-            )
-        import flax.serialization
+        if mc.get("vae_params_path"):
+            import flax.serialization
 
-        cfg = LTXVAEConfig()
-        vae = LTXVideoVAE(cfg)
-        with open(mc["vae_params_path"], "rb") as f:
-            params = flax.serialization.msgpack_restore(f.read())
+            cfg = LTXVAEConfig()
+            vae = LTXVideoVAE(cfg)
+            with open(mc["vae_params_path"], "rb") as f:
+                params = flax.serialization.msgpack_restore(f.read())
+        else:
+            from .weights import load_state_dict_any
+
+            sd = load_state_dict_any(
+                mc.get("vae_path") or mc["single_file_path"])
+            vae_sd = {k: v for k, v in sd.items()
+                      if k.startswith(("vae.", "encoder.", "decoder.",
+                                       "per_channel_statistics."))}
+            cfg, params = convert_ltx_vae(vae_sd)
+            vae = LTXVideoVAE(cfg)
         encode = jax.jit(
             lambda px: vae.apply(params, px, method=type(vae).encode)
         )

@@ -262,15 +262,19 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
     (the reference's DeepSpeed 1F1B TrainSchedule analogue for every
     model, utils/patches.py:113-160).
 
-    Adapter-only training (the reference's dominant mode): embed/head
-    params (p_rest) carry no trainables under LoRA/LoKr, so their grads
-    are structurally zero; full fine-tuning and multi-phase programs
-    (flux has its own fused program) use the AD-GPipe path.
+    Drives BOTH adapter training and full fine-tuning (the reference's
+    1F1B TrainSchedule covers every mode): trainability is read per-leaf
+    from the trainable tree — block-stack leaves flow the stage-sharded
+    grad path, embed/head (p_rest) trainables get their grads from the
+    loss-head vjp (last stage) plus an embed replay against stage 0's
+    payload cotangent, psum'd across stages. Caveat: grads do NOT flow
+    through make_ctx outputs (rope/grid tables — constants in every
+    program). Multi-phase programs (flux has its own fused multi-phase
+    1F1B) use the AD-GPipe path.
     """
     import flax
     from flax import traverse_util
 
-    from ..training.train_state import lora_predicate
     from .pipeline import apply_local_blocks, pipeline_train_1f1b
 
     program: PPProgram = pipeline.make_pp_program()
@@ -288,12 +292,7 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
             flax.core.unfreeze(trainable)["params"]
             if "params" in trainable else trainable
         )
-        for path, leaf in flat_t.items():
-            if leaf is not None and path[0] != ph.param_key:
-                raise NotImplementedError(
-                    "pipeline_schedule='1f1b' supports adapter (block-level)"
-                    " training; use the GPipe schedule for full fine-tuning"
-                )
+        is_trainable = {p: (l is not None) for p, l in flat_t.items()}
 
         params = merge_params(trainable, frozen)["params"]
         p_rest = {k: v for k, v in params.items() if k != ph.param_key}
@@ -301,16 +300,21 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
             pipeline.config, params[ph.param_key], ph.num_blocks, s, 0
         )
 
-        def split(tree):
+        def split(tree, prefix=()):
             flat = traverse_util.flatten_dict(tree)
-            tr = {k: (v if lora_predicate(k, v) else None)
+            tr = {k: (v if is_trainable.get(prefix + k, False) else None)
                   for k, v in flat.items()}
-            fz = {k: (None if lora_predicate(k, v) else v)
+            fz = {k: (None if is_trainable.get(prefix + k, False) else v)
                   for k, v in flat.items()}
             return (traverse_util.unflatten_dict(tr),
                     traverse_util.unflatten_dict(fz))
 
-        p_t, p_f = split(padded)
+        p_t, p_f = split(padded, (ph.param_key,))
+        pr_t, pr_f = split(p_rest)
+        has_rest_t = any(
+            v is not None
+            for v in traverse_util.flatten_dict(pr_t).values()
+        )
 
         keys = jax.random.split(rng, m_total)
         preps = []
@@ -329,9 +333,10 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
             else None
         )
 
-        def body(p_rest, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb):
+        def body(pr_t, pr_f, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb):
+            p_rest_full = merge_params(pr_t, pr_f)
             mi0 = jax.tree.map(lambda x: x[0], mi_mb)
-            ctx = program.make_ctx(p_rest, mi0)
+            ctx = program.make_ctx(p_rest_full, mi0)
 
             def get_mb(t):
                 return jax.tree.map(
@@ -339,8 +344,8 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
                     mi_mb,
                 )
 
-            def inject(t):
-                return program.embed(p_rest, get_mb(t), ctx)
+            def inject_p(rt, t):
+                return program.embed(merge_params(rt, pr_f), get_mb(t), ctx)
 
             def stage_fwd(p_t_local, payload):
                 p_full = merge_params(p_t_local, p_f)
@@ -354,33 +359,50 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
                     p_full, en, payload,
                 )
 
-            def loss_head(payload, t):
+            def loss_head_p(rt, payload, t):
                 target = jax.lax.dynamic_index_in_dim(target_mb, t, 0, False)
                 mask_i = (
                     jax.lax.dynamic_index_in_dim(mask_mb, t, 0, False)
                     if mask_mb is not None else None
                 )
-                return program.head_loss(p_rest, payload, target, mask_i, ctx)
+                return program.head_loss(
+                    merge_params(rt, pr_f), payload, target, mask_i, ctx)
 
-            template = jax.eval_shape(inject, jnp.zeros([], jnp.int32))
+            template = jax.eval_shape(
+                inject_p, pr_t, jnp.zeros([], jnp.int32))
             template = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), template
             )
-            loss, g = pipeline_train_1f1b(
-                stage_fwd, inject, loss_head, m_total, s, template, p_t
-            )
-            return loss, g
+            if has_rest_t:
+                loss, g, g_rest = pipeline_train_1f1b(
+                    stage_fwd, None, None, m_total, s, template, p_t,
+                    rest_params=pr_t, inject_p=inject_p,
+                    loss_head_p=loss_head_p,
+                )
+                # embed grads live on stage 0, head grads on the last
+                # stage; sum to the replicated total
+                g_rest = jax.tree.map(
+                    lambda x: jax.lax.psum(x, STAGE_AXIS), g_rest
+                )
+            else:
+                loss, g = pipeline_train_1f1b(
+                    stage_fwd, lambda t: inject_p(pr_t, t),
+                    lambda pl, t: loss_head_p(pr_t, pl, t),
+                    m_total, s, template, p_t,
+                )
+                g_rest = jax.tree.map(lambda x: x, pr_t)  # all-None tree
+            return loss, g, g_rest
 
         shard_body = jax.shard_map(
             body,
             mesh=mesh,
             axis_names={STAGE_AXIS},
-            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+            in_specs=(P(), P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
                       P(STAGE_AXIS), P(), P(), P()),
-            out_specs=(P(), P(STAGE_AXIS)),
+            out_specs=(P(), P(STAGE_AXIS), P()),
         )
-        loss, g = shard_body(
-            p_rest, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb
+        loss, g, g_rest = shard_body(
+            pr_t, pr_f, p_t, p_f, en, s2b, mi_mb, target_mb, mask_mb
         )
 
         # slot layout -> [L, ...] (block j's grad lives at slot b2s[j];
@@ -388,9 +410,15 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
         b2s = _block_to_slot(pipeline.config, ph.num_blocks, s)
         g = jax.tree.map(lambda x: x[b2s], g)
         flat_g = traverse_util.flatten_dict(g)
+        flat_rest = traverse_util.flatten_dict(g_rest) if has_rest_t else {}
         flat_out = {}
         for path, leaf in flat_t.items():
-            flat_out[path] = None if leaf is None else flat_g[path[1:]]
+            if leaf is None:
+                flat_out[path] = None
+            elif path[0] == ph.param_key:
+                flat_out[path] = flat_g[path[1:]]
+            else:
+                flat_out[path] = flat_rest[path]
         grads = {"params": traverse_util.unflatten_dict(flat_out)}
         return loss, grads
 

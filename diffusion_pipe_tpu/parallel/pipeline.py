@@ -224,6 +224,9 @@ def pipeline_train_1f1b(
     num_stages: int,
     payload_template: Any,
     local_params: Any,
+    rest_params: Any = None,
+    inject_p: Callable = None,
+    loss_head_p: Callable = None,
 ):
     """Interleaved forward/backward (1F1B-family) pipelined loss+grad.
 
@@ -246,16 +249,44 @@ def pipeline_train_1f1b(
       loss_head(payload, t) -> scalar              — loss on the LAST stage.
     Returns (mean_loss, grads) where grads match local_params (each
     device's grads are for ITS stage's parameters; average over micros).
+
+    Full fine-tuning (reference: 1F1B drives every training mode incl.
+    full FT, utils/patches.py:113-160): pass `rest_params` (the trainable
+    embed/head params) with `inject_p(rest, t)` and
+    `loss_head_p(rest, payload, t)` replacing inject/loss_head. Each
+    backward subtick then also vjps the loss head w.r.t. rest (nonzero
+    only where the loss seed lives, the last stage) and replays the embed
+    under vjp against this tick's OWN payload cotangent (nonzero only on
+    stage 0, whose dx is exactly d(loss)/d(embed output)). Returns
+    (mean_loss, grads, rest_grads); rest_grads are per-stage partials —
+    psum over the stage axis before use.
     """
     m_total = num_microbatches
     s = num_stages
     nslots = 2 * s
     ticks = m_total + 2 * (s - 1) + 1
 
+    full_ft = rest_params is not None
+    if not full_ft:
+        inject_p = lambda r, t: inject(t)  # noqa: E731
+        loss_head_p = lambda r, pl, t: loss_head(pl, t)  # noqa: E731
+
     def to_varying(tree):
         return jax.tree.map(
             lambda x: jax.lax.pcast(x, (STAGE_AXIS,), to="varying"), tree
         )
+
+    def _ensure_varying(x):
+        if STAGE_AXIS in getattr(jax.typeof(x), "vma", ()):
+            return x
+        return jax.lax.pcast(x, (STAGE_AXIS,), to="varying")
+
+    # rest_params usually arrives replicated (shard_map in_spec P()). Its
+    # vjp cotangent would then be typed invariant, and vma-aware AD inserts
+    # a hidden cross-stage psum in the transpose — which double-counts once
+    # our per-stage gating + explicit psum run. Re-type it varying so every
+    # stage gets ITS OWN partial and the accounting below stays exact.
+    rest_t = (jax.tree.map(_ensure_varying, rest_params) if full_ft else {})
 
     zero_payload = to_varying(jax.tree.map(jnp.zeros_like, payload_template))
     inputs_buf0 = to_varying(jax.tree.map(
@@ -264,10 +295,13 @@ def pipeline_train_1f1b(
     zero_grads = to_varying(jax.tree.map(
         lambda p: jnp.zeros(p.shape, jnp.float32), local_params
     ))
+    zero_rest_grads = to_varying(jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), rest_t
+    ))
 
-    def g_fn(params, payload, m):
+    def g_fn(params, rest, payload, m):
         out = stage_fwd(params, payload)
-        return out, loss_head(out, m)
+        return out, loss_head_p(rest, out, m)
 
     # Integer payload leaves (e.g. validity masks) ride the cotangent ring
     # as f32 zeros; at the vjp boundary they convert to/from float0.
@@ -288,12 +322,12 @@ def pipeline_train_1f1b(
         )
 
     def tick(carry, tau):
-        fwd_buf, inputs_buf, bwd_cot, grads, loss_acc = carry
+        fwd_buf, inputs_buf, bwd_cot, grads, rest_grads, loss_acc = carry
         stage = stage_index()
 
         # ---- forward subtick (GPipe ring step) ----
         m_f = tau - stage
-        fresh = inject(jnp.clip(tau, 0, m_total - 1))
+        fresh = inject_p(rest_t, jnp.clip(tau, 0, m_total - 1))
         cur_in = jax.tree.map(
             lambda a, b: jnp.where(stage == 0, a, b), fresh, fwd_buf
         )
@@ -318,7 +352,8 @@ def pipeline_train_1f1b(
         )
         m_clamped = jnp.clip(m_b, 0, m_total - 1)
         (out_p, loss_p), vjp = jax.vjp(
-            lambda p, x: g_fn(p, x, m_clamped), local_params, saved_in
+            lambda p, r, x: g_fn(p, r, x, m_clamped),
+            local_params, rest_t, saved_in,
         )
         is_last = stage == s - 1
         # cotangent: ring value for inner stages, loss seed on the last
@@ -327,11 +362,28 @@ def pipeline_train_1f1b(
             jax.tree.map(jnp.zeros_like, bwd_cot),
         )
         loss_seed = jnp.where(is_last, 1.0, 0.0).astype(jnp.float32)
-        dparams, dx = vjp((_to_vjp_cot(cot_out), loss_seed))
+        dparams, drest, dx = vjp((_to_vjp_cot(cot_out), loss_seed))
         gate = active_b.astype(jnp.float32)
         grads = jax.tree.map(
             lambda g, d: g + gate * d.astype(jnp.float32), grads, dparams
         )
+        if full_ft:
+            # head-side rest grads: the loss seed already zeroes non-last
+            # stages (stage_fwd never reads rest); gate kills bubble ticks
+            rest_grads = jax.tree.map(
+                lambda g, d: g + gate * d.astype(jnp.float32),
+                rest_grads, drest,
+            )
+            # embed-side rest grads: stage 0's dx IS d(loss)/d(embed out)
+            # for micro m_b — replay the embed under vjp against it
+            emb_gate = gate * (stage == 0).astype(jnp.float32)
+            _, vjp_e = jax.vjp(
+                lambda r: inject_p(r, m_clamped), rest_t
+            )
+            (d_emb,) = vjp_e(_to_vjp_cot(_from_vjp_cot(dx, emb_gate)))
+            rest_grads = jax.tree.map(
+                lambda g, d: g + d.astype(jnp.float32), rest_grads, d_emb
+            )
         loss_acc = loss_acc + jnp.where(
             jnp.logical_and(is_last, active_b), loss_p, 0.0
         )
@@ -341,7 +393,8 @@ def pipeline_train_1f1b(
         bwd_cot = jax.tree.map(
             lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)), dx
         )
-        return (fwd_buf, inputs_buf, bwd_cot, grads, loss_acc), None
+        return (fwd_buf, inputs_buf, bwd_cot, grads, rest_grads,
+                loss_acc), None
 
     carry0 = (
         zero_payload,
@@ -350,15 +403,19 @@ def pipeline_train_1f1b(
             lambda x: jnp.zeros(x.shape, jnp.float32), payload_template
         )),
         zero_grads,
+        zero_rest_grads,
         jax.lax.pcast(jnp.zeros([], jnp.float32), (STAGE_AXIS,), to="varying"),
     )
-    (fwd_buf, inputs_buf, bwd_cot, grads, loss_acc), _ = jax.lax.scan(
-        tick, carry0, jnp.arange(ticks)
+    (fwd_buf, inputs_buf, bwd_cot, grads, rest_grads, loss_acc), _ = (
+        jax.lax.scan(tick, carry0, jnp.arange(ticks))
     )
     loss = jax.lax.psum(
         jnp.where(stage_index() == s - 1, loss_acc, 0.0), STAGE_AXIS
     ) / m_total
     grads = jax.tree.map(lambda g: g / m_total, grads)
+    if full_ft:
+        rest_grads = jax.tree.map(lambda g: g / m_total, rest_grads)
+        return loss, grads, rest_grads
     return loss, grads
 
 

@@ -401,3 +401,72 @@ def test_generic_1f1b_manual_split():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+def _setup_full_ft(model_type, stages, batch_fn):
+    """Full fine-tune setup: no adapter, every param trainable."""
+    from diffusion_pipe_tpu.training.train_state import full_ft_predicate
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": model_type, "dtype": "float32", "_tiny": True},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+        "pipeline_stages": stages,
+    }
+    pipeline = get_model_class(model_type)(cfg)
+    mesh = make_mesh(pipeline_stages=stages, tensor_parallel=1)
+    params = pipeline.init_params(jax.random.PRNGKey(0))
+    params = shard_params(mesh, params)
+    trainable, frozen = partition_params(params, full_ft_predicate)
+    return pipeline, mesh, trainable, frozen, batch_fn(M * 2)
+
+
+@pytest.mark.parametrize("model_type,batch_fn,stages", [
+    ("wan", _wan_batch, 2),
+    ("wan", _wan_batch, 4),
+    ("sd3", _sd3_batch, 2),
+])
+def test_generic_1f1b_full_ft_grads_match_single(model_type, batch_fn,
+                                                 stages):
+    """1F1B FULL fine-tuning (VERDICT r2 missing #3): embed/head (p_rest)
+    cotangents now flow — loss-head vjp on the last stage plus an embed
+    replay against stage 0's payload cotangent — so grads for EVERY
+    parameter (blocks + embed + head) match unpipelined AD (the reference's
+    1F1B TrainSchedule drives full FT, utils/patches.py:113-160)."""
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup_full_ft(
+        model_type, stages, batch_fn)
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    loss_ref = _reference_loss(pipeline, trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    from flax import traverse_util
+
+    flat_pp = traverse_util.flatten_dict(g_pp["params"])
+    flat_ref = traverse_util.flatten_dict(g_ref["params"])
+    assert set(flat_pp) == set(flat_ref)
+    # embed/head grads must be nonzero (full FT actually trains them)
+    block_key = pipeline.make_pp_program().phases[0].param_key
+    rest_nonzero = [
+        float(jnp.abs(v).max()) for k, v in flat_pp.items()
+        if v is not None and k[0] != block_key
+    ]
+    assert rest_nonzero and max(rest_nonzero) > 0
+    for k in flat_pp:
+        if flat_pp[k] is None:
+            assert flat_ref[k] is None, k
+            continue
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
+            rtol=5e-4, atol=5e-5, err_msg=str(k),
+        )

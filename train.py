@@ -352,7 +352,7 @@ def main(argv=None):
 
             if schedule == "1f1b":
                 # fused interleaved fwd/bwd schedule (single-phase
-                # programs, adapter training)
+                # programs; adapter training AND full fine-tuning)
                 pp_grad = make_generic_pipelined_grad_fn_1f1b(
                     pipeline, mesh, num_microbatches=gas
                 )

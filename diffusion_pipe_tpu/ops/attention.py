@@ -36,7 +36,8 @@ def _pick_block(s: int, pref: int, min_divisor: int = 1024) -> int:
     """Largest multiple of LANES <= pref that divides s (so the kernel runs
     the unmasked, unpadded path), preferring multiples of 512 — MXU-tile-
     friendly blocks measurably beat larger non-512-multiples (21504-token
-    wan self-attention: block_k 1536 runs 110 TFLOP/s fwd vs 102 for 1792).
+    wan self-attention: block_k 1536 runs 128.6 TFLOP/s fwd vs 115 for
+    1792 with the pre-scaled-Q kernel).
     A too-small divisor costs more in per-block online-softmax bookkeeping
     than ragged-tail padding does (e.g. 18900 tokens: divisor 512 runs at
     63 TFLOP/s vs ~100 for 2048 blocks + tail_len), so below min_divisor we
@@ -107,13 +108,22 @@ def dot_product_attention(
     # Large K blocks amortize the per-block online-softmax bookkeeping
     # against MXU work (52 -> 103+ TFLOP/s forward vs small blocks);
     # multiple-of-512 blocks and block_q up to 1024 measured best on v5e
-    # (21504-token wan self-attention: (1024, 1536) = 110 TFLOP/s fwd /
-    # 99 effective fwd+bwd). When the lengths don't divide the preferred
+    # (21504-token wan self-attention with scale*log2e pre-folded into q:
+    # (1024, 1536) = 128.6 TFLOP/s fwd / 125.9 effective fwd+bwd; larger
+    # blocks OOM the 16M scoped VMEM in backward). When the lengths
+    # don't divide the preferred
     # blocks, prefer DIVISOR blocks over pad+mask: the masked kernel runs
     # ~2.6x slower (jnp.where on every [bq, bk] tile breaks the MXU
     # pipeline; measured 38 vs 100+ TFLOP/s).
     block_q = _pick_block(sq, 1024, min_divisor=256)
     block_k = _pick_block(skv, 2048)
+    # The dkv backward kernel materializes several [bq, bk] f32 tiles in
+    # scoped VMEM (16M on v5e). (1024, 1536) is the largest measured-safe
+    # product; a fallback pick like (1024, 1920) for s=1900 blows the
+    # stack by ~0.5M at compile time. Shrink block_q (cheapest axis: q
+    # tiles are streamed, k/v stay resident) until the product fits.
+    while block_q > LANES and block_q * block_k > 1024 * 1536:
+        block_q //= 2
     sq_pad = round_up_to_multiple(sq, block_q)
     skv_pad = round_up_to_multiple(skv, block_k)
 

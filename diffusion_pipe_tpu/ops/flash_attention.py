@@ -74,10 +74,12 @@ def _fwd_kernel(
     k = k_ref[0, 0]  # [bk, d]
     v = v_ref[0, 0]  # [bk, d]
 
+    # q arrives PRE-SCALED by scale*log2(e) (folded once outside the
+    # kernel, O(S*d)), so s lands directly in the base-2 domain without a
+    # per-tile [bq, bk] VPU multiply.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * (scale * LOG2E)  # [bq, bk], base-2 domain (see LOG2E comment)
 
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]  # [bk] int32; >0 means valid key
@@ -114,7 +116,15 @@ def _fwd_kernel(
         lse_ref[0, 0] = lse
 
 
+def _prescale_q(q, scale):
+    """Fold scale*log2(e) into q once (O(S*d)) so no kernel pays a
+    per-tile [bq, bk] multiply. bf16 re-rounding of q is the same error
+    class the score multiply had."""
+    return (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+
+
 def _flash_forward(q, k, v, kvmask, scale, block_q, block_k):
+    q = _prescale_q(q, scale)
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
     assert sq % block_q == 0 and skv % block_k == 0, (
@@ -222,9 +232,10 @@ def _dq_kernel(
     lse = lse_ref[0, 0]  # [bq, 1]
     di = di_ref[0, 0]
 
+    # q pre-scaled by scale*log2(e): s is already base-2
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)
+    )
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]
         s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
@@ -269,9 +280,10 @@ def _dkv_kernel(
     lse = lse_ref[0, 0]  # [bq, 1]
     di = di_ref[0, 0]
 
+    # q pre-scaled by scale*log2(e): s is already base-2
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)  # [bq, bk]
+    )  # [bq, bk]
     if kvmask_ref is not None:
         kvm = kvmask_ref[0, 0, :]
         s = jnp.where((kvm > 0)[None, :], s, DEFAULT_MASK_VALUE)
@@ -286,8 +298,9 @@ def _dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - di) * scale  # [bq, bk]
-    # dK += dS^T @ Q
+    # dK += dS^T @ Q — q in VMEM is scale*log2(e)-scaled, so the exact
+    # dS factor `scale` becomes scale / (scale*log2(e)) = ln(2)
+    ds = p * (dp - di) * LN2  # [bq, bk]
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -306,6 +319,7 @@ def _dkv_kernel_nomask(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref,
 
 
 def _flash_backward(q, k, v, kvmask, o, lse, do, scale, block_q, block_k):
+    q = _prescale_q(q, scale)
     batch, heads, sq, d = q.shape
     skv = k.shape[2]
     assert sq % block_q == 0 and skv % block_k == 0

@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
-# Fast core tier (VERDICT #10): config/data/flow/PP/1F1B/flash-attention.
+# Fast core tier: config/data/flow/PP/1F1B/flash-attention.
 # Run with `pytest -m quick`; target <5 minutes with a warm compile cache.
 _QUICK_FILES = {
     "test_config.py", "test_config_extras.py", "test_data_pipeline.py",
@@ -45,8 +45,21 @@ _QUICK_FILES = {
     "test_pipeline_1f1b.py", "test_flash_attention.py",
 }
 
+# Gate tier: the quick tier minus its two compile-heavy files
+# (test_model_registry ~9 min and test_pipeline_parallel ~20 min on a
+# single-CPU host — measured cold; everything below finishes <90 s cold
+# combined). `pytest -m gate` is the pre-commit / CI-entry check sized
+# for ONE cpu with a cold XLA cache; sampler numerics ride along because
+# they are pure-math fast.
+_GATE_FILES = (_QUICK_FILES - {
+    "test_model_registry.py", "test_pipeline_parallel.py",
+}) | {"test_sampler_numerics.py"}
+
 
 def pytest_collection_modifyitems(items):
     for item in items:
-        if item.fspath.basename in _QUICK_FILES:
+        base = item.fspath.basename
+        if base in _QUICK_FILES:
             item.add_marker(pytest.mark.quick)
+        if base in _GATE_FILES:
+            item.add_marker(pytest.mark.gate)

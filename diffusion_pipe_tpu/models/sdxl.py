@@ -350,7 +350,13 @@ class SDXLPipeline(BasePipeline):
 
         ac = jnp.asarray(self.schedule.alphas_cumprod, jnp.float32)
         n_train = self.schedule.num_train_timesteps
-        steps = jnp.linspace(n_train - 1, 0, num_steps).astype(jnp.int32)
+        # static float64 grid: fp32 linspace can land at 665.99997 and
+        # truncate to the WRONG training timestep (diffusers computes the
+        # grid in float64 and rounds)
+        import numpy as np
+
+        steps = jnp.asarray(
+            np.linspace(n_train - 1, 0, num_steps).round().astype(np.int32))
 
         def eps_x0(x, t_scalar, c, pl):
             pred = self.model.apply(

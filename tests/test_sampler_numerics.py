@@ -108,7 +108,10 @@ def test_sdxl_ddim_matches_numpy_ddim(v_pred):
     add_time_ids = jnp.asarray(
         [[height, width, 0, 0, height, width]], jnp.float32)
 
-    ac = np.asarray(pipe.schedule.alphas_cumprod, np.float64)
+    # float32 throughout to mirror the sampler's in-graph precision — the
+    # comparison targets the DDIM update MATH, not accumulation precision
+    # (a float64 replica drifts ~1e-3 relative over the trajectory).
+    ac = np.asarray(pipe.schedule.alphas_cumprod, np.float32)
     n_train = pipe.schedule.num_train_timesteps
     steps = np.linspace(n_train - 1, 0, num_steps).astype(np.int32)
 
@@ -116,25 +119,25 @@ def test_sdxl_ddim_matches_numpy_ddim(v_pred):
         return np.asarray(pipe.model.apply(
             {"params": p["unet"]}, jnp.asarray(x, jnp.float32),
             jnp.full((1,), int(t)), ctx, pooled, add_time_ids,
-        ), np.float64)
+        ), np.float32)
 
     x = np.asarray(
-        jax.random.normal(key, (1, 4, height // 8, width // 8), jnp.float32),
-        np.float64)
+        jax.random.normal(key, (1, 4, height // 8, width // 8), jnp.float32))
     for i, t in enumerate(steps):
         pred = unet(x, t)
-        a, o = np.sqrt(ac[t]), np.sqrt(1.0 - ac[t])
+        a = np.float32(np.sqrt(ac[t]))
+        o = np.float32(np.sqrt(np.float32(1.0) - ac[t]))
         if v_pred:
             x0 = a * x - o * pred
             eps = o * x + a * pred
         else:
             eps = pred
             x0 = (x - o * eps) / a
-        a_prev = ac[steps[i + 1]] if i + 1 < num_steps else 1.0
-        x = np.sqrt(a_prev) * x0 + np.sqrt(1.0 - a_prev) * eps
+        a_prev = ac[steps[i + 1]] if i + 1 < num_steps else np.float32(1.0)
+        x = np.float32(np.sqrt(a_prev)) * x0 \
+            + np.float32(np.sqrt(np.float32(1.0) - a_prev)) * eps
 
-    np.testing.assert_allclose(lat.astype(np.float64), x,
-                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(lat, x, rtol=2e-4, atol=2e-4)
 
 
 def test_cosmos_karras_sigma_schedule():

@@ -195,3 +195,12 @@ class BasePipeline:
         save_file(sd, str(out / "model.safetensors"),
                   metadata={"format": "pt"})
         print(f"saved {len(sd)} tensors to {out / 'model.safetensors'}")
+
+    def host_stack_names(self):
+        """Param-stack names the trainer should move to host RAM for
+        blocks_to_swap (reference utils/offloading.py). Families with a
+        finer dial (wan's partial tail, flux's double/single stacks)
+        override this."""
+        from ..parallel.offload import offload_stacks_from_config
+
+        return offload_stacks_from_config(self.config)

@@ -189,6 +189,11 @@ class FluxPipeline(BasePipeline):
         )
         return model_inputs, target, mask
 
+    def host_stack_names(self):
+        from ..parallel.offload import offload_stacks_from_config
+
+        return offload_stacks_from_config(self.config, num_single_layers=38)
+
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
 

@@ -142,9 +142,12 @@ class WanPipeline(BasePipeline):
             sequence_sharding=bool(
                 self.config.get("sequence_sharding", False)),
         )
-        from ..parallel.offload import offload_stacks_from_config
-
-        kwargs["offload_blocks"] = offload_stacks_from_config(self.config)
+        # blocks_to_swap N: the deepest N blocks stream from host RAM
+        # (reference utils/offloading.py:184 swaps exactly N); >= num_layers
+        # streams the whole stack. Clamping happens in WanConfig.swap_split
+        # once the variant's num_layers is known.
+        kwargs["offload_tail"] = int(
+            self.config.get("blocks_to_swap", 0) or 0)
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
@@ -337,7 +340,24 @@ class WanPipeline(BasePipeline):
         time/text embedding on stage 0 and the modulated head + loss on the
         last stage (reference: WanModel partitions via to_layers() +
         PipelineModule, models/base.py:294-391). See parallel/model_pp.py."""
+        n_res, n_swap = self.wan_config.swap_split
+        if 0 < n_swap < self.wan_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _WanPPProgram(self)
+
+    def host_stack_names(self):
+        """Param-stack names the trainer should move to host RAM
+        (blocks_to_swap; see parallel/offload.py)."""
+        n_res, n_swap = self.wan_config.swap_split
+        if n_swap == 0:
+            return ()
+        if n_swap == self.wan_config.num_layers:
+            return ("blocks",)
+        return ("blocks_swap",)
 
     # --- caching encoders ---------------------------------------------------
 
@@ -551,6 +571,26 @@ class WanPipeline(BasePipeline):
         sd = export_wan_lora_comfyui(nn.unbox(trainable), self.wan_config)
         save_file(sd, str(Path(out_dir) / "adapter_model.safetensors"))
 
+    def save_model(self, path, params):
+        """Full fine-tune export in the OFFICIAL Wan layout (blocks.N.*;
+        the exact inverse of convert_wan_weights) — reference
+        CommonPipeline.save_model writes the loadable state dict back
+        (models/base.py save_model / utils/saver.py)."""
+        from safetensors.numpy import save_file
+        from flax import linen as nn
+
+        from ..common import dtype_from_string
+
+        sd = export_wan_model(nn.unbox(params), self.wan_config)
+        if "save_dtype" in self.config:
+            dt = dtype_from_string(self.config["save_dtype"])
+            sd = {k: np.asarray(v).astype(dt) for k, v in sd.items()}
+        out = Path(path)
+        out.mkdir(parents=True, exist_ok=True)
+        save_file(sd, str(out / "model.safetensors"),
+                  metadata={"format": "pt"})
+        print(f"saved {len(sd)} tensors to {out / 'model.safetensors'}")
+
 
 # --- weight conversion ------------------------------------------------------
 
@@ -605,7 +645,12 @@ def convert_wan_weights(sd: Dict[str, np.ndarray], cfg: WanConfig):
         out["modulation"] = np.asarray(sd[f"{prefix}.modulation"])
         return out
 
-    blocks = stack_layers([block(i) for i in range(cfg.num_layers)])
+    n_res, n_swap = cfg.swap_split
+    # a PARTIAL swap tail lives in its own "blocks_swap" stack (deepest
+    # n_swap blocks); full-stream and no-offload keep the single stack
+    split = 0 < n_swap < cfg.num_layers
+    blocks = stack_layers(
+        [block(i) for i in range(n_res if split else cfg.num_layers)])
 
     conv_w = np.asarray(sd["patch_embedding.weight"])  # [O, I, kt, kh, kw]
     params = {
@@ -622,6 +667,9 @@ def convert_wan_weights(sd: Dict[str, np.ndarray], cfg: WanConfig):
         "head_modulation": np.asarray(sd["head.modulation"]),
         "blocks": blocks,
     }
+    if split:
+        params["blocks_swap"] = stack_layers(
+            [block(i) for i in range(n_res, cfg.num_layers)])
     if cfg.model_type in ("i2v", "flf2v"):
         params.update({
             "img_emb_norm1_scale": np.asarray(sd["img_emb.proj.0.weight"]),
@@ -634,36 +682,110 @@ def convert_wan_weights(sd: Dict[str, np.ndarray], cfg: WanConfig):
     return {"params": params}
 
 
+def export_wan_model(params, cfg: WanConfig) -> Dict[str, np.ndarray]:
+    """Flax params -> OFFICIAL Wan state dict (exact inverse of
+    convert_wan_weights, incl. a partial blocks_to_swap split layout,
+    whose indices are offset back to the single-stack numbering)."""
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(theirs, entry, i=None):
+        k = np.asarray(entry["kernel"])
+        b = entry.get("bias")
+        if i is not None:
+            k = k[i]
+            b = None if b is None else np.asarray(b)[i]
+        sd[f"{theirs}.weight"] = np.ascontiguousarray(k.T)
+        if b is not None:
+            sd[f"{theirs}.bias"] = np.asarray(b)
+
+    lin = dict(_BLOCK_LINEARS)
+    rms = dict(_BLOCK_RMS)
+    if cfg.model_type in ("i2v", "flf2v"):
+        lin.update(_BLOCK_I2V_LINEARS)
+        rms.update(_BLOCK_I2V_RMS)
+
+    n_res, n_swap = cfg.swap_split
+    split = 0 < n_swap < cfg.num_layers
+    stacks = [("blocks", 0)] + ([("blocks_swap", n_res)] if split else [])
+    for stack_name, offset in stacks:
+        blocks = p[stack_name]
+        n = np.asarray(blocks[next(iter(lin))]["kernel"]).shape[0]
+        for i in range(n):
+            prefix = f"blocks.{offset + i}"
+            for ours, theirs in lin.items():
+                put_linear(f"{prefix}.{theirs}", blocks[ours], i)
+            for ours, theirs in rms.items():
+                sd[f"{prefix}.{theirs}.weight"] = np.asarray(
+                    blocks[ours]["scale"])[i]
+            if cfg.cross_attn_norm:
+                sd[f"{prefix}.norm3.weight"] = np.asarray(
+                    blocks["norm3_scale"])[i]
+                sd[f"{prefix}.norm3.bias"] = np.asarray(
+                    blocks["norm3_bias"])[i]
+            sd[f"{prefix}.modulation"] = np.asarray(blocks["modulation"])[i]
+
+    conv_k = np.asarray(p["patch_embedding"]["kernel"])  # [kt,kh,kw,I,O]
+    sd["patch_embedding.weight"] = np.ascontiguousarray(
+        np.transpose(conv_k, (4, 3, 0, 1, 2)))
+    sd["patch_embedding.bias"] = np.asarray(p["patch_embedding"]["bias"])
+    put_linear("text_embedding.0", p["text_embedding_1"])
+    put_linear("text_embedding.2", p["text_embedding_2"])
+    put_linear("time_embedding.0", p["time_embedding_1"])
+    put_linear("time_embedding.2", p["time_embedding_2"])
+    put_linear("time_projection.1", p["time_projection"])
+    put_linear("head.head", p["head"])
+    sd["head.modulation"] = np.asarray(p["head_modulation"])
+    if cfg.model_type in ("i2v", "flf2v"):
+        sd["img_emb.proj.0.weight"] = np.asarray(p["img_emb_norm1_scale"])
+        sd["img_emb.proj.0.bias"] = np.asarray(p["img_emb_norm1_bias"])
+        put_linear("img_emb.proj.1", p["img_emb_1"])
+        put_linear("img_emb.proj.3", p["img_emb_2"])
+        sd["img_emb.proj.4.weight"] = np.asarray(p["img_emb_norm2_scale"])
+        sd["img_emb.proj.4.bias"] = np.asarray(p["img_emb_norm2_bias"])
+    return sd
+
+
 def export_wan_lora_comfyui(trainable, cfg: WanConfig) -> Dict[str, np.ndarray]:
-    """LoRA factors -> ComfyUI keys diffusion_model.blocks.N.<mod>.lora_A/B."""
+    """LoRA factors -> ComfyUI keys diffusion_model.blocks.N.<mod>.lora_A/B.
+
+    A partial blocks_to_swap layout stores the deepest blocks in a separate
+    "blocks_swap" stack; exported indices are offset back so the checkpoint
+    keys are identical to the single-stack layout."""
     out = {}
-    blocks = trainable["params"].get("blocks", {})
     lin = dict(_BLOCK_LINEARS)
     if cfg.model_type in ("i2v", "flf2v"):
         lin.update(_BLOCK_I2V_LINEARS)
     lokr_leaves = ("lokr_w1", "lokr_w2", "lokr_w2_a", "lokr_w2_b")
-    for ours, theirs in lin.items():
-        leaf = blocks.get(ours)
-        if leaf is None:
-            continue
-        if "lora_a" in leaf:
-            a_all = np.asarray(leaf["lora_a"])
-            b_all = np.asarray(leaf["lora_b"])
-            for i in range(cfg.num_layers):
-                out[f"diffusion_model.blocks.{i}.{theirs}.lora_A.weight"] = (
-                    np.ascontiguousarray(a_all[i].T.astype(np.float32))
-                )
-                out[f"diffusion_model.blocks.{i}.{theirs}.lora_B.weight"] = (
-                    np.ascontiguousarray(b_all[i].T.astype(np.float32))
-                )
-        # LoKr factors (PEFT LoKrLayer names, torch orientation)
-        for name in lokr_leaves:
-            if name in leaf:
-                w_all = np.asarray(leaf[name])
-                for i in range(cfg.num_layers):
-                    out[f"diffusion_model.blocks.{i}.{theirs}.{name}"] = (
-                        np.ascontiguousarray(w_all[i].T.astype(np.float32))
-                    )
+    stacks = [("blocks", 0)]
+    n_res, n_swap = cfg.swap_split
+    if 0 < n_swap < cfg.num_layers:
+        stacks.append(("blocks_swap", n_res))
+    for stack_name, offset in stacks:
+        blocks = trainable["params"].get(stack_name, {})
+        for ours, theirs in lin.items():
+            leaf = blocks.get(ours)
+            if leaf is None:
+                continue
+            if "lora_a" in leaf:
+                a_all = np.asarray(leaf["lora_a"])
+                b_all = np.asarray(leaf["lora_b"])
+                for i in range(a_all.shape[0]):
+                    j = offset + i
+                    out[f"diffusion_model.blocks.{j}.{theirs}"
+                        ".lora_A.weight"] = np.ascontiguousarray(
+                            a_all[i].T.astype(np.float32))
+                    out[f"diffusion_model.blocks.{j}.{theirs}"
+                        ".lora_B.weight"] = np.ascontiguousarray(
+                            b_all[i].T.astype(np.float32))
+            # LoKr factors (PEFT LoKrLayer names, torch orientation)
+            for name in lokr_leaves:
+                if name in leaf:
+                    w_all = np.asarray(leaf[name])
+                    for i in range(w_all.shape[0]):
+                        out[f"diffusion_model.blocks.{offset + i}.{theirs}"
+                            f".{name}"] = np.ascontiguousarray(
+                                w_all[i].T.astype(np.float32))
     return out
 
 

@@ -69,7 +69,25 @@ class WanConfig:
     lokr_rank_dropout: float = 0.0
     remat: bool = False
     offload_blocks: Tuple[str, ...] = ()
+    # blocks_to_swap dial (reference utils/offloading.py:184 swaps exactly
+    # N blocks): the DEEPEST offload_tail blocks live in a separate
+    # "blocks_swap" scan whose params stream from host RAM; the first
+    # num_layers - offload_tail stay HBM-resident. >= num_layers (or
+    # "blocks" in offload_blocks) streams the whole single "blocks" stack
+    # (layout-compatible with non-offloaded checkpoints/params).
+    offload_tail: int = 0
     sequence_sharding: bool = False
+
+    @property
+    def swap_split(self) -> Tuple[int, int]:
+        """(resident_layers, streamed_tail_layers) after clamping. A fully
+        streamed stack keeps the single-"blocks" layout; only a PARTIAL
+        tail introduces the separate "blocks_swap" collection."""
+        if "blocks" in self.offload_blocks or \
+                self.offload_tail >= self.num_layers > 0:
+            return (0, self.num_layers)
+        n = max(0, int(self.offload_tail))
+        return (self.num_layers - n, n)
 
     @property
     def head_dim(self) -> int:
@@ -321,21 +339,37 @@ class WanTransformer(nn.Module):
         ids = jnp.stack([fi, hi, wi], axis=-1)
         rope_cos, rope_sin = rope_frequencies(ids, cfg.rope_axes_dim)
 
-        block = WanAttentionBlock
-        if "blocks" in cfg.offload_blocks:
-            from ..parallel.offload import stream_params_from_host
+        n_res, n_swap = cfg.swap_split
 
-            block = stream_params_from_host(block)
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        xe, _ = nn.scan(
-            block,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=nn.broadcast,
-            length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="blocks")(xe, e0, rope_cos, rope_sin, ctx)
+        def _scan(block_cls, length, name, streamed):
+            b = block_cls
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b = stream_params_from_host(b)
+            if cfg.remat:
+                b = remat_wrap(b, cfg.remat)
+            return nn.scan(
+                b,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)
+
+        if n_swap == cfg.num_layers:
+            # whole stack streamed: single-"blocks" layout preserved
+            xe, _ = _scan(WanAttentionBlock, cfg.num_layers, "blocks",
+                          True)(xe, e0, rope_cos, rope_sin, ctx)
+        else:
+            xe, _ = _scan(WanAttentionBlock, n_res, "blocks",
+                          False)(xe, e0, rope_cos, rope_sin, ctx)
+            if n_swap:
+                # blocks_to_swap dial: only the DEEPEST n_swap blocks
+                # stream from host (reference utils/offloading.py:184)
+                xe, _ = _scan(WanAttentionBlock, n_swap, "blocks_swap",
+                              True)(xe, e0, rope_cos, rope_sin, ctx)
 
         # head (model.py:315-341): modulation table [1,2,dim] + e
         head_mod = self.param(

@@ -16,9 +16,13 @@ of compute (SURVEY.md section 5.9). The TPU-native equivalent:
   an offloaded stack live host-side too; their per-step optimizer transfer
   is negligible.
 
-Granularity note: scan-stacked blocks offload per STACK (e.g. all of flux's
-single blocks), not per arbitrary block count; `blocks_to_swap: N` maps to
-the nearest stack boundary.
+Granularity: flux maps `blocks_to_swap: N` to its single/double stack
+boundaries; wan honors the exact reference dial — the DEEPEST N blocks
+move to a separate "blocks_swap" scan that streams from host while the
+first num_layers-N stay HBM-resident (WanConfig.offload_tail /
+swap_split; reference utils/offloading.py:184 swaps exactly N). Other
+single-stack families stream their whole "blocks" stack. An offload
+request that matches no stack raises (see offload_param_stacks).
 """
 
 from __future__ import annotations
@@ -57,7 +61,11 @@ def _parse_pack_key(key: str):
 def _pack_leaf(x, lead_axes: int):
     """x [lead..., rest...] -> uint32 [lead..., packed] preserving the
     leading (scan-stacked) axes; returns (packed, key) or (x, None) when
-    packing is unnecessary (>=4-byte dtypes)."""
+    packing is unnecessary (>=4-byte dtypes). numpy inputs (host-side
+    init/load paths — a 28 GB wan-14B stack must never touch HBM) are
+    packed with numpy and stay host-resident."""
+    import numpy as np
+
     itemsize = jnp.dtype(x.dtype).itemsize
     if itemsize >= 4:
         return x, None
@@ -68,6 +76,16 @@ def _pack_leaf(x, lead_axes: int):
     for d in rest:
         n *= d
     pad = (-n) % ratio
+    if isinstance(x, np.ndarray):
+        flat = np.reshape(x, lead + (n,))
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros(lead + (pad,), x.dtype)], axis=-1
+            )
+        words = np.ascontiguousarray(
+            np.reshape(flat, lead + ((n + pad) // ratio, ratio))
+        ).view(np.uint32).reshape(lead + ((n + pad) // ratio,))
+        return words, _pack_key(x.dtype, rest, pad)
     flat = jnp.reshape(x, lead + (n,))
     if pad:
         flat = jnp.concatenate(
@@ -138,6 +156,20 @@ def offload_param_stacks(tree: Any, stack_names: Sequence[str],
     from flax.core import meta
 
     flat = traverse_util.flatten_dict(tree)
+    matched = {
+        name for name in stack_names
+        if any(v is not None and name in k for k, v in flat.items())
+    }
+    if matched != set(stack_names):
+        # A family whose block collection has a different name would
+        # otherwise silently offload nothing and OOM later with no clue
+        # (round-2 advisor finding): blocks_to_swap was configured, so an
+        # unmatched stack name is a wiring bug, not a preference.
+        raise ValueError(
+            f"blocks_to_swap: no parameters matched stack name(s) "
+            f"{sorted(set(stack_names) - matched)}; param tree has "
+            f"top-level keys {sorted({k[0] for k in flat})}"
+        )
     out = {}
     for k, v in flat.items():
         if v is not None and any(name in k for name in stack_names):

@@ -259,14 +259,49 @@ def jit_train_step(step_fn, state, donate=True):
     )
 
 
+def _host_init_params(pipeline, rng):
+    """Materialize init params in HOST RAM (numpy), never on device: a
+    model whose offloaded block stack exceeds HBM (wan 14B = 28 GB bf16)
+    cannot run device-side random init at all. Shapes/dtypes come from
+    eval_shape; values are N(0, 0.02) — the real training flow loads
+    pretrained weights host-side anyway (load_weights -> numpy), so this
+    path only serves scratch-init and benchmarks, where per-param init
+    distributions don't matter."""
+    import numpy as np
+
+    shapes = jax.eval_shape(pipeline.init_params, rng)
+    gen = np.random.default_rng(np.asarray(jax.random.key_data(rng))[-1])
+    # Full-entropy host RNG is far too slow for a 14B stack on this class
+    # of host (~12M elem/s); tile a 1M-element N(0, 0.02) base instead —
+    # runs at memcpy speed, and value repetition is invisible to step
+    # timing (TPU compute is not data-dependent).
+    bases = {}
+
+    def materialize(leaf):
+        if leaf is None:
+            return None
+        dt = np.dtype(leaf.dtype)
+        if dt not in bases:
+            bases[dt] = (
+                gen.standard_normal(1 << 20, dtype=np.float32) * 0.02
+            ).astype(dt)
+        n = 1
+        for d in leaf.shape:
+            n *= d
+        return np.resize(bases[dt], n).reshape(leaf.shape)
+
+    return jax.tree.map(materialize, shapes)
+
+
 def init_train_state(
     pipeline, optimizer, rng, predicate, params=None, host_stacks=(),
-    zero_sharding_mesh=None,
+    zero_sharding_mesh=None, host_init=False,
 ) -> TrainState:
     from .train_state import partition_params
 
     if params is None:
-        params = pipeline.init_params(rng)
+        params = (_host_init_params(pipeline, rng) if host_init
+                  else pipeline.init_params(rng))
     trainable, frozen = partition_params(params, predicate)
     # Frozen kernels under int8_matmul carry a kernel_scale companion param:
     # quantize them ONCE here (storage becomes int8 + real scales) instead of

@@ -1,0 +1,182 @@
+"""Partial blocks_to_swap: the deepest N blocks live in a separate
+"blocks_swap" scan (streamed from host on TPU; identity on CPU). The
+split must be numerically invisible and export-compatible (reference
+utils/offloading.py:184 swaps exactly N blocks per its config)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_pipe_tpu.models import get_model_class
+
+
+def _cfg(swap=0):
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "wan", "dtype": "float32", "_tiny": True},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+    }
+    if swap:
+        cfg["blocks_to_swap"] = swap
+    return cfg
+
+
+def _split_params(base_params, n_res):
+    """Re-slice a single-stack param tree into the split layout."""
+    p = jax.tree.map(lambda x: x, base_params)  # shallow-ish copy
+    blocks = p["params"]["blocks"]
+    p["params"] = dict(p["params"])
+    p["params"]["blocks"] = jax.tree.map(lambda x: x[:n_res], blocks)
+    p["params"]["blocks_swap"] = jax.tree.map(lambda x: x[n_res:], blocks)
+    return p
+
+
+def test_partial_swap_forward_parity():
+    base = get_model_class("wan")(_cfg())
+    part = get_model_class("wan")(_cfg(swap=1))
+    assert base.wan_config.num_layers == 2
+    assert part.wan_config.swap_split == (1, 1)
+
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    params_split = _split_params(params, 1)
+
+    # the split model's own init produces exactly this structure
+    init_split = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    assert set(init_split["params"]) == set(params_split["params"])
+    assert (
+        jax.tree.map(jnp.shape, init_split["params"]["blocks_swap"])
+        == jax.tree.map(jnp.shape, params_split["params"]["blocks_swap"])
+    )
+
+    cfg = base.wan_config
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_dim, 1, 8, 8))
+    t = jnp.full((1,), 0.4)
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+
+    out_base = base.model.apply(params, x, t, ctx, None)
+    out_split = part.model.apply(params_split, x, t, ctx, None)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_split), atol=1e-6)
+
+
+def test_partial_swap_full_stream_keeps_single_stack():
+    # blocks_to_swap >= num_layers: single "blocks" layout (checkpoint-
+    # compatible with the non-offloaded layout)
+    full = get_model_class("wan")(_cfg(swap=99))
+    assert full.wan_config.swap_split == (0, 2)
+    p = nn.unbox(full.init_params(jax.random.PRNGKey(0)))
+    assert "blocks_swap" not in p["params"]
+    assert full.host_stack_names() == ("blocks",)
+
+
+def test_partial_swap_host_stack_names():
+    part = get_model_class("wan")(_cfg(swap=1))
+    assert part.host_stack_names() == ("blocks_swap",)
+    none = get_model_class("wan")(_cfg())
+    assert none.host_stack_names() == ()
+
+
+def test_partial_swap_lora_export_offsets():
+    from diffusion_pipe_tpu.models.wan import export_wan_lora_comfyui
+
+    part = get_model_class("wan")(_cfg(swap=1))
+    params = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    from diffusion_pipe_tpu.training.train_state import (
+        lora_predicate,
+        partition_params,
+    )
+
+    trainable, _ = partition_params(params, lora_predicate)
+    sd = export_wan_lora_comfyui(trainable, part.wan_config)
+    idx = {k.split(".")[2] for k in sd}
+    # block indices 0 (resident stack) AND 1 (swap stack, offset back)
+    assert idx == {"0", "1"}, idx
+
+    # identical key set to a non-swapped export
+    base = get_model_class("wan")(_cfg())
+    params_b = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    trainable_b, _ = partition_params(params_b, lora_predicate)
+    sd_b = export_wan_lora_comfyui(trainable_b, base.wan_config)
+    assert set(sd) == set(sd_b)
+
+
+def test_partial_swap_converter_split():
+    """convert_wan_weights routes reference blocks.N.* into the right
+    stack with the right local index."""
+    from diffusion_pipe_tpu.models.wan import convert_wan_weights
+
+    base = get_model_class("wan")(_cfg())
+    part = get_model_class("wan")(_cfg(swap=1))
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+
+    # synthesize a reference-layout sd by inverting through the pair of
+    # converters: build sd keys from the tiny shapes via the base layout
+    rng = np.random.default_rng(0)
+    cfg = base.wan_config
+
+    def rnd(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    d, f, t_l = cfg.dim, cfg.ffn_dim, cfg.text_len
+    sd = {}
+    for i in range(cfg.num_layers):
+        p = f"blocks.{i}"
+        for m in ("self_attn.q", "self_attn.k", "self_attn.v",
+                  "self_attn.o", "cross_attn.q", "cross_attn.k",
+                  "cross_attn.v", "cross_attn.o"):
+            sd[f"{p}.{m}.weight"] = rnd(d, d)
+            sd[f"{p}.{m}.bias"] = rnd(d)
+        sd[f"{p}.ffn.0.weight"] = rnd(f, d)
+        sd[f"{p}.ffn.0.bias"] = rnd(f)
+        sd[f"{p}.ffn.2.weight"] = rnd(d, f)
+        sd[f"{p}.ffn.2.bias"] = rnd(d)
+        for m in ("self_attn.norm_q", "self_attn.norm_k",
+                  "cross_attn.norm_q", "cross_attn.norm_k"):
+            sd[f"{p}.{m}.weight"] = rnd(d)
+        sd[f"{p}.norm3.weight"] = rnd(d)
+        sd[f"{p}.norm3.bias"] = rnd(d)
+        sd[f"{p}.modulation"] = rnd(1, 6, d)
+    sd["patch_embedding.weight"] = rnd(d, cfg.in_dim, *cfg.patch_size)
+    sd["patch_embedding.bias"] = rnd(d)
+    sd["text_embedding.0.weight"] = rnd(d, cfg.text_dim)
+    sd["text_embedding.0.bias"] = rnd(d)
+    sd["text_embedding.2.weight"] = rnd(d, d)
+    sd["text_embedding.2.bias"] = rnd(d)
+    sd["time_embedding.0.weight"] = rnd(d, cfg.freq_dim)
+    sd["time_embedding.0.bias"] = rnd(d)
+    sd["time_embedding.2.weight"] = rnd(d, d)
+    sd["time_embedding.2.bias"] = rnd(d)
+    sd["time_projection.1.weight"] = rnd(6 * d, d)
+    sd["time_projection.1.bias"] = rnd(6 * d)
+    out_patch = int(np.prod(cfg.patch_size)) * cfg.out_dim
+    sd["head.head.weight"] = rnd(out_patch, d)
+    sd["head.head.bias"] = rnd(out_patch)
+    sd["head.modulation"] = rnd(1, 2, d)
+
+    got_base = convert_wan_weights(dict(sd), base.wan_config)
+    got_part = convert_wan_weights(dict(sd), part.wan_config)
+
+    b = got_base["params"]["blocks"]
+    r = got_part["params"]["blocks"]
+    s = got_part["params"]["blocks_swap"]
+    flat_b = jax.tree_util.tree_leaves_with_path(b)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(r))
+    flat_s = dict(jax.tree_util.tree_leaves_with_path(s))
+    for path, leaf in flat_b:
+        np.testing.assert_array_equal(np.asarray(flat_r[path]),
+                                      np.asarray(leaf)[:1], err_msg=str(path))
+        np.testing.assert_array_equal(np.asarray(flat_s[path]),
+                                      np.asarray(leaf)[1:], err_msg=str(path))
+
+    # full-model export is the exact inverse for BOTH layouts
+    from diffusion_pipe_tpu.models.wan import export_wan_model
+
+    for got, cfg_x in ((got_base, base.wan_config),
+                       (got_part, part.wan_config)):
+        back = export_wan_model(got, cfg_x)
+        assert set(back) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)

@@ -32,6 +32,8 @@ p.add_argument("--txt", type=int, default=512)
 p.add_argument("--int8", default=None)
 p.add_argument("--fp8", action="store_true")
 p.add_argument("--offload", action="store_true")
+p.add_argument("--swap", type=int, default=0,
+               help="blocks_to_swap: stream only the deepest N blocks")
 p.add_argument("--remat", default="full")  # full | dots | attn | unsloth | none
 p.add_argument("--steps", type=int, default=5)
 p.add_argument("--profile_dir", default=None,
@@ -70,20 +72,24 @@ if args.remat != "none":
     if args.remat == "dots":
         config["activation_checkpointing"] = True
         config["remat_policy"] = "dots"
-if args.offload:
+if args.swap:
+    config["blocks_to_swap"] = args.swap
+    args.offload = True
+elif args.offload:
     config["blocks_to_swap"] = 40
 
 pipeline = get_model_class("wan")(config)
 host_stacks = ()
 if args.offload:
-    from diffusion_pipe_tpu.parallel.offload import offload_stacks_from_config
-
-    host_stacks = offload_stacks_from_config(config)
+    host_stacks = pipeline.host_stack_names()
 optimizer = get_optimizer(config)
 t0 = time.perf_counter()
 state = init_train_state(
     pipeline, optimizer, jax.random.PRNGKey(0), lora_predicate,
     host_stacks=host_stacks,
+    # random-init of an offloaded stack must not route through HBM
+    # (wan-14B's 28 GB block stack OOMs device-side init)
+    host_init=bool(host_stacks),
 )
 print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
 step_fn = make_train_step(pipeline, optimizer, host_stacks=host_stacks)

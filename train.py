@@ -231,16 +231,7 @@ def main(argv=None):
     params = shard_params(mesh, params)
     host_stacks = ()
     if config.get("blocks_to_swap"):
-        from diffusion_pipe_tpu.parallel.offload import (
-            offload_stacks_from_config,
-        )
-
-        host_stacks = offload_stacks_from_config(
-            config,
-            num_single_layers=getattr(
-                getattr(pipeline, "flux_config", None), "num_single_layers", 0
-            ) or 0,
-        )
+        host_stacks = pipeline.host_stack_names()
         print(f"host-offloading block stacks: {host_stacks}")
     # ZeRO-1-style optimizer-state sharding over the 'data' axis (the
     # reference's DeepSpeed pipeline engine excludes ZeRO and replicates

@@ -246,6 +246,84 @@ AUDIT = {
 }
 
 
+def test_auraflow_import_consumes_diffusers_layout():
+    """auraflow converts IMPORT-side only (no KeyMap); anchor it by
+    building a synthetic checkpoint with the diffusers
+    AuraFlowTransformer2DModel key names (hardcoded below from the
+    upstream naming; reference models/auraflow.py:65-76 loads exactly
+    this layout) and asserting the converter (a) raises on nothing and
+    (b) READS every key — an unread key is a layout mismatch a
+    round-trip can't see. AuraFlow qk-norm is fp32_layer_norm with
+    elementwise_affine=False, so checkpoints carry NO norm_q weights."""
+    import numpy as np
+
+    from diffusion_pipe_tpu.models.auraflow import (
+        AuraFlowConfig,
+        convert_diffusers_auraflow,
+    )
+
+    cfg = AuraFlowConfig(
+        hidden_size=32, num_attention_heads=2, attention_head_dim=16,
+        joint_attention_dim=24, num_layers=2, num_single_layers=2,
+        num_register_tokens=8, pos_embed_max_size=64,
+        in_channels=4, out_channels=4, patch_size=2,
+    )
+    rng = np.random.default_rng(0)
+
+    def rnd(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    d, ff = cfg.hidden_size, 4 * cfg.hidden_size
+    sd = {
+        "pos_embed.pos_embed": rnd(1, cfg.pos_embed_max_size, d),
+        "pos_embed.proj.weight": rnd(d, cfg.in_channels * 4),
+        "pos_embed.proj.bias": rnd(d),
+        "register_tokens": rnd(1, 8, d),
+        "context_embedder.weight": rnd(d, cfg.joint_attention_dim),
+        "time_step_proj.linear_1.weight": rnd(d, 256),
+        "time_step_proj.linear_1.bias": rnd(d),
+        "time_step_proj.linear_2.weight": rnd(d, d),
+        "time_step_proj.linear_2.bias": rnd(d),
+        "norm_out.linear.weight": rnd(2 * d, d),
+        "proj_out.weight": rnd(cfg.patch_size**2 * cfg.out_channels, d),
+    }
+    for i in range(cfg.num_layers):
+        p = f"joint_transformer_blocks.{i}"
+        sd[f"{p}.norm1.linear.weight"] = rnd(6 * d, d)
+        sd[f"{p}.norm1_context.linear.weight"] = rnd(6 * d, d)
+        for m in ("attn.to_q", "attn.to_k", "attn.to_v",
+                  "attn.add_q_proj", "attn.add_k_proj", "attn.add_v_proj",
+                  "attn.to_out.0", "attn.to_add_out"):
+            sd[f"{p}.{m}.weight"] = rnd(d, d)
+        for br in ("ff", "ff_context"):
+            sd[f"{p}.{br}.linear_1.weight"] = rnd(ff, d)
+            sd[f"{p}.{br}.linear_2.weight"] = rnd(ff, d)
+            sd[f"{p}.{br}.out_projection.weight"] = rnd(d, ff)
+    for i in range(cfg.num_single_layers):
+        p = f"single_transformer_blocks.{i}"
+        sd[f"{p}.norm1.linear.weight"] = rnd(6 * d, d)
+        for m in ("attn.to_q", "attn.to_k", "attn.to_v", "attn.to_out.0"):
+            sd[f"{p}.{m}.weight"] = rnd(d, d)
+        sd[f"{p}.ff.linear_1.weight"] = rnd(ff, d)
+        sd[f"{p}.ff.linear_2.weight"] = rnd(ff, d)
+        sd[f"{p}.ff.out_projection.weight"] = rnd(d, ff)
+
+    read = set()
+
+    class Tracking(dict):
+        def __getitem__(self, k):
+            read.add(k)
+            return dict.__getitem__(self, k)
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k)
+
+    params = convert_diffusers_auraflow(Tracking(sd), cfg)
+    assert "params" in params
+    unread = set(sd) - read
+    assert not unread, f"converter ignored checkpoint keys: {sorted(unread)[:8]}"
+
+
 @pytest.mark.parametrize("model_type", sorted(AUDIT))
 def test_reference_layout_keys(model_type):
     spec = AUDIT[model_type]

@@ -187,6 +187,11 @@ class BasePipeline:
         from .keymaps import keymap_from_flax
 
         sd = keymap_from_flax(params, km, self._keymap_config())
+        # Frozen sidecar tensors captured at load (km.passthrough_patterns,
+        # e.g. the ltx2 audio branch) ride along so the export is a
+        # complete checkpoint, like the reference's full-model saves.
+        for k, v in getattr(self, "_passthrough_sd", {}).items():
+            sd.setdefault(k, np.asarray(v))
         if "save_dtype" in self.config:
             dt = dtype_from_string(self.config["save_dtype"])
             sd = {k: np.asarray(v).astype(dt) for k, v in sd.items()}

@@ -434,6 +434,11 @@ class HunyuanVideo15Pipeline(BasePipeline):
             top_raw=top_raw,
             top_convs={"img_in": "img_in.proj"},
             lora_prefix="diffusion_model.",
+            # The checkpoint carries a vision_in tower the reference wires
+            # but never feeds during training ("not used?", reference
+            # models/hunyuan_video_15.py:216); carry its tensors through
+            # load -> save_model so full exports stay complete.
+            passthrough_patterns=(r"^vision_in\.",),
         )
 
     def load_weights(self):

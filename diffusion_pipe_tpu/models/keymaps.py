@@ -21,6 +21,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -81,6 +82,13 @@ class KeyMap:
     strip_prefixes: Sequence[str] = (
         "model.diffusion_model.", "diffusion_model.", "transformer.",
     )
+    # Regex patterns (re.search over prefix-stripped keys) naming
+    # checkpoint tensors with no compute-path module in this framework —
+    # frozen sidecar towers the reference keeps in the same file (ltx2
+    # audio branch, hv15 vision_in). Matched keys are excluded from
+    # conversion, stashed on the pipeline at load, and re-emitted verbatim
+    # by save_model so a full-model export stays a complete checkpoint.
+    passthrough_patterns: Sequence[str] = ()
 
 
 def _set_path(tree: dict, path: str, value):
@@ -108,6 +116,19 @@ def strip_known_prefixes(sd: Dict[str, np.ndarray], km: KeyMap):
                 break
         out[k] = v
     return out
+
+
+def split_passthrough(sd: Dict[str, np.ndarray], km: KeyMap):
+    """Partition a (stripped-key) state dict into (convertible,
+    passthrough) per km.passthrough_patterns."""
+    if not km.passthrough_patterns:
+        return sd, {}
+    pats = [re.compile(p) for p in km.passthrough_patterns]
+    main: Dict[str, np.ndarray] = {}
+    keep: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        (keep if any(p.search(k) for p in pats) else main)[k] = v
+    return main, keep
 
 
 def _resolve_count(count, config) -> int:
@@ -467,6 +488,11 @@ def load_sd_for_pipeline(pipeline, path_keys=("ckpt_path",
         )
     sd = load_safetensors_dir(path)
     sd = merge_adapters_into_state_dict(sd, mc.get("merge_adapters"))
+    km = pipeline.keymap() if hasattr(pipeline, "keymap") else None
+    if km is not None and km.passthrough_patterns:
+        sd = strip_known_prefixes(sd, km)
+        sd, keep = split_passthrough(sd, km)
+        pipeline._passthrough_sd = keep
     return sd
 
 

@@ -532,6 +532,14 @@ class LTX2Pipeline(BasePipeline):
             top_linears=top_linears,
             top_raw=top_raw,
             lora_prefix="diffusion_model.",
+            # The reference keeps the (untrained) audio branch of the AV
+            # transformer in the same checkpoint (models/ltx2.py:408-420:
+            # audio_patchify_proj, audio_adaln_single, av_ca_* adaLN
+            # singles, audio_embeddings_connector, audio_norm_out/proj_out
+            # + per-block audio attention). We train the video path only,
+            # so those tensors are carried through load -> save_model
+            # verbatim instead of being dropped from full-model exports.
+            passthrough_patterns=(r"audio", r"^av_ca_"),
         )
 
     def load_weights(self):

@@ -493,8 +493,10 @@ class LTX2Pipeline(BasePipeline):
             "video_embeddings_connector/learnable_registers":
                 "video_embeddings_connector.learnable_registers",
         }
+        # the reference iterates connector.transformer_1d_blocks
+        # (ltx2.py:456), so that is the checkpoint container name
         for i in range(cfg.connector_blocks):
-            base = f"video_embeddings_connector.blocks.{i}"
+            base = f"video_embeddings_connector.transformer_1d_blocks.{i}"
             top_linears.update({
                 f"video_embeddings_connector/attn_q_{i}": f"{base}.attn.q_proj",
                 f"video_embeddings_connector/attn_k_{i}": f"{base}.attn.k_proj",

@@ -55,6 +55,12 @@ class Lumina2Config:
     # Z-Image starts caption axis-0 positions at 1 and puts image tokens at
     # cap_len + 1 (reference z_image.py:188-196); Lumina-2 starts at 0.
     rope_cap_offset: int = 0
+    # Z-Image pads image tokens to a multiple of this with a LEARNED pad
+    # token appended after x_embedder, rope ids (0,0,0) (reference
+    # z_image.py:200-202); the checkpoint carries x_pad_token and
+    # cap_pad_token (z_image.py:23 keep_in_high_precision). None disables
+    # (Lumina-2 / OmniGen2 have no pad tokens).
+    pad_tokens_multiple: Any = None
     ffn_dim_multiplier: float = 8.0 / 3.0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.bfloat16
@@ -206,6 +212,13 @@ class Lumina2Transformer(nn.Module):
         img_ids = jnp.stack(
             [jnp.full((img_len,), cap_len + off), row, col], -1
         )
+        # learned image pad tokens (reference z_image.py:200-206: pad x to a
+        # multiple AFTER x_embedder, pos ids zero-padded, pads attended)
+        pad_extra = ((-img_len) % cfg.pad_tokens_multiple
+                     if cfg.pad_tokens_multiple else 0)
+        if cfg.pad_tokens_multiple:
+            img_ids = jnp.concatenate(
+                [img_ids, jnp.zeros((pad_extra, 3), img_ids.dtype)], 0)
         cap_cos, cap_sin = rope_frequencies(
             cap_ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
         )
@@ -226,6 +239,18 @@ class Lumina2Transformer(nn.Module):
         xi = x.reshape(b, c, gh, p, gw, p)
         xi = jnp.einsum("bchpwq->bhwpqc", xi).reshape(b, img_len, p * p * c)
         xi = LoraDense(dim, name="x_embedder", **dd)(xi.astype(cfg.dtype))
+        if cfg.pad_tokens_multiple:
+            x_pad_token = self.param(
+                "x_pad_token", nn.initializers.normal(0.02),
+                (1, dim), cfg.param_dtype)
+            # registered for checkpoint parity; the caption-side dynamic
+            # pad path is disabled in the reference too (z_image.py:170-184)
+            self.param("cap_pad_token", nn.initializers.normal(0.02),
+                       (1, dim), cfg.param_dtype)
+            if pad_extra:
+                pads = jnp.tile(x_pad_token.astype(xi.dtype)[None],
+                                (b, pad_extra, 1))
+                xi = jnp.concatenate([xi, pads], axis=1)
         for i in range(cfg.num_refiner_layers):
             xi = Lumina2Block(cfg, name=f"noise_refiner_{i}")(
                 xi, None, img_cos, img_sin, adaln_input
@@ -234,7 +259,7 @@ class Lumina2Transformer(nn.Module):
         full = jnp.concatenate([cap, xi], axis=1)
         full_mask = jnp.concatenate(
             [cap_mask.astype(jnp.int32),
-             jnp.ones((b, img_len), jnp.int32)], axis=1
+             jnp.ones((b, img_len + pad_extra), jnp.int32)], axis=1
         )
 
         block = _MainBlock
@@ -247,8 +272,9 @@ class Lumina2Transformer(nn.Module):
             metadata_params={nn.PARTITION_NAME: "layers"},
         )(cfg, name="layers")(full, full_mask, full_cos, full_sin, adaln_input)
 
-        # final layer: adaLN scale + linear, image tokens only
-        out = full[:, cap_len:]
+        # final layer: adaLN scale + linear, image tokens only (learned
+        # pads, if any, sit after them and are dropped)
+        out = full[:, cap_len:cap_len + img_len]
         mod = LoraDense(dim, use_bias=True, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype,
                         name="final_adaLN")(nn.silu(adaln_input))
@@ -494,6 +520,11 @@ class Lumina2Pipeline(BasePipeline):
             "final_linear": "final_layer.linear",
         }
         top_norms = {"cap_embedder_norm": "cap_embedder.0"}
+        top_raw = {}
+        if cfg.pad_tokens_multiple:
+            # Z-Image learned pad tokens (reference z_image.py:23,200-206)
+            top_raw["x_pad_token"] = "x_pad_token"
+            top_raw["cap_pad_token"] = "cap_pad_token"
         for group, use_adaln in (("context_refiner", False),
                                  ("noise_refiner", True)):
             for i in range(cfg.num_refiner_layers):
@@ -528,6 +559,7 @@ class Lumina2Pipeline(BasePipeline):
             )],
             top_linears=top_linears,
             top_norms=top_norms,
+            top_raw=top_raw,
             top_fused=top_fused,
             lora_prefix="diffusion_model.",
         )
@@ -584,6 +616,11 @@ class _Lumina2PPProgram:
         img_ids = jnp.stack(
             [jnp.full((img_len,), cap_len + off), row, col], -1
         )
+        pad_extra = ((-img_len) % cfg.pad_tokens_multiple
+                     if cfg.pad_tokens_multiple else 0)
+        if pad_extra:
+            img_ids = jnp.concatenate(
+                [img_ids, jnp.zeros((pad_extra, 3), img_ids.dtype)], 0)
         cap_cos, cap_sin = rope_frequencies(
             cap_ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
         )
@@ -596,6 +633,7 @@ class _Lumina2PPProgram:
             "full_cos": jnp.concatenate([cap_cos, img_cos], 0),
             "full_sin": jnp.concatenate([cap_sin, img_sin], 0),
             "grid": (gh, gw), "hw": (hh, ww), "cap_len": cap_len,
+            "pad_extra": pad_extra,
         }
 
     def embed(self, p_rest, mi, ctx):
@@ -632,6 +670,12 @@ class _Lumina2PPProgram:
         xi = jnp.einsum("bchpwq->bhwpqc", xi).reshape(b, img_len, p * p * c)
         xi = LoraDense(dim, **dd).apply(
             {"params": p_rest["x_embedder"]}, xi.astype(cfg.dtype))
+        pad_extra = ctx["pad_extra"]
+        if pad_extra:
+            pads = jnp.tile(
+                jnp.asarray(p_rest["x_pad_token"]).astype(xi.dtype)[None],
+                (b, pad_extra, 1))
+            xi = jnp.concatenate([xi, pads], axis=1)
         for i in range(cfg.num_refiner_layers):
             xi = Lumina2Block(cfg).apply(
                 {"params": p_rest[f"noise_refiner_{i}"]},
@@ -641,7 +685,7 @@ class _Lumina2PPProgram:
         full = jnp.concatenate([cap, xi], axis=1)
         full_mask = jnp.concatenate(
             [cap_mask.astype(jnp.int32),
-             jnp.ones((b, img_len), jnp.int32)], axis=1,
+             jnp.ones((b, img_len + pad_extra), jnp.int32)], axis=1,
         )
         return (full, full_mask, adaln_input)
 
@@ -653,7 +697,7 @@ class _Lumina2PPProgram:
         full, _fm, adaln_input = payload
         b = full.shape[0]
 
-        out = full[:, ctx["cap_len"]:]
+        out = full[:, ctx["cap_len"]:ctx["cap_len"] + gh * gw]
         mod = LoraDense(cfg.dim, use_bias=True, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype).apply(
             {"params": p_rest["final_adaLN"]}, nn.silu(adaln_input))

@@ -50,6 +50,10 @@ class ZImagePipeline(Lumina2Pipeline):
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
             rope_cap_offset=1,
+            # learned image pad tokens (reference z_image.py:200-206);
+            # must match the upstream model config's multiple — override
+            # via model.pad_tokens_multiple (0/None disables)
+            pad_tokens_multiple=mc.get("pad_tokens_multiple", 32),
         )
         for knob in ("dim", "num_layers", "num_refiner_layers", "num_heads",
                      "num_kv_heads", "cap_dim", "in_channels", "out_channels"):

@@ -243,6 +243,381 @@ AUDIT = {
             "transformer_blocks.0.attn.to_q.weight",
         ],
     ),
+    # Z-Image: ComfyUI NextDiT checkpoint (reference models/z_image.py is a
+    # ComfyPipeline; its to_layers()/InitialLayer access the attribute names
+    # below verbatim — t_embedder/cap_embedder/x_embedder/noise_refiner/
+    # context_refiner/final_layer at z_image.py:126-133 and
+    # x_pad_token/cap_pad_token at z_image.py:23,200-206). Block internals
+    # follow the Alpha-VLLM NextDiT naming lumina_2 is audited for (Z-Image
+    # reuses that architecture with GQA + caption rope offset).
+    "z_image": dict(
+        n_attr=("lumina_config", "num_layers"),
+        per_block=[
+            "layers.{i}.attention.qkv.weight",
+            "layers.{i}.attention.out.weight",
+            "layers.{i}.attention.q_norm.weight",
+            "layers.{i}.attention.k_norm.weight",
+            "layers.{i}.attention_norm1.weight",
+            "layers.{i}.attention_norm2.weight",
+            "layers.{i}.feed_forward.w1.weight",
+            "layers.{i}.feed_forward.w2.weight",
+            "layers.{i}.feed_forward.w3.weight",
+            "layers.{i}.ffn_norm1.weight",
+            "layers.{i}.ffn_norm2.weight",
+            "layers.{i}.adaLN_modulation.1.weight",
+        ],
+        top=[
+            "x_pad_token", "cap_pad_token",
+            "x_embedder.weight", "x_embedder.bias",
+            "t_embedder.mlp.0.weight", "t_embedder.mlp.2.weight",
+            "cap_embedder.0.weight", "cap_embedder.1.weight",
+            "noise_refiner.0.attention.qkv.weight",
+            "noise_refiner.0.adaLN_modulation.1.weight",
+            "context_refiner.0.attention.qkv.weight",
+            "final_layer.linear.weight",
+            "final_layer.adaLN_modulation.1.weight",
+        ],
+        absent=[
+            "context_refiner.0.adaLN_modulation.1.weight",
+            # diffusers-dialect names must not leak
+            "layers.0.attn.to_q.weight",
+            "layers.0.norm1.linear.weight",
+            "time_caption_embed.timestep_embedder.linear_1.weight",
+        ],
+    ),
+    # Flux 2: the reference's own wrapper names every top-level module
+    # verbatim (keep_in_high_precision at models/flux2.py:22 and the
+    # InitialLayer/FinalLayer attribute accesses :237-245,360,403:
+    # img_in / time_in / guidance_in / txt_norm / txt_in /
+    # double_stream_modulation_{img,txt} / single_stream_modulation /
+    # final_layer) and autodetects model size from the `img_in.weight` key
+    # (:32 — a LINEAR, not a conv: no `.proj`). Block internals follow the
+    # BFL/ComfyUI flux dialect (fused qkv, norm.query_norm.scale), which
+    # the flux family verifies against real BFL single-file checkpoints.
+    "flux2": dict(
+        n_attr=("f2_config", "num_layers"),
+        per_block=[
+            "double_blocks.{i}.img_attn.qkv.weight",
+            "double_blocks.{i}.img_attn.proj.weight",
+            "double_blocks.{i}.img_attn.norm.query_norm.scale",
+            "double_blocks.{i}.img_attn.norm.key_norm.scale",
+            "double_blocks.{i}.img_mlp.0.weight",
+            "double_blocks.{i}.img_mlp.2.weight",
+            "double_blocks.{i}.txt_attn.qkv.weight",
+            "double_blocks.{i}.txt_attn.proj.weight",
+            "double_blocks.{i}.txt_mlp.0.weight",
+            "double_blocks.{i}.txt_mlp.2.weight",
+        ],
+        top=[
+            "img_in.weight", "img_in.bias",
+            "txt_in.weight", "txt_norm.scale",
+            "time_in.in_layer.weight", "time_in.out_layer.weight",
+            "guidance_in.in_layer.weight", "guidance_in.out_layer.weight",
+            "double_stream_modulation_img.lin.weight",
+            "double_stream_modulation_txt.lin.weight",
+            "single_stream_modulation.lin.weight",
+            "single_blocks.0.linear1.weight",
+            "single_blocks.0.linear2.weight",
+            "single_blocks.0.norm.query_norm.scale",
+            "final_layer.linear.weight",
+            "final_layer.adaLN_modulation.1.weight",
+        ],
+        absent=[
+            # flux1 carries per-block modulation linears + a pooled-text
+            # vector_in; flux2's GLOBAL modulation has neither (reference
+            # flux2.py:214 asserts vector_in is None, :308-318 computes
+            # mods once from vec)
+            "double_blocks.0.img_mod.lin.weight",
+            "double_blocks.0.txt_mod.lin.weight",
+            "single_blocks.0.modulation.lin.weight",
+            "vector_in.in_layer.weight",
+            "img_in.proj.weight",
+        ],
+    ),
+    # HunyuanVideo 1.5: reference wrapper accesses the top-level modules
+    # verbatim (models/hunyuan_video_15.py:215-221: img_in / time_in /
+    # txt_in / cond_type_embedding / byt5_in / vision_in / pe_embedder,
+    # :212-214 guidance_embed off + vector_in None, :103 double_blocks).
+    # Block internals = the ComfyUI HunyuanVideo MM dialect (img_mod.lin,
+    # img_attn.qkv, norm.query_norm.scale, img_mlp.0/2) whose math + fused
+    # qkv layout is golden-tested against the reference's vendored torch
+    # MM blocks (tests/test_golden_hunyuan_blocks.py).
+    "hunyuan_video_15": dict(
+        n_attr=("hv15_config", "num_layers"),
+        per_block=[
+            "double_blocks.{i}.img_mod.lin.weight",
+            "double_blocks.{i}.img_attn.qkv.weight",
+            "double_blocks.{i}.img_attn.qkv.bias",
+            "double_blocks.{i}.img_attn.proj.weight",
+            "double_blocks.{i}.img_attn.norm.query_norm.scale",
+            "double_blocks.{i}.img_attn.norm.key_norm.scale",
+            "double_blocks.{i}.img_mlp.0.weight",
+            "double_blocks.{i}.img_mlp.2.weight",
+            "double_blocks.{i}.txt_mod.lin.weight",
+            "double_blocks.{i}.txt_attn.qkv.weight",
+            "double_blocks.{i}.txt_attn.proj.weight",
+            "double_blocks.{i}.txt_mlp.0.weight",
+            "double_blocks.{i}.txt_mlp.2.weight",
+        ],
+        top=[
+            "img_in.proj.weight", "img_in.proj.bias",
+            "time_in.in_layer.weight", "time_in.out_layer.weight",
+            "txt_in.input_embedder.weight",
+            "txt_in.t_embedder.mlp.0.weight",
+            "txt_in.t_embedder.mlp.2.weight",
+            "txt_in.c_embedder.linear_1.weight",
+            "txt_in.c_embedder.linear_2.weight",
+            "txt_in.individual_token_refiner.blocks.0.self_attn_qkv.weight",
+            "txt_in.individual_token_refiner.blocks.0.self_attn_proj.weight",
+            "txt_in.individual_token_refiner.blocks.0.mlp.fc1.weight",
+            "txt_in.individual_token_refiner.blocks.0.norm1.weight",
+            "txt_in.individual_token_refiner.blocks.0.adaLN_modulation.1.weight",
+            "cond_type_embedding.weight",
+            "byt5_in.fc1.weight", "byt5_in.fc2.weight", "byt5_in.fc3.weight",
+            "byt5_in.layernorm.weight", "byt5_in.layernorm.bias",
+            "final_layer.linear.weight",
+            "final_layer.adaLN_modulation.1.weight",
+        ],
+        absent=[
+            # hv15 has no single-stream blocks, no guidance embedder, no
+            # pooled-text vector_in (reference hunyuan_video_15.py:212-214)
+            "single_blocks.0.linear1.weight",
+            "guidance_in.in_layer.weight",
+            "vector_in.in_layer.weight",
+        ],
+    ),
+    # LTX-2: reference wrapper names the video-path top-level modules
+    # verbatim (models/ltx2.py:400-403: patchify_proj / adaln_single /
+    # prompt_adaln_single / caption_projection) and the block internals
+    # (ltx2.py:66-77: attn1 / attn2 / scale_shift_table /
+    # prompt_scale_shift_table). Audio-branch tensors (audio_* at
+    # :404-411) belong to the frozen audio path this port runs empty, as
+    # the reference does for video-only training; they pass through
+    # full-model export via the frozen-sidecar mechanism.
+    "ltx2": dict(
+        n_attr=("ltx2_config", "num_layers"),
+        per_block=[
+            "transformer_blocks.{i}.attn1.to_q.weight",
+            "transformer_blocks.{i}.attn1.to_k.weight",
+            "transformer_blocks.{i}.attn1.to_v.weight",
+            "transformer_blocks.{i}.attn1.to_out.0.weight",
+            "transformer_blocks.{i}.attn1.q_norm.weight",
+            "transformer_blocks.{i}.attn1.k_norm.weight",
+            "transformer_blocks.{i}.attn2.to_q.weight",
+            "transformer_blocks.{i}.attn2.to_k.weight",
+            "transformer_blocks.{i}.attn2.to_v.weight",
+            "transformer_blocks.{i}.attn2.to_out.0.weight",
+            "transformer_blocks.{i}.ff.net.0.proj.weight",
+            "transformer_blocks.{i}.ff.net.2.weight",
+            "transformer_blocks.{i}.scale_shift_table",
+            "transformer_blocks.{i}.prompt_scale_shift_table",
+        ],
+        top=[
+            "patchify_proj.weight", "patchify_proj.bias",
+            "adaln_single.emb.timestep_embedder.linear_1.weight",
+            "adaln_single.emb.timestep_embedder.linear_2.weight",
+            "adaln_single.linear.weight",
+            "prompt_adaln_single.linear.weight",
+            "caption_projection.linear.weight",
+            "video_embeddings_connector.learnable_registers",
+            "video_embeddings_connector.transformer_1d_blocks.0.attn.q_proj.weight",
+            "scale_shift_table",
+            "proj_out.weight", "proj_out.bias",
+        ],
+        absent=[
+            # ltx1 dialect (GEGLU names match but ltx1 has no prompt tables)
+            "transformer_blocks.0.attn1.norm_q.weight",
+            "time_embed.emb.timestep_embedder.linear_1.weight",
+            # the connector container is transformer_1d_blocks
+            # (reference ltx2.py:456), not blocks
+            "video_embeddings_connector.blocks.0.attn.q_proj.weight",
+        ],
+    ),
+    # ERNIE image: reference wrapper names every top-level module verbatim
+    # (keep_in_high_precision at models/ernie_image.py:19 + InitialLayer
+    # accesses :122-127,213: x_embedder / text_proj / pos_embed (paramless
+    # sincos) / time_proj (paramless) / time_embedding / shared
+    # adaLN_modulation / final_norm / final_linear; blocks via
+    # diffusion_model.layers :28). Block-internal names live in the
+    # (absent) ComfyUI submodule — tops-only audit; block internals stay
+    # flagged in docs/supported_models.md.
+    "ernie_image": dict(
+        n_attr=("ernie_config", "num_layers"),
+        per_block=[],
+        top=[
+            "x_embedder.weight", "x_embedder.bias",
+            "text_proj.weight", "text_proj.bias",
+            "time_embedding.linear_1.weight",
+            "time_embedding.linear_2.weight",
+            "adaLN_modulation.1.weight", "adaLN_modulation.1.bias",
+            "final_norm.linear.weight",
+            "final_linear.weight", "final_linear.bias",
+        ],
+        absent=[
+            # the shared adaLN lives at the TOP level (one set for all
+            # blocks, reference ernie_image.py:127,172), not per block
+            "layers.0.adaLN_modulation.1.weight",
+            "t_embedder.mlp.0.weight",
+            "final_layer.linear.weight",
+        ],
+    ),
+    # Ideogram 4: reference wrapper names every top-level module verbatim
+    # (keep_in_high_precision at models/ideogram4.py:26 + InitialLayer
+    # accesses :137-142,246: input_proj / t_embedding / adaln_proj /
+    # llm_cond_norm / llm_cond_proj / embed_image_indicator / final_layer;
+    # blocks via diffusion_model.layers :38). Tops-only audit: the
+    # keep-list's 'mlp_in' entry hints the upstream blocks carry mlp_in-
+    # named params, so block internals stay flagged in docs.
+    "ideogram4": dict(
+        n_attr=("ideo_config", "num_layers"),
+        per_block=[],
+        top=[
+            "input_proj.weight", "input_proj.bias",
+            "t_embedding.linear_1.weight",
+            "t_embedding.linear_2.weight",
+            "adaln_proj.weight", "adaln_proj.bias",
+            "llm_cond_norm.weight",
+            "llm_cond_proj.weight", "llm_cond_proj.bias",
+            "embed_image_indicator.weight",
+            "final_layer.linear.weight",
+            "final_layer.adaLN_modulation.1.weight",
+        ],
+        absent=[
+            "x_embedder.weight",
+            "caption_projection.linear_1.weight",
+            "context_embedder.weight",
+        ],
+    ),
+    # Krea 2: reference wrapper names every top-level module verbatim
+    # (keep_in_high_precision at models/krea2.py:22 + InitialLayer/
+    # FinalLayer accesses :184-188,268: first / tmlp / tproj / txtfusion /
+    # txtmlp / last; blocks via diffusion_model.blocks :84). The main
+    # blocks follow the flux single-stream dialect (Krea2 is
+    # flux-derived): fused linear1/linear2 + modulation.lin +
+    # norm.query_norm.scale.
+    "krea2": dict(
+        n_attr=("krea_config", "num_layers"),
+        per_block=[
+            "blocks.{i}.linear1.weight",
+            "blocks.{i}.linear2.weight",
+            "blocks.{i}.modulation.lin.weight",
+            "blocks.{i}.norm.query_norm.scale",
+            "blocks.{i}.norm.key_norm.scale",
+        ],
+        top=[
+            "first.weight", "first.bias",
+            "tmlp.in_layer.weight", "tmlp.out_layer.weight",
+            "tproj.weight", "tproj.bias",
+            "txtfusion.layer_weights",
+            "txtfusion.blocks.0.attn.q_proj.weight",
+            "txtfusion.blocks.0.mlp.fc1.weight",
+            "txtfusion.blocks.0.norm1.weight",
+            "txtmlp.0.weight", "txtmlp.2.weight",
+            "last.linear.weight",
+            "last.adaLN_modulation.1.weight",
+        ],
+        absent=[
+            "img_in.weight",
+            "single_blocks.0.linear1.weight",
+            "final_layer.linear.weight",
+            "time_in.in_layer.weight",
+        ],
+    ),
+    # LTX-Video: Lightricks Transformer3DModel single-file checkpoint
+    # (reference models/ltx_video.py:58-70 loads it via the LTX_Video
+    # submodule; its KEEP_IN_HIGH_PRECISION list at ltx_video.py:21 names
+    # the top-level modules verbatim: scale_shift_table / patchify_proj /
+    # proj_out / adaln_single / caption_projection). Block internals follow
+    # the Lightricks attention naming: per-head RMS `q_norm`/`k_norm` (NOT
+    # diffusers' norm_q/norm_k), to_out.0, GEGLU ff.net.0.proj/ff.net.2,
+    # per-block scale_shift_table (PixArt adaLN-single).
+    "ltx-video": dict(
+        n_attr=("ltx_config", "num_layers"),
+        per_block=[
+            "transformer_blocks.{i}.attn1.to_q.weight",
+            "transformer_blocks.{i}.attn1.to_k.weight",
+            "transformer_blocks.{i}.attn1.to_v.weight",
+            "transformer_blocks.{i}.attn1.to_out.0.weight",
+            "transformer_blocks.{i}.attn1.q_norm.weight",
+            "transformer_blocks.{i}.attn1.k_norm.weight",
+            "transformer_blocks.{i}.attn2.to_q.weight",
+            "transformer_blocks.{i}.attn2.to_k.weight",
+            "transformer_blocks.{i}.attn2.to_v.weight",
+            "transformer_blocks.{i}.attn2.to_out.0.weight",
+            "transformer_blocks.{i}.attn2.q_norm.weight",
+            "transformer_blocks.{i}.attn2.k_norm.weight",
+            "transformer_blocks.{i}.ff.net.0.proj.weight",
+            "transformer_blocks.{i}.ff.net.2.weight",
+            "transformer_blocks.{i}.scale_shift_table",
+        ],
+        top=[
+            "patchify_proj.weight", "patchify_proj.bias",
+            "adaln_single.emb.timestep_embedder.linear_1.weight",
+            "adaln_single.emb.timestep_embedder.linear_2.weight",
+            "adaln_single.linear.weight",
+            "caption_projection.linear_1.weight",
+            "caption_projection.linear_2.weight",
+            "scale_shift_table",
+            "proj_out.weight", "proj_out.bias",
+        ],
+        absent=[
+            # diffusers LTXVideoTransformer3DModel dialect must not leak
+            "transformer_blocks.0.attn1.norm_q.weight",
+            "transformer_blocks.0.norm1.weight",
+            "time_embed.emb.timestep_embedder.linear_1.weight",
+            "proj_in.weight",
+        ],
+    ),
+    # OmniGen2: upstream VectorSpaceLab/OmniGen2 transformer_omnigen2.py
+    # (diffusers-style Lumina-NextDiT derivative; reference
+    # models/omnigen2.py:17,52 loads OmniGen2Transformer2DModel
+    # from_pretrained). Naming: LuminaRMSNormZero `norm1.linear`+`norm1.norm`
+    # on modulated blocks, plain `norm1` on context-refiner blocks,
+    # separate GQA to_q/to_k/to_v + norm_q/norm_k, LuminaFeedForward
+    # linear_1/2/3, Lumina2CombinedTimestepCaptionEmbedding
+    # `time_caption_embed.{timestep_embedder,caption_embedder}`, and the
+    # LuminaLayerNormContinuous `norm_out.linear_1/linear_2` head.
+    "omnigen2": dict(
+        n_attr=("lumina_config", "num_layers"),
+        per_block=[
+            "layers.{i}.norm1.linear.weight",
+            "layers.{i}.norm1.norm.weight",
+            "layers.{i}.attn.to_q.weight",
+            "layers.{i}.attn.to_k.weight",
+            "layers.{i}.attn.to_v.weight",
+            "layers.{i}.attn.to_out.0.weight",
+            "layers.{i}.attn.norm_q.weight",
+            "layers.{i}.attn.norm_k.weight",
+            "layers.{i}.norm2.weight",
+            "layers.{i}.feed_forward.linear_1.weight",
+            "layers.{i}.feed_forward.linear_2.weight",
+            "layers.{i}.feed_forward.linear_3.weight",
+            "layers.{i}.ffn_norm1.weight",
+            "layers.{i}.ffn_norm2.weight",
+        ],
+        top=[
+            "x_embedder.weight", "x_embedder.bias",
+            "time_caption_embed.timestep_embedder.linear_1.weight",
+            "time_caption_embed.timestep_embedder.linear_2.weight",
+            "time_caption_embed.caption_embedder.0.weight",
+            "time_caption_embed.caption_embedder.1.weight",
+            "noise_refiner.0.norm1.linear.weight",
+            "noise_refiner.0.attn.to_q.weight",
+            "context_refiner.0.norm1.weight",
+            "context_refiner.0.attn.to_q.weight",
+            "norm_out.linear_1.weight",
+            "norm_out.linear_2.weight",
+        ],
+        absent=[
+            # context-refiner blocks carry no adaLN modulation
+            "context_refiner.0.norm1.linear.weight",
+            # original Alpha-VLLM NextDiT dialect must not leak
+            "layers.0.attention.qkv.weight",
+            "layers.0.feed_forward.w1.weight",
+            "layers.0.adaLN_modulation.1.weight",
+            "t_embedder.mlp.0.weight",
+        ],
+    ),
 }
 
 

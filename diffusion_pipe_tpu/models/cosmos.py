@@ -225,22 +225,29 @@ class CosmosPipeline(BasePipeline):
 
             return fn
 
-        # Cosmos continuous video tokenizer (cosmos_tokenizer.py). Weight
-        # conversion pending real-checkpoint verification; provide
-        # model.vae_params_path (flax msgpack) for a verified load.
-        from .cosmos_tokenizer import CosmosTokenizerConfig, CosmosVideoTokenizer
+        # Cosmos continuous video tokenizer (cosmos_tokenizer.py): the
+        # factorized CausalContinuousVideoTokenizer architecture, converted
+        # directly from the checkpoint at model.vae_path (reference
+        # cosmos.py:111 load_custom_video_vae). model.vae_params_path
+        # (flax msgpack) remains as an override.
+        from .cosmos_tokenizer import (
+            CosmosTokenizerConfig,
+            CosmosVideoTokenizer,
+            convert_cosmos_tokenizer,
+        )
 
-        if not mc.get("vae_params_path"):
-            raise NotImplementedError(
-                "Cosmos tokenizer weight conversion pending verification; "
-                "provide model.vae_params_path or cache latents externally"
-            )
-        import flax.serialization
+        if mc.get("vae_params_path"):
+            import flax.serialization
 
-        cfg = CosmosTokenizerConfig()
+            cfg = CosmosTokenizerConfig()
+            with open(mc["vae_params_path"], "rb") as f:
+                params = flax.serialization.msgpack_restore(f.read())
+        else:
+            from .weights import load_state_dict_any
+
+            cfg, params = convert_cosmos_tokenizer(
+                load_state_dict_any(mc["vae_path"]))
         tok = CosmosVideoTokenizer(cfg)
-        with open(mc["vae_params_path"], "rb") as f:
-            params = flax.serialization.msgpack_restore(f.read())
         encode = jax.jit(
             lambda px: tok.apply(params, px, method=type(tok).encode)
         )

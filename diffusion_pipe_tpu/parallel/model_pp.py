@@ -254,13 +254,17 @@ def _block_to_slot(config: Dict[str, Any], num_layers: int, num_stages: int):
 def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
                                         num_microbatches: int,
                                         timestep_quantile=None):
-    """True interleaved 1F1B for any SINGLE-PHASE PPProgram family
+    """True interleaved 1F1B for any PPProgram family
     (`pipeline_schedule = "1f1b"`): fn(trainable, frozen, batch, rng) ->
-    (loss, grads). Runs parallel/pipeline.pipeline_train_1f1b — backward
-    recomputes from a rotating 2S-slot input buffer so in-flight
-    activations are bounded by the schedule, not the micro-batch count
-    (the reference's DeepSpeed 1F1B TrainSchedule analogue for every
-    model, utils/patches.py:113-160).
+    (loss, grads). Single-phase programs run
+    parallel/pipeline.pipeline_train_1f1b; multi-phase programs (double +
+    single stream families: hunyuan-video, flux2, hidream, chroma,
+    auraflow, hunyuan_image) run pipeline_train_1f1b_multiphase with one
+    virtual stage per phase per device and the PPPhase.pre hand-off
+    transposed at the phase boundary. Backward recomputes from rotating
+    input buffers so in-flight activations are bounded by the schedule,
+    not the micro-batch count (the reference's DeepSpeed 1F1B
+    TrainSchedule analogue for every model, utils/patches.py:113-160).
 
     Drives BOTH adapter training and full fine-tuning (the reference's
     1F1B TrainSchedule covers every mode): trainability is read per-leaf
@@ -269,8 +273,7 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
     loss-head vjp (last stage) plus an embed replay against stage 0's
     payload cotangent, psum'd across stages. Caveat: grads do NOT flow
     through make_ctx outputs (rope/grid tables — constants in every
-    program). Multi-phase programs (flux has its own fused multi-phase
-    1F1B) use the AD-GPipe path.
+    program).
     """
     import flax
     from flax import traverse_util
@@ -279,10 +282,8 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
 
     program: PPProgram = pipeline.make_pp_program()
     if len(program.phases) != 1:
-        raise NotImplementedError(
-            f"pipeline_schedule='1f1b': {pipeline.name}'s pipeline program "
-            "has multiple phases; use the default GPipe schedule"
-        )
+        return _make_generic_multiphase_grad_fn_1f1b(
+            pipeline, mesh, program, num_microbatches, timestep_quantile)
     ph = program.phases[0]
     s = mesh.shape[STAGE_AXIS]
     m_total = num_microbatches
@@ -417,6 +418,203 @@ def make_generic_pipelined_grad_fn_1f1b(pipeline, mesh,
                 flat_out[path] = None
             elif path[0] == ph.param_key:
                 flat_out[path] = flat_g[path[1:]]
+            else:
+                flat_out[path] = flat_rest[path]
+        grads = {"params": traverse_util.unflatten_dict(flat_out)}
+        return loss, grads
+
+    return grad_fn
+
+
+def _make_generic_multiphase_grad_fn_1f1b(pipeline, mesh, program,
+                                          num_microbatches: int,
+                                          timestep_quantile=None):
+    """Multi-phase half of make_generic_pipelined_grad_fn_1f1b (see its
+    docstring): circular virtual stages, per-phase payload templates, and
+    PPPhase.pre transposed at the phase hand-off."""
+    import flax
+    from flax import traverse_util
+
+    from .pipeline import apply_local_blocks, pipeline_train_1f1b_multiphase
+
+    s = mesh.shape[STAGE_AXIS]
+    m_total = num_microbatches
+    phases = program.phases
+    n_phases = len(phases)
+    split_cfg = pipeline.config.get(
+        "partition_split", pipeline.config.get("manual_partition_split"))
+    if (str(pipeline.config.get("partition_method", "")).lower() == "manual"
+            and split_cfg is not None):
+        raise NotImplementedError(
+            "pipeline_schedule='1f1b' with a multi-phase program does not "
+            "support manual partition splits; use the GPipe schedule"
+        )
+
+    def grad_fn(trainable, frozen, batch, rng):
+        flat_t = traverse_util.flatten_dict(
+            flax.core.unfreeze(trainable)["params"]
+            if "params" in trainable else trainable
+        )
+        is_trainable = {p: (l is not None) for p, l in flat_t.items()}
+
+        params = merge_params(trainable, frozen)["params"]
+        block_keys = {ph.param_key for ph in phases}
+        p_rest = {k: v for k, v in params.items() if k not in block_keys}
+        stacks, enables, slot_idx = [], [], []
+        offset = 0
+        for ph in phases:
+            padded, en, s2b = stack_for_stages(
+                pipeline.config, params[ph.param_key], ph.num_blocks, s,
+                offset,
+            )
+            stacks.append(padded)
+            enables.append(en)
+            slot_idx.append(s2b)
+            offset += ph.num_blocks
+
+        def split(tree, prefix=()):
+            flat = traverse_util.flatten_dict(tree)
+            tr = {k: (v if is_trainable.get(prefix + k, False) else None)
+                  for k, v in flat.items()}
+            fz = {k: (None if is_trainable.get(prefix + k, False) else v)
+                  for k, v in flat.items()}
+            return (traverse_util.unflatten_dict(tr),
+                    traverse_util.unflatten_dict(fz))
+
+        ps_t, ps_f = [], []
+        for ph, stk in zip(phases, stacks):
+            t, f = split(stk, (ph.param_key,))
+            ps_t.append(t)
+            ps_f.append(f)
+        pr_t, pr_f = split(p_rest)
+        has_rest_t = any(
+            v is not None
+            for v in traverse_util.flatten_dict(pr_t).values()
+        )
+
+        keys = jax.random.split(rng, m_total)
+        preps = []
+        for i in range(m_total):
+            mb = jax.tree.map(
+                lambda x: x.reshape(
+                    (m_total, x.shape[0] // m_total) + x.shape[1:])[i],
+                batch,
+            )
+            preps.append(pipeline.prepare_inputs(
+                keys[i], mb, timestep_quantile=timestep_quantile))
+        mi_mb = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in preps])
+        target_mb = jnp.stack([p[1] for p in preps])
+        mask_mb = (
+            jnp.stack([p[2] for p in preps]) if preps[0][2] is not None
+            else None
+        )
+
+        def body(pr_t, pr_f, ps_t, ps_f, enables, slot_idx, mi_mb,
+                 target_mb, mask_mb):
+            p_rest_full = merge_params(pr_t, pr_f)
+            mi0 = jax.tree.map(lambda x: x[0], mi_mb)
+            ctx = program.make_ctx(p_rest_full, mi0)
+
+            def get_mb(t):
+                return jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, t, 0, False),
+                    mi_mb,
+                )
+
+            def inject_p(rt, t):
+                return program.embed(merge_params(rt, pr_f), get_mb(t), ctx)
+
+            phase_fns = []
+            for p, ph in enumerate(phases):
+                def fn(p_t_local, payload, _p=p, _ph=ph):
+                    p_full = merge_params(p_t_local, ps_f[_p])
+                    if _ph.needs_index:
+                        return apply_local_blocks(
+                            lambda p_i, c, bi: _ph.apply_block(
+                                p_i, c, ctx, bi),
+                            p_full, enables[_p], payload,
+                            local_index=slot_idx[_p],
+                        )
+                    return apply_local_blocks(
+                        lambda p_i, c: _ph.apply_block(p_i, c, ctx),
+                        p_full, enables[_p], payload,
+                    )
+                phase_fns.append(fn)
+
+            handoffs = [None]
+            for ph in phases[1:]:
+                handoffs.append(
+                    (lambda payload, _pre=ph.pre: _pre(payload, ctx))
+                    if ph.pre is not None else None
+                )
+
+            def loss_head_p(rt, payload, t):
+                target = jax.lax.dynamic_index_in_dim(target_mb, t, 0, False)
+                mask_i = (
+                    jax.lax.dynamic_index_in_dim(mask_mb, t, 0, False)
+                    if mask_mb is not None else None
+                )
+                return program.head_loss(
+                    merge_params(rt, pr_f), payload, target, mask_i, ctx)
+
+            def as_zeros(sd_tree):
+                return jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), sd_tree
+                )
+
+            templates = [as_zeros(jax.eval_shape(
+                inject_p, pr_t, jnp.zeros([], jnp.int32)))]
+            for p in range(1, n_phases):
+                prev = templates[p - 1]
+                templates.append(
+                    as_zeros(jax.eval_shape(handoffs[p], prev))
+                    if handoffs[p] is not None else prev
+                )
+
+            if has_rest_t:
+                loss, gs, g_rest = pipeline_train_1f1b_multiphase(
+                    phase_fns, ps_t, None, None, m_total, s, templates,
+                    handoffs=handoffs, rest_params=pr_t,
+                    inject_p=inject_p, loss_head_p=loss_head_p,
+                )
+                g_rest = jax.tree.map(
+                    lambda x: jax.lax.psum(x, STAGE_AXIS), g_rest
+                )
+            else:
+                loss, gs = pipeline_train_1f1b_multiphase(
+                    phase_fns, ps_t, lambda t: inject_p(pr_t, t),
+                    lambda pl, t: loss_head_p(pr_t, pl, t),
+                    m_total, s, templates, handoffs=handoffs,
+                )
+                g_rest = jax.tree.map(lambda x: x, pr_t)  # all-None tree
+            return loss, tuple(gs), g_rest
+
+        shard_body = jax.shard_map(
+            body,
+            mesh=mesh,
+            axis_names={STAGE_AXIS},
+            in_specs=(P(), P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+                      P(STAGE_AXIS), P(), P(), P()),
+            out_specs=(P(), P(STAGE_AXIS), P()),
+        )
+        loss, gs, g_rest = shard_body(
+            pr_t, pr_f, tuple(ps_t), tuple(ps_f), tuple(enables),
+            tuple(slot_idx), mi_mb, target_mb, mask_mb
+        )
+
+        flat_rest = traverse_util.flatten_dict(g_rest) if has_rest_t else {}
+        flat_gs = []
+        for ph, g in zip(phases, gs):
+            b2s = _block_to_slot(pipeline.config, ph.num_blocks, s)
+            g = jax.tree.map(lambda x: x[b2s], g)
+            flat_gs.append(traverse_util.flatten_dict(g))
+        key_to_phase = {ph.param_key: i for i, ph in enumerate(phases)}
+        flat_out = {}
+        for path, leaf in flat_t.items():
+            if leaf is None:
+                flat_out[path] = None
+            elif path[0] in key_to_phase:
+                flat_out[path] = flat_gs[key_to_phase[path[0]]][path[1:]]
             else:
                 flat_out[path] = flat_rest[path]
         grads = {"params": traverse_util.unflatten_dict(flat_out)}

@@ -427,6 +427,10 @@ def pipeline_train_1f1b_multiphase(
     num_microbatches: int,
     num_stages: int,
     payload_template: Any,
+    handoffs=None,
+    rest_params: Any = None,
+    inject_p: Callable = None,
+    loss_head_p: Callable = None,
 ):
     """Interleaved 1F1B over P phases of virtual stages (circular layout).
 
@@ -442,12 +446,30 @@ def pipeline_train_1f1b_multiphase(
     reference's interleaved DeepSpeed schedules also pay.
 
     Args (under the caller's shard_map over 'stage'):
-      phase_fns[p](phase_params[p], payload) -> payload — all phases consume
-        and produce the SAME payload structure (e.g. an (img, txt) tuple
-        that single-stream phases concat/split internally).
-      inject(t) -> payload; loss_head(payload, t) -> scalar (last stage,
-        last phase).
+      phase_fns[p](phase_params[p], payload) -> payload. Payload structure
+        may DIFFER per phase: pass `payload_template` as a list of
+        per-phase input templates and `handoffs[p]` (p >= 1) mapping phase
+        p-1's output payload to phase p's input (a PPPhase.pre — e.g.
+        concat double-stream (img, txt) into the single-stream xcat).
+        With a single template, all phases are type-stable (flux).
+      inject(t) -> phase-0 payload; loss_head(payload, t) -> scalar (last
+        stage, LAST phase; earlier phases contribute a structurally-zero
+        loss so the vjp signature stays uniform across devices).
     Returns (mean_loss, [grads_p]) matching phase_params.
+
+    Full fine-tuning: pass `rest_params` (trainable embed/head params)
+    with `inject_p(rest, t)` / `loss_head_p(rest, payload, t)` replacing
+    inject/loss_head. Head-side rest grads come from the last phase's vjp
+    (loss seed lives on last stage / last phase); embed-side grads replay
+    inject under vjp against phase 0's input cotangent on stage 0.
+    Returns (mean_loss, [grads_p], rest_grads) — rest_grads are per-stage
+    partials, psum over the stage axis before use.
+
+    The hand-off transpose needs the pre-image of handoffs[p]: each tick
+    device 0 also records the incoming raw phase-(p-1) output in a second
+    rotating buffer, and the backward pulls phase p's input cotangent back
+    through jax.vjp(handoffs[p]) at that saved raw payload before the
+    reverse ring delivers it to device S-1 of phase p-1.
     """
     m_total = num_microbatches
     s = num_stages
@@ -456,57 +478,93 @@ def pipeline_train_1f1b_multiphase(
     nslots = 2 * v_total
     ticks = m_total + 2 * (v_total - 1) + 1
 
+    if not isinstance(payload_template, (list, tuple)):
+        templates = [payload_template] * n_phases
+    else:
+        templates = list(payload_template)
+    if handoffs is None:
+        handoffs = [None] * n_phases
+
+    full_ft = rest_params is not None
+    if not full_ft:
+        inject_p = lambda r, t: inject(t)  # noqa: E731
+        loss_head_p = lambda r, pl, t: loss_head(pl, t)  # noqa: E731
+
     def to_varying(tree):
         return jax.tree.map(
             lambda x: jax.lax.pcast(x, (STAGE_AXIS,), to="varying"), tree
         )
 
-    zero_payload = jax.tree.map(jnp.zeros_like, payload_template)
-    fwd_buf0 = to_varying([zero_payload for _ in range(n_phases)])
+    def _ensure_varying(x):
+        if STAGE_AXIS in getattr(jax.typeof(x), "vma", ()):
+            return x
+        return jax.lax.pcast(x, (STAGE_AXIS,), to="varying")
+
+    # see pipeline_train_1f1b: re-type replicated rest as varying so the
+    # vjp transpose cannot insert a hidden cross-stage psum
+    rest_t = (jax.tree.map(_ensure_varying, rest_params) if full_ft else {})
+
+    fwd_buf0 = to_varying([
+        jax.tree.map(jnp.zeros_like, templates[p]) for p in range(n_phases)
+    ])
     inputs_buf0 = to_varying([
         jax.tree.map(
-            lambda x: jnp.zeros((nslots,) + x.shape, x.dtype),
-            payload_template,
+            lambda x: jnp.zeros((nslots,) + x.shape, x.dtype), templates[p]
         )
-        for _ in range(n_phases)
+        for p in range(n_phases)
+    ])
+    # raw hand-off pre-images (phase p-1's OUTPUT structure) for phases
+    # with a structure-changing handoff; () placeholder otherwise
+    raw_buf0 = to_varying([
+        (jax.tree.map(
+            lambda x: jnp.zeros((nslots,) + x.shape, x.dtype),
+            templates[p - 1])
+         if (p > 0 and handoffs[p] is not None) else ())
+        for p in range(n_phases)
     ])
     cot0 = to_varying([
-        jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32),
-                     payload_template)
-        for _ in range(n_phases)
+        jax.tree.map(lambda x: jnp.zeros(x.shape, jnp.float32), templates[p])
+        for p in range(n_phases)
     ])
     grads0 = to_varying([
-        jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), pp)
+        jax.tree.map(lambda p_: jnp.zeros(p_.shape, jnp.float32), pp)
         for pp in phase_params
     ])
+    zero_rest_grads = to_varying(jax.tree.map(
+        lambda p_: jnp.zeros(p_.shape, jnp.float32), rest_t
+    ))
 
-    def g_fn(p_idx, params, payload, m):
-        # the loss output must be computed on every phase so its vjp seed
-        # carries the device-varying VMA type (seeded nonzero only on the
-        # last phase / last stage)
+    def g_fn(p_idx, params, rest, payload, m):
+        # the loss output must carry the device-varying VMA type on every
+        # phase so its vjp seed types check (seeded nonzero only on the
+        # last phase / last stage); earlier phases emit a structural zero
         out = phase_fns[p_idx](params, payload)
-        return out, loss_head(out, m)
+        if p_idx == n_phases - 1:
+            return out, loss_head_p(rest, out, m)
+        anchor = jax.tree.leaves(out)[0]
+        return out, jnp.sum(anchor).astype(jnp.float32) * 0.0
 
     # Integer payload leaves (e.g. validity masks) ride the cotangent ring
     # as f32 zeros; at the vjp boundary they convert to/from float0.
     import numpy as _onp
 
-    def _to_vjp_cot(cot_tree):
+    def _to_vjp_cot(cot_tree, template):
         return jax.tree.map(
             lambda c, t: c if jnp.issubdtype(t.dtype, jnp.inexact)
             else _onp.zeros(t.shape, jax.dtypes.float0),
-            cot_tree, payload_template,
+            cot_tree, template,
         )
 
-    def _from_vjp_cot(dx_tree, gate):
+    def _from_vjp_cot(dx_tree, gate, template):
         return jax.tree.map(
             lambda d, t: (gate * d) if jnp.issubdtype(t.dtype, jnp.inexact)
             else jnp.zeros(t.shape, jnp.float32),
-            dx_tree, payload_template,
+            dx_tree, template,
         )
 
     def tick(carry, tau):
-        fwd_buf, inputs_buf, bwd_cot, grads, loss_acc = carry
+        (fwd_buf, inputs_buf, raw_buf, bwd_cot, grads, rest_grads,
+         loss_acc) = carry
         stage = stage_index()
         is_first = stage == 0
         is_last = stage == s - 1
@@ -514,7 +572,7 @@ def pipeline_train_1f1b_multiphase(
         # ---- forward subticks, one per phase ----
         outs = []
         new_inputs = []
-        fresh = inject(jnp.clip(tau, 0, m_total - 1))
+        fresh = inject_p(rest_t, jnp.clip(tau, 0, m_total - 1))
         for p in range(n_phases):
             cur_in = fwd_buf[p]
             if p == 0:
@@ -530,24 +588,40 @@ def pipeline_train_1f1b_multiphase(
             outs.append(phase_fns[p](phase_params[p], cur_in))
         shifted = [ring_shift(o, s) for o in outs]
         new_fwd = []
+        new_raw = list(raw_buf)
         for p in range(n_phases):
             if p == 0:
                 new_fwd.append(shifted[0])
             else:
-                # device 0's phase-p input is device S-1's phase-(p-1) output
+                # device 0's phase-p input is device S-1's phase-(p-1)
+                # output, mapped through the phase hand-off
+                cand = shifted[p - 1]
+                if handoffs[p] is not None:
+                    # save the raw pre-image at the slot of the tick that
+                    # CONSUMES it (tau+1), for the backward transpose
+                    new_raw[p] = jax.tree.map(
+                        lambda buf, x: jax.lax.dynamic_update_index_in_dim(
+                            buf, x, (tau + 1) % nslots, 0
+                        ),
+                        raw_buf[p], cand,
+                    )
+                    cand = handoffs[p](cand)
                 new_fwd.append(jax.tree.map(
                     lambda a, b: jnp.where(is_first, a, b),
-                    shifted[p - 1], shifted[p],
+                    cand, shifted[p],
                 ))
 
         # ---- backward subticks, one per phase ----
         new_grads = []
+        new_rest_grads = rest_grads
         dxs = []
+        slots = []
         for p in range(n_phases):
             v_base = p * s  # virtual stage of this phase at device `stage`
             m_b = tau - 2 * (v_total - 1) + v_base + stage
             active_b = jnp.logical_and(m_b >= 0, m_b < m_total)
             slot = jnp.mod(m_b + v_base + stage, nslots)
+            slots.append(slot)
             saved_in = jax.tree.map(
                 lambda buf: jax.lax.dynamic_index_in_dim(
                     buf, slot, 0, keepdims=False
@@ -556,54 +630,93 @@ def pipeline_train_1f1b_multiphase(
             )
             m_clamped = jnp.clip(m_b, 0, m_total - 1)
             (out_p, loss_p), vjp = jax.vjp(
-                lambda pr, x, _p=p: g_fn(_p, pr, x, m_clamped),
-                phase_params[p], saved_in,
+                lambda pr, r, x, _p=p: g_fn(_p, pr, r, x, m_clamped),
+                phase_params[p], rest_t, saved_in,
             )
             seed_here = jnp.logical_and(is_last, p == n_phases - 1)
             cot_out = jax.tree.map(
                 lambda c: jnp.where(seed_here, 0.0, c), bwd_cot[p]
             )
             loss_seed = jnp.where(seed_here, 1.0, 0.0).astype(jnp.float32)
-            dparams, dx = vjp((_to_vjp_cot(cot_out), loss_seed))
+            dparams, drest, dx = vjp(
+                (_to_vjp_cot(cot_out, templates[p]), loss_seed))
             gate = active_b.astype(jnp.float32)
             new_grads.append(jax.tree.map(
-                lambda g, d: g + gate * d.astype(jnp.float32), grads[p], dparams
+                lambda g, d: g + gate * d.astype(jnp.float32), grads[p],
+                dparams
             ))
-            dxs.append(_from_vjp_cot(dx, gate))
+            if full_ft:
+                # head-side rest grads (nonzero only on the seeded phase)
+                new_rest_grads = jax.tree.map(
+                    lambda g, d: g + gate * d.astype(jnp.float32),
+                    new_rest_grads, drest,
+                )
+                if p == 0:
+                    # embed-side: stage 0's phase-0 dx IS d(loss)/d(embed
+                    # out) for micro m_b — replay the embed under vjp
+                    emb_gate = gate * (stage == 0).astype(jnp.float32)
+                    _, vjp_e = jax.vjp(
+                        lambda r: inject_p(r, m_clamped), rest_t
+                    )
+                    (d_emb,) = vjp_e(_to_vjp_cot(
+                        _from_vjp_cot(dx, emb_gate, templates[0]),
+                        templates[0]))
+                    new_rest_grads = jax.tree.map(
+                        lambda g, d: g + d.astype(jnp.float32),
+                        new_rest_grads, d_emb,
+                    )
+            dxs.append(_from_vjp_cot(dx, gate, templates[p]))
             loss_acc = loss_acc + jnp.where(
                 jnp.logical_and(seed_here, active_b), loss_p, 0.0
             )
-        rshifted = [
-            jax.tree.map(
-                lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)), d
-            )
-            for d in dxs
-        ]
         new_cot = []
         for p in range(n_phases):
+            own = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)),
+                dxs[p],
+            )
             if p == n_phases - 1:
-                new_cot.append(rshifted[p])
-            else:
-                # device S-1's phase-p cotangent comes from device 0's
-                # phase-(p+1) dx (reverse of the forward phase hand-off)
-                new_cot.append(jax.tree.map(
-                    lambda a, b: jnp.where(is_last, a, b),
-                    rshifted[p + 1], rshifted[p],
-                ))
+                new_cot.append(own)
+                continue
+            # device S-1's phase-p cotangent comes from device 0's
+            # phase-(p+1) dx (reverse of the forward phase hand-off),
+            # pulled back through the hand-off transpose when one exists
+            d_next = dxs[p + 1]
+            if handoffs[p + 1] is not None:
+                saved_raw = jax.tree.map(
+                    lambda buf: jax.lax.dynamic_index_in_dim(
+                        buf, slots[p + 1], 0, keepdims=False
+                    ),
+                    new_raw[p + 1],
+                )
+                _, vjp_h = jax.vjp(handoffs[p + 1], saved_raw)
+                (d_next,) = vjp_h(_to_vjp_cot(d_next, templates[p + 1]))
+                d_next = _from_vjp_cot(d_next, 1.0, templates[p])
+            hand = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, STAGE_AXIS, reverse_perm(s)),
+                d_next,
+            )
+            new_cot.append(jax.tree.map(
+                lambda a, b: jnp.where(is_last, a, b), hand, own,
+            ))
 
-        return (new_fwd, new_inputs, new_cot, new_grads, loss_acc), None
+        return (new_fwd, new_inputs, new_raw, new_cot, new_grads,
+                new_rest_grads, loss_acc), None
 
     carry0 = (
-        fwd_buf0, inputs_buf0, cot0, grads0,
+        fwd_buf0, inputs_buf0, raw_buf0, cot0, grads0, zero_rest_grads,
         jax.lax.pcast(jnp.zeros([], jnp.float32), (STAGE_AXIS,), to="varying"),
     )
-    (_, _, _, grads, loss_acc), _ = jax.lax.scan(
+    (_, _, _, _, grads, rest_grads, loss_acc), _ = jax.lax.scan(
         tick, carry0, jnp.arange(ticks)
     )
     loss = jax.lax.psum(
         jnp.where(stage_index() == s - 1, loss_acc, 0.0), STAGE_AXIS
     ) / m_total
     grads = [jax.tree.map(lambda g: g / m_total, gp) for gp in grads]
+    if full_ft:
+        rest_grads = jax.tree.map(lambda g: g / m_total, rest_grads)
+        return loss, grads, rest_grads
     return loss, grads
 
 

@@ -470,3 +470,81 @@ def test_generic_1f1b_full_ft_grads_match_single(model_type, batch_fn,
             np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
             rtol=5e-4, atol=5e-5, err_msg=str(k),
         )
+
+
+@pytest.mark.parametrize("model_type,batch_fn,stages", [
+    ("hunyuan-video", _hv_batch, 2),
+    ("flux2", _flux2_batch, 2),
+    ("hidream", _hidream_batch, 2),
+])
+def test_generic_1f1b_multiphase_grads_match_single(model_type, batch_fn,
+                                                    stages):
+    """1F1B for MULTI-phase PPPrograms (double + single stream families):
+    circular virtual stages with the PPPhase.pre hand-off transposed at
+    the phase boundary reproduce single-device loss and LoRA grads."""
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup(
+        model_type, stages, batch_fn)
+    assert len(pipeline.make_pp_program().phases) > 1
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    loss_ref = _reference_loss(pipeline, trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_pp = jax.tree.leaves(g_pp)
+    flat_ref = jax.tree.leaves(g_ref)
+    assert len(flat_pp) == len(flat_ref)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat_pp)
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
+def test_generic_1f1b_multiphase_full_ft_grads_match_single():
+    """Multi-phase 1F1B full fine-tuning: embed/head cotangents flow
+    through BOTH phases and the hand-off transpose; every parameter's
+    grad matches unpipelined AD (hunyuan-video at 2 stages)."""
+    from flax import traverse_util
+
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup_full_ft(
+        "hunyuan-video", 2, _hv_batch)
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    loss_ref = _reference_loss(pipeline, trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_pp = traverse_util.flatten_dict(g_pp["params"])
+    flat_ref = traverse_util.flatten_dict(g_ref["params"])
+    assert set(flat_pp) == set(flat_ref)
+    block_keys = {ph.param_key for ph in pipeline.make_pp_program().phases}
+    rest_nonzero = [
+        float(jnp.abs(v).max()) for k, v in flat_pp.items()
+        if v is not None and k[0] not in block_keys
+    ]
+    assert rest_nonzero and max(rest_nonzero) > 0
+    for k in flat_pp:
+        if flat_pp[k] is None:
+            assert flat_ref[k] is None, k
+            continue
+        np.testing.assert_allclose(
+            np.asarray(flat_pp[k]), np.asarray(flat_ref[k]),
+            rtol=5e-4, atol=5e-5, err_msg=str(k),
+        )

@@ -342,8 +342,9 @@ def main(argv=None):
             )
 
             if schedule == "1f1b":
-                # fused interleaved fwd/bwd schedule (single-phase
-                # programs; adapter training AND full fine-tuning)
+                # fused interleaved fwd/bwd schedule (single- AND
+                # multi-phase programs; adapter training and full
+                # fine-tuning)
                 pp_grad = make_generic_pipelined_grad_fn_1f1b(
                     pipeline, mesh, num_microbatches=gas
                 )

@@ -309,35 +309,28 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
     schedule instead of the micro-batch count (the reference's DeepSpeed
     1F1B TrainSchedule analogue).
 
-    Adapter-only training: the embedders/head (p_rest) carry no trainables
-    for LoRA/LoKr, so their grads are structurally zero; full fine-tuning
-    raises and should use the AD-GPipe path.
+    Full fine-tuning works too: embed/head (p_rest) trainables get their
+    grads from the loss-head vjp (last stage, singles phase) plus an embed
+    replay against stage 0's doubles-input cotangent (see
+    pipeline_train_1f1b_multiphase's rest_params support), psum'd across
+    stages.
     """
     import flax
 
     from flax import traverse_util
 
     from ..parallel.pipeline import pipeline_train_1f1b_multiphase
-    from ..training.train_state import lora_predicate
 
     cfg: FluxConfig = pipeline.flux_config
     s = mesh.shape[STAGE_AXIS]
     m_total = num_microbatches
 
     def grad_fn(trainable, frozen, batch, rng):
-        # sanity: only block-level adapter params may be trainable
         flat_t = traverse_util.flatten_dict(
             flax.core.unfreeze(trainable)["params"]
             if "params" in trainable else trainable
         )
-        for path, leaf in flat_t.items():
-            if leaf is None:
-                continue
-            if path[0] not in ("double_blocks", "single_blocks"):
-                raise NotImplementedError(
-                    "pipeline_schedule='1f1b' supports adapter (block-level) "
-                    "training; use the GPipe schedule for full fine-tuning"
-                )
+        is_trainable = {p: (l is not None) for p, l in flat_t.items()}
 
         params = merge_params(trainable, frozen)["params"]
         p_rest = {
@@ -350,17 +343,22 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             pipeline, params["single_blocks"], cfg.num_single_layers, s,
             cfg.num_layers)
 
-        def split(tree):
+        def split(tree, prefix=()):
             flat = traverse_util.flatten_dict(tree)
-            tr = {k: (v if lora_predicate(k, v) else None)
+            tr = {k: (v if is_trainable.get(prefix + k, False) else None)
                   for k, v in flat.items()}
-            fz = {k: (None if lora_predicate(k, v) else v)
+            fz = {k: (None if is_trainable.get(prefix + k, False) else v)
                   for k, v in flat.items()}
             return (traverse_util.unflatten_dict(tr),
                     traverse_util.unflatten_dict(fz))
 
-        pd_t, pd_f = split(pd_all)
-        ps_t, ps_f = split(ps_all)
+        pd_t, pd_f = split(pd_all, ("double_blocks",))
+        ps_t, ps_f = split(ps_all, ("single_blocks",))
+        pr_t, pr_f = split(p_rest)
+        has_rest_t = any(
+            v is not None
+            for v in traverse_util.flatten_dict(pr_t).values()
+        )
 
         # per-microbatch prepared inputs (same as the GPipe path)
         keys = jax.random.split(rng, m_total)
@@ -386,7 +384,7 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             [preps[0][0]["txt_ids"], preps[0][0]["img_ids"]], axis=0
         )
 
-        def body(p_rest, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb,
+        def body(pr_t, pr_f, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb,
                  target_mb, mask_mb, ids):
             rope_cos, rope_sin = rope_frequencies(
                 ids, cfg.axes_dims_rope, cfg.rope_theta
@@ -400,15 +398,19 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
                     mi_mb,
                 )
 
-            def inject(t):
+            def inject_p(rt, t):
                 mi = get_mb(t)
-                img, txt, temb = _embed_microbatch(cfg, p_rest, mi)
+                img, txt, temb = _embed_microbatch(
+                    cfg, merge_params(rt, pr_f), mi)
                 tm = (
                     mi["txt_mask"].astype(jnp.int32)
                     if has_txt_mask
                     else jnp.ones((txt.shape[0], txt_len), jnp.int32)
                 )
                 return (img, txt, temb, tm)
+
+            def inject(t):
+                return inject_p(pr_t, t)
 
             def phase_doubles(p_t, payload):
                 img, txt, temb, tm = payload
@@ -447,10 +449,11 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
                 x = apply_local_blocks(apply_one, p_full, en_s, x)
                 return (x[:, txt_len:], x[:, :txt_len], temb, tm)
 
-            def loss_head(payload, t):
+            def loss_head_p(rt, payload, t):
                 img, txt, temb, _ = payload
                 x = jnp.concatenate([txt, img], axis=1)
-                out = _head(cfg, p_rest, x, temb, txt_len, img_seq_len)
+                out = _head(cfg, merge_params(rt, pr_f), x, temb, txt_len,
+                            img_seq_len)
                 target = jax.lax.dynamic_index_in_dim(target_mb, t, 0, False)
                 mask_i = (
                     jax.lax.dynamic_index_in_dim(mask_mb, t, 0, False)
@@ -462,11 +465,26 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             template = jax.tree.map(
                 lambda sd: jnp.zeros(sd.shape, sd.dtype), template
             )
-            loss, (gd, gs) = pipeline_train_1f1b_multiphase(
-                [phase_doubles, phase_singles], [pd_t, ps_t],
-                inject, loss_head, m_total, s, template,
-            )
-            return loss, gd, gs
+            if has_rest_t:
+                loss, (gd, gs), g_rest = pipeline_train_1f1b_multiphase(
+                    [phase_doubles, phase_singles], [pd_t, ps_t],
+                    None, None, m_total, s, template,
+                    rest_params=pr_t, inject_p=inject_p,
+                    loss_head_p=loss_head_p,
+                )
+                # embed grads live on stage 0, head grads on the last
+                # stage; sum to the replicated total
+                g_rest = jax.tree.map(
+                    lambda x: jax.lax.psum(x, STAGE_AXIS), g_rest
+                )
+            else:
+                loss, (gd, gs) = pipeline_train_1f1b_multiphase(
+                    [phase_doubles, phase_singles], [pd_t, ps_t],
+                    inject, lambda pl, t: loss_head_p(pr_t, pl, t),
+                    m_total, s, template,
+                )
+                g_rest = jax.tree.map(lambda x: x, pr_t)  # all-None tree
+            return loss, gd, gs, g_rest
 
         from jax.sharding import PartitionSpec as P
 
@@ -474,13 +492,13 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
             body,
             mesh=mesh,
             axis_names={STAGE_AXIS},
-            in_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
+            in_specs=(P(), P(), P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS),
                       P(STAGE_AXIS), P(STAGE_AXIS), P(STAGE_AXIS), P(), P(),
                       P(), P()),
-            out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS)),
+            out_specs=(P(), P(STAGE_AXIS), P(STAGE_AXIS), P()),
         )
-        loss, gd, gs = shard_body(
-            p_rest, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb, target_mb,
+        loss, gd, gs, g_rest = shard_body(
+            pr_t, pr_f, pd_t, pd_f, ps_t, ps_f, en_d, en_s, mi_mb, target_mb,
             mask_mb, ids,
         )
 
@@ -488,14 +506,17 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
         # b2s[j]; identity slots drop) and rebuild the trainable structure
         gd = jax.tree.map(lambda g: g[b2s_d], gd)
         gs = jax.tree.map(lambda g: g[b2s_s], gs)
+        flat_rest = traverse_util.flatten_dict(g_rest) if has_rest_t else {}
         flat_out = {}
         for path, leaf in flat_t.items():
             if leaf is None:
                 flat_out[path] = None
             elif path[0] == "double_blocks":
                 flat_out[path] = traverse_util.flatten_dict(gd)[path[1:]]
-            else:
+            elif path[0] == "single_blocks":
                 flat_out[path] = traverse_util.flatten_dict(gs)[path[1:]]
+            else:
+                flat_out[path] = flat_rest[path]
         grads = {"params": traverse_util.unflatten_dict({
             k[0:]: v for k, v in flat_out.items()
         })}

@@ -573,9 +573,10 @@ def _make_generic_multiphase_grad_fn_1f1b(pipeline, mesh, program,
 
             if has_rest_t:
                 loss, gs, g_rest = pipeline_train_1f1b_multiphase(
-                    phase_fns, ps_t, None, None, m_total, s, templates,
-                    handoffs=handoffs, rest_params=pr_t,
-                    inject_p=inject_p, loss_head_p=loss_head_p,
+                    phase_fns, ps_t, None, None, m_total, s, None,
+                    handoffs=handoffs, payload_templates=templates,
+                    rest_params=pr_t, inject_p=inject_p,
+                    loss_head_p=loss_head_p,
                 )
                 g_rest = jax.tree.map(
                     lambda x: jax.lax.psum(x, STAGE_AXIS), g_rest
@@ -584,7 +585,8 @@ def _make_generic_multiphase_grad_fn_1f1b(pipeline, mesh, program,
                 loss, gs = pipeline_train_1f1b_multiphase(
                     phase_fns, ps_t, lambda t: inject_p(pr_t, t),
                     lambda pl, t: loss_head_p(pr_t, pl, t),
-                    m_total, s, templates, handoffs=handoffs,
+                    m_total, s, None, handoffs=handoffs,
+                    payload_templates=templates,
                 )
                 g_rest = jax.tree.map(lambda x: x, pr_t)  # all-None tree
             return loss, tuple(gs), g_rest

@@ -428,6 +428,7 @@ def pipeline_train_1f1b_multiphase(
     num_stages: int,
     payload_template: Any,
     handoffs=None,
+    payload_templates=None,
     rest_params: Any = None,
     inject_p: Callable = None,
     loss_head_p: Callable = None,
@@ -447,11 +448,12 @@ def pipeline_train_1f1b_multiphase(
 
     Args (under the caller's shard_map over 'stage'):
       phase_fns[p](phase_params[p], payload) -> payload. Payload structure
-        may DIFFER per phase: pass `payload_template` as a list of
-        per-phase input templates and `handoffs[p]` (p >= 1) mapping phase
-        p-1's output payload to phase p's input (a PPPhase.pre — e.g.
-        concat double-stream (img, txt) into the single-stream xcat).
-        With a single template, all phases are type-stable (flux).
+        may DIFFER per phase: pass `payload_templates` (a list of
+        per-phase input templates) and `handoffs[p]` (p >= 1) mapping
+        phase p-1's output payload to phase p's input (a PPPhase.pre —
+        e.g. concat double-stream (img, txt) into the single-stream
+        xcat). With only `payload_template`, all phases are type-stable
+        (flux).
       inject(t) -> phase-0 payload; loss_head(payload, t) -> scalar (last
         stage, LAST phase; earlier phases contribute a structurally-zero
         loss so the vjp signature stays uniform across devices).
@@ -478,10 +480,10 @@ def pipeline_train_1f1b_multiphase(
     nslots = 2 * v_total
     ticks = m_total + 2 * (v_total - 1) + 1
 
-    if not isinstance(payload_template, (list, tuple)):
-        templates = [payload_template] * n_phases
+    if payload_templates is not None:
+        templates = list(payload_templates)
     else:
-        templates = list(payload_template)
+        templates = [payload_template] * n_phases
     if handoffs is None:
         handoffs = [None] * n_phases
 

@@ -167,6 +167,60 @@ def test_1f1b_flux_matches_gpipe_grads():
         )
 
 
+def test_1f1b_flux_full_ft_matches_gpipe_grads():
+    """Flux's dedicated 1F1B program under FULL fine-tuning: embed/head
+    (p_rest) cotangents flow via the multiphase rest_params support, so
+    grads for every parameter match the AD-GPipe path."""
+    from flax import traverse_util
+
+    from diffusion_pipe_tpu.models.flux_pp import make_pipelined_grad_fn_1f1b
+    from diffusion_pipe_tpu.training.train_state import full_ft_predicate
+
+    stages = 2
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "float32", "_tiny": True},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+        "pipeline_stages": stages,
+    }
+    pipeline = get_model_class("flux")(cfg)
+    mesh = make_mesh(pipeline_stages=stages, tensor_parallel=1)
+    params = pipeline.init_params(jax.random.PRNGKey(0))
+    params = shard_params(mesh, params)
+    trainable, frozen = partition_params(params, full_ft_predicate)
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (M * 2, 16, 8, 8)),
+        "t5_embed": jax.random.normal(jax.random.PRNGKey(2), (M * 2, 16, 64)),
+        "clip_embed": jax.random.normal(jax.random.PRNGKey(3), (M * 2, 32)),
+    }
+    rng = jax.random.PRNGKey(11)
+
+    loss_fn = make_pipelined_loss_fn(pipeline, mesh, M)
+    grad_fn_1f1b = make_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_g, grads_g = jax.jit(jax.value_and_grad(loss_fn))(
+            trainable, frozen, batch, rng)
+        loss_i, grads_i = jax.jit(grad_fn_1f1b)(trainable, frozen, batch, rng)
+
+    np.testing.assert_allclose(float(loss_i), float(loss_g), rtol=2e-5)
+    fg = traverse_util.flatten_dict(grads_g["params"])
+    fi = traverse_util.flatten_dict(grads_i["params"])
+    assert set(fg) == set(fi)
+    rest_nonzero = [
+        float(jnp.abs(v).max()) for k, v in fi.items()
+        if v is not None and k[0] not in ("double_blocks", "single_blocks")
+    ]
+    assert rest_nonzero and max(rest_nonzero) > 0
+    for k, v in fg.items():
+        if v is None:
+            assert fi[k] is None, k
+            continue
+        np.testing.assert_allclose(
+            np.asarray(fi[k]), np.asarray(v), atol=3e-5,
+            err_msg=str(k),
+        )
+
+
 def test_1f1b_train_step_wiring():
     """make_train_step with the 1F1B grad override trains."""
     from diffusion_pipe_tpu.models.flux_pp import make_pipelined_grad_fn_1f1b

@@ -470,7 +470,11 @@ def load_sd_for_pipeline(pipeline, path_keys=("ckpt_path",
     diffusers_path loads the `transformer/` subdir when present."""
     from pathlib import Path
 
-    from .weights import load_safetensors_dir, merge_adapters_into_state_dict
+    from .weights import (
+        dequantize_comfy_fp8,
+        load_safetensors_dir,
+        merge_adapters_into_state_dict,
+    )
 
     mc = pipeline.model_config
     path = None
@@ -487,6 +491,9 @@ def load_sd_for_pipeline(pipeline, path_keys=("ckpt_path",
             f"no checkpoint path in model config (looked for {path_keys})"
         )
     sd = load_safetensors_dir(path)
+    # ComfyUI fp8/fp8_scaled checkpoints dequantize before any key mapping
+    # or LoRA merging (reference models/base.py:528-581)
+    sd = dequantize_comfy_fp8(sd)
     sd = merge_adapters_into_state_dict(sd, mc.get("merge_adapters"))
     km = pipeline.keymap() if hasattr(pipeline, "keymap") else None
     if km is not None and km.passthrough_patterns:

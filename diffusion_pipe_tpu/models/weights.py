@@ -23,9 +23,63 @@ def load_safetensors_dir(path) -> Dict[str, np.ndarray]:
         raise FileNotFoundError(f"no safetensors found at {path}")
     out = {}
     for f in files:
+        fp8_keys = []
         with safe_open(f, framework="np") as sf:
             for k in sf.keys():
-                out[k] = sf.get_tensor(k)
+                try:
+                    out[k] = sf.get_tensor(k)
+                except (AttributeError, TypeError):
+                    # this safetensors/numpy combo cannot decode fp8;
+                    # collect and decode those via torch below
+                    fp8_keys.append(k)
+        if fp8_keys:
+            import ml_dtypes
+            import torch
+
+            fp8_map = {torch.float8_e4m3fn: ml_dtypes.float8_e4m3fn,
+                       torch.float8_e5m2: ml_dtypes.float8_e5m2}
+            with safe_open(f, framework="pt") as sf:
+                for k in fp8_keys:
+                    t = sf.get_tensor(k)
+                    out[k] = (t.view(torch.uint8).numpy()
+                              .view(fp8_map[t.dtype]))
+    return out
+
+
+def dequantize_comfy_fp8(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Dequantize ComfyUI fp8 checkpoints at load.
+
+    The reference trains directly from fp8_scaled ComfyUI files (its
+    example configs name e.g. ideogram4_fp8_scaled.safetensors;
+    ComfyPipeline dequantizes QuantizedTensor weights at load,
+    models/base.py:528-581). Layout: a marker tensor named `scaled_fp8`
+    (possibly prefixed) whose dtype names the fp8 flavor, fp8-stored
+    `X.weight` tensors with per-tensor `X.scale_weight` factors, and
+    optional `X.scale_input` activation scales (inference-only).
+    Dequant: w = float32(w) * scale_weight, emitted as bf16. Plain-fp8
+    tensors without a scale upcast unchanged. No-op for checkpoints with
+    no fp8 tensors."""
+    import ml_dtypes
+
+    fp8_dtypes = (np.dtype(ml_dtypes.float8_e4m3fn),
+                  np.dtype(ml_dtypes.float8_e5m2))
+    if not any(v.dtype in fp8_dtypes for v in sd.values()):
+        return sd
+    out = {}
+    for k, v in sd.items():
+        base = k.rsplit(".", 1)[0] if "." in k else k
+        if (k.endswith("scaled_fp8") or k.endswith(".scale_weight")
+                or k.endswith(".scale_input")):
+            continue
+        if v.dtype in fp8_dtypes:
+            w = v.astype(np.float32)
+            scale = sd.get(f"{base}.scale_weight")
+            if scale is not None and k.endswith(".weight"):
+                w = w * np.asarray(scale, np.float32).reshape(
+                    (-1,) + (1,) * (w.ndim - 1))
+            out[k] = w.astype(ml_dtypes.bfloat16)
+        else:
+            out[k] = v
     return out
 
 

@@ -349,3 +349,41 @@ def test_sdxl_save_model_roundtrip(tmp_path):
     assert set(f0) == set(f1), sorted(set(f0) ^ set(f1))[:10]
     for k in f0:
         np.testing.assert_allclose(f0[k], f1[k], atol=0, err_msg=k)
+
+
+def test_dequantize_comfy_fp8():
+    """ComfyUI fp8_scaled checkpoints: fp8 weights times per-tensor
+    scale_weight -> bf16, marker + scale keys dropped, non-fp8 tensors
+    untouched (reference trains from *_fp8_scaled.safetensors directly,
+    models/base.py:528-581)."""
+    import ml_dtypes
+
+    from diffusion_pipe_tpu.models.weights import dequantize_comfy_fp8
+
+    rng = np.random.default_rng(0)
+    w32 = rng.standard_normal((4, 8)).astype(np.float32)
+    w8 = (w32 / 2.0).astype(ml_dtypes.float8_e4m3fn)
+    plain8 = rng.standard_normal((3,)).astype(ml_dtypes.float8_e4m3fn)
+    sd = {
+        "scaled_fp8": np.zeros((), ml_dtypes.float8_e4m3fn),
+        "blk.weight": w8,
+        "blk.scale_weight": np.asarray(2.0, np.float32),
+        "blk.scale_input": np.asarray(1.0, np.float32),
+        "plain.weight": plain8,
+        "norm.weight": np.ones((8,), np.float32),
+    }
+    out = dequantize_comfy_fp8(sd)
+    assert set(out) == {"blk.weight", "plain.weight", "norm.weight"}
+    assert out["blk.weight"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_allclose(
+        out["blk.weight"].astype(np.float32),
+        (w8.astype(np.float32) * 2.0).astype(ml_dtypes.bfloat16)
+        .astype(np.float32))
+    np.testing.assert_allclose(
+        out["plain.weight"].astype(np.float32),
+        plain8.astype(np.float32), atol=1e-2)
+    assert out["norm.weight"].dtype == np.float32
+
+    # no fp8 anywhere -> identity (same dict object semantics not required)
+    sd2 = {"a.weight": np.ones((2,), np.float32)}
+    assert dequantize_comfy_fp8(sd2) is sd2

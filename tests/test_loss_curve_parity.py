@@ -266,3 +266,141 @@ def test_wan_fullft_loss_curve_matches_reference():
         err_msg=f"ours={losses_ours}\nref={losses_ref}")
     # the curve must actually move (both sides training)
     assert losses_ref[-1] != losses_ref[0]
+
+
+def test_cosmos_predict2_fullft_loss_curve_matches_reference():
+    """Second family composed-system parity: logit-normal t -> flow
+    noising -> vendored torch MiniTrainDIT forward -> MSE -> global-norm
+    clip -> AdamW(wd split), torch (reference math,
+    models/cosmos_predict2.py:357-406 prepare_inputs + vendored
+    cosmos_predict2_modeling.py) vs our trainer, shared numpy randomness
+    on both sides."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+
+    from test_golden_parity import _stub_torchvision
+
+    from diffusion_pipe_tpu.models.cosmos_predict2 import (
+        CosmosPredict2Pipeline,
+    )
+    from diffusion_pipe_tpu.models.keymaps import keymap_to_flax
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import predicate_from_config
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    _ref_path()
+    _stub_torchvision()
+    from models.cosmos_predict2_modeling import MiniTrainDIT
+
+    torch.manual_seed(0)
+    m = MiniTrainDIT(
+        max_img_h=64, max_img_w=64, max_frames=8, in_channels=16,
+        out_channels=16, patch_spatial=2, patch_temporal=1,
+        concat_padding_mask=True, model_channels=64, num_blocks=2,
+        num_heads=4, mlp_ratio=4.0, crossattn_emb_channels=32,
+        pos_emb_cls="rope3d", pos_emb_learnable=False,
+        pos_emb_interpolation="crop", min_fps=1, max_fps=30,
+        use_adaln_lora=True, adaln_lora_dim=16,
+        rope_h_extrapolation_ratio=1.0, rope_w_extrapolation_ratio=1.0,
+        rope_t_extrapolation_ratio=1.0, extra_per_block_abs_pos_emb=False,
+        rope_enable_fps_modulation=False,
+    )
+    m = m.float().train()
+    # .copy(): detach().numpy() aliases torch storage, and the torch
+    # optimizer below updates it in place
+    sd = {k: v.detach().numpy().copy() for k, v in m.state_dict().items()}
+
+    # --- shared randomness --------------------------------------------------
+    steps = 12
+    bs = 2
+    rng = np.random.default_rng(11)
+    latents = rng.standard_normal((bs, 16, 2, 16, 16)).astype(np.float32)
+    ctx = rng.standard_normal((bs, 24, 32)).astype(np.float32)
+    # reference t: sigmoid of N(0,1) (cosmos_predict2.py:378-393, no shift)
+    t_steps = [
+        1.0 / (1.0 + np.exp(-rng.standard_normal(bs).astype(np.float32)))
+        for _ in range(steps)
+    ]
+    noise_steps = [
+        rng.standard_normal(latents.shape).astype(np.float32)
+        for _ in range(steps)
+    ]
+
+    # --- torch side (reference math) -----------------------------------------
+    lr, wd = 1e-3, 0.01
+    opt_t = torch.optim.AdamW(
+        [{"params": [p for p in m.parameters() if p.ndim > 1],
+          "weight_decay": wd},
+         {"params": [p for p in m.parameters() if p.ndim == 1],
+          "weight_decay": 0.0}],
+        lr=lr, betas=(0.9, 0.999), eps=1e-8)
+    pad = torch.zeros((bs, 1, 16, 16))
+
+    losses_ref = []
+    for s in range(steps):
+        t = torch.from_numpy(t_steps[s])
+        x0 = torch.from_numpy(noise_steps[s])
+        x1 = torch.from_numpy(latents)
+        te = t.view(-1, 1, 1, 1, 1)
+        x_t = (1 - te) * x1 + te * x0
+        target = x0 - x1
+        out = m(x_t, t, torch.from_numpy(ctx), padding_mask=pad)
+        loss = F.mse_loss(out.float(), target.float())
+        opt_t.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(m.parameters(), 1.0)
+        opt_t.step()
+        losses_ref.append(float(loss))
+
+    # --- our side -------------------------------------------------------------
+    class _InjectedCP2(CosmosPredict2Pipeline):
+        def prepare_inputs(self, rng_, batch, timestep_quantile=None):
+            batch = dict(batch)
+            t = batch.pop("fixed_t").astype(jnp.float32)
+            noise = batch.pop("fixed_noise").astype(jnp.float32)
+            mi, _, mask = super().prepare_inputs(
+                rng_, batch, timestep_quantile=timestep_quantile)
+            lat = batch["latents"].astype(jnp.float32)
+            te = t.reshape(-1, 1, 1, 1, 1)
+            mi["x"] = ((1 - te) * lat + te * noise).astype(
+                self.cp_config.dtype)
+            mi["t"] = t
+            return mi, noise - lat, mask
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "cosmos_predict2", "dtype": "float32",
+                  "_tiny": True},
+        "optimizer": {"type": "adamw", "lr": lr, "betas": [0.9, 0.999],
+                      "eps": 1e-8, "weight_decay": wd},
+    }
+    pipe = _InjectedCP2(cfg)
+    params = jax.tree.map(
+        np.asarray, keymap_to_flax(sd, pipe.keymap(), pipe.cp_config))
+
+    opt = get_optimizer(cfg)
+    state = init_train_state(pipe, opt, jax.random.PRNGKey(0),
+                             predicate_from_config(cfg), params=params)
+    step = jax.jit(make_train_step(pipe, opt, gradient_clipping=1.0))
+
+    losses_ours = []
+    for s in range(steps):
+        batch = {
+            "latents": jnp.asarray(latents),
+            "t5_embed": jnp.asarray(ctx),
+            "fixed_t": jnp.asarray(t_steps[s]),
+            "fixed_noise": jnp.asarray(noise_steps[s]),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(s))
+        losses_ours.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        losses_ours, losses_ref, rtol=2e-3, atol=2e-4,
+        err_msg=f"ours={losses_ours}\nref={losses_ref}")
+    assert losses_ref[-1] != losses_ref[0]

@@ -284,6 +284,70 @@ class CosmosHybridDownsample(nn.Module):
         return CausalConvF(c, (1, 1, 1), dtype=self.dtype, name="conv3")(x)
 
 
+class CosmosHybridUpsample(nn.Module):
+    """CausalHybridUpsample3d: causal temporal 2x (repeat, drop the
+    duplicated first frame) + residual temporal conv, nearest spatial 2x +
+    residual spatial conv, then a 1x1x1 mixer — the decoder mirror of
+    CosmosHybridDownsample."""
+
+    spatial: bool
+    temporal: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.spatial and not self.temporal:
+            return x
+        c = x.shape[-1]
+        if self.temporal:
+            x = jnp.repeat(x, 2, axis=1)[:, 1:]  # 1+k -> 1+2k (causal)
+            x = CausalConvF(c, (3, 1, 1), dtype=self.dtype,
+                            name="conv1")(x) + x
+        if self.spatial:
+            x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+            x = CausalConvF(c, (1, 3, 3), dtype=self.dtype,
+                            name="conv2")(x) + x
+        return CausalConvF(c, (1, 1, 1), dtype=self.dtype, name="conv3")(x)
+
+
+class CosmosTokenizerDecoder(nn.Module):
+    """DecoderFactorized mirror: conv_in pair -> mid (resnet, attn pair,
+    resnet) -> up levels from deepest to shallowest (num_res_blocks+1
+    resnets each, hybrid upsample between levels) -> norm_out -> conv_out
+    pair -> inverse haar unpatcher."""
+
+    config: CosmosTokenizerConfig
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        n = len(cfg.channels_mult)
+        ch = cfg.channels * cfg.channels_mult[-1]
+        h = FactorizedConv(ch, cfg.dtype, name="conv_in")(z)
+        h = CosmosResnetF(ch, cfg.dtype, name="mid_res_0")(h)
+        h = CosmosSpatialAttn(cfg.dtype, name="mid_attn_s")(h)
+        h = CosmosTemporalAttn(cfg.dtype, name="mid_attn_t")(h)
+        h = CosmosResnetF(ch, cfg.dtype, name="mid_res_1")(h)
+        for i in reversed(range(n)):
+            ch = cfg.channels * cfg.channels_mult[i]
+            for j in range(cfg.num_res_blocks + 1):
+                h = CosmosResnetF(ch, cfg.dtype, name=f"up_{i}_res_{j}")(h)
+                if i in cfg.attn_levels:
+                    h = CosmosSpatialAttn(cfg.dtype,
+                                          name=f"up_{i}_attn_{j}_s")(h)
+                    h = CosmosTemporalAttn(cfg.dtype,
+                                           name=f"up_{i}_attn_{j}_t")(h)
+            if i > 0:
+                sup, tup = cfg.downsample_flags[i - 1]
+                h = CosmosHybridUpsample(sup, tup, cfg.dtype,
+                                         name=f"up_{i}_upsample")(h)
+        h = _norm1g(h, "norm_out")
+        h = nn.silu(h)
+        h = FactorizedConv(cfg.in_channels * cfg.patch_size ** 3,
+                           cfg.dtype, name="conv_out")(h)
+        return haar_unpatch_3d(h, cfg.patch_size)
+
+
 class CosmosTokenizerEncoder(nn.Module):
     config: CosmosTokenizerConfig
 
@@ -329,8 +393,11 @@ class CosmosVideoTokenizer(nn.Module):
     def setup(self):
         cfg = self.config
         self.encoder = CosmosTokenizerEncoder(cfg)
+        self.decoder = CosmosTokenizerDecoder(cfg)
         self.quant_conv = CausalConvF(
             cfg.embedding_dim, (1, 1, 1), dtype=cfg.dtype)
+        self.post_quant_conv = CausalConvF(
+            cfg.z_channels, (1, 1, 1), dtype=cfg.dtype)
         k = cfg.embedding_dim * cfg.latent_temporal_chunk
         self.latent_mean = self.param(
             "latent_mean", nn.initializers.zeros_init(), (k,), jnp.float32)
@@ -349,8 +416,23 @@ class CosmosVideoTokenizer(nn.Module):
         return ((z - mean.reshape(shape)) / std.reshape(shape)) \
             * cfg.sigma_data
 
+    def decode(self, latents):
+        """Reference CausalContinuousVideoTokenizer.decode (cosmos.py:77-86):
+        z / sigma_data * std + mean -> post_quant_conv -> decoder."""
+        cfg = self.config
+        t = latents.shape[2]
+        mean = self.latent_mean.reshape(cfg.embedding_dim, -1)[:, :t]
+        std = self.latent_std.reshape(cfg.embedding_dim, -1)[:, :t]
+        shape = (1, cfg.embedding_dim, t, 1, 1)
+        z = latents / cfg.sigma_data
+        z = z * std.reshape(shape) + mean.reshape(shape)
+        z = jnp.transpose(z, (0, 2, 3, 4, 1))
+        z = self.post_quant_conv(z)
+        out = self.decoder(z)
+        return jnp.transpose(out, (0, 4, 1, 2, 3))
+
     def __call__(self, pixels):
-        return self.encode(pixels)
+        return self.decode(self.encode(pixels))
 
 
 # --- weight conversion -------------------------------------------------------
@@ -365,14 +447,14 @@ def convert_cosmos_tokenizer(sd) -> Tuple[CosmosTokenizerConfig, dict]:
     """NVIDIA Cosmos continuous-tokenizer checkpoint -> (config, params).
 
     Expects the CausalContinuousVideoTokenizer state dict the reference
-    loads (cosmos.py:111 load_custom_video_vae): `encoder.*`, `quant_conv`,
-    `latent_mean`/`latent_std`. Encoder topology (levels, res blocks,
-    channel widths, which hybrid downsample convs exist, attn presence)
-    is DISCOVERED from the keys and kernel shapes; keys that fit no known
-    slot raise instead of converting silently wrong. Decoder weights are
-    ignored (training caches need encode only, like the LTX port)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()
-          if not k.startswith("decoder.")}
+    loads (cosmos.py:111 load_custom_video_vae): `encoder.*`, `decoder.*`,
+    `quant_conv`/`post_quant_conv`, `latent_mean`/`latent_std`. Topology
+    (levels, res blocks, channel widths, which hybrid down/upsample convs
+    exist, attn presence) is DISCOVERED from the keys and kernel shapes —
+    up/downsample conv roles are read from kernel shapes (kt==3 temporal,
+    kh==3 spatial), not names; keys that fit no known slot raise instead
+    of converting silently wrong."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
     consumed = set()
 
     def take(key):
@@ -499,14 +581,54 @@ def convert_cosmos_tokenizer(sd) -> Tuple[CosmosTokenizerConfig, dict]:
     ep["mid_attn_s"] = attn("encoder.mid.attn_1.0")
     ep["mid_attn_t"] = attn("encoder.mid.attn_1.1")
 
+    # ---- decoder (mirror; up levels keep NVIDIA's indices) -------------
+    dp = {"conv_in": fconv("decoder.conv_in"),
+          "conv_out": fconv("decoder.conv_out"),
+          "norm_out": norm("decoder.norm_out"),
+          "mid_res_0": resnet("decoder.mid.block_1"),
+          "mid_res_1": resnet("decoder.mid.block_2"),
+          "mid_attn_s": attn("decoder.mid.attn_1.0"),
+          "mid_attn_t": attn("decoder.mid.attn_1.1")}
+    up_blocks = sorted({int(mm.group(1)) for kk in sd
+                        for mm in [re.match(
+                            r"decoder\.up\.\d+\.block\.(\d+)\.", kk)]
+                        if mm})
+    assert len(up_blocks) == num_res_blocks + 1, up_blocks
+    for i in range(n_levels):
+        for j in range(num_res_blocks + 1):
+            dp[f"up_{i}_res_{j}"] = resnet(f"decoder.up.{i}.block.{j}")
+            if cw(f"decoder.up.{i}.attn.{j}.0.q") is not None:
+                dp[f"up_{i}_attn_{j}_s"] = attn(f"decoder.up.{i}.attn.{j}.0")
+                dp[f"up_{i}_attn_{j}_t"] = attn(f"decoder.up.{i}.attn.{j}.1")
+        base = f"decoder.up.{i}.upsample"
+        u = {}
+        for cname in ("conv1", "conv2"):
+            w = cw(f"{base}.{cname}")
+            if w is None:
+                continue
+            # role by kernel shape, not name: (3,1,1) temporal, (1,3,3)
+            # spatial; flax names conv1=temporal, conv2=spatial
+            if w.shape[2] == 3:
+                u["conv1"] = {"conv": conv(f"{base}.{cname}")}
+            else:
+                u["conv2"] = {"conv": conv(f"{base}.{cname}")}
+        if u:
+            u["conv3"] = {"conv": conv(f"{base}.conv3")}
+            dp[f"up_{i}_upsample"] = u
+            # decoder upsample at index i inverts encoder downsample i-1
+            assert i >= 1 and (flags[i - 1][0] or flags[i - 1][1]), (
+                f"decoder.up.{i}.upsample present but encoder level "
+                f"{i - 1} has no downsample")
+
     params = {"params": {
         "encoder": ep,
+        "decoder": dp,
         "quant_conv": {"conv": conv("quant_conv")},
+        "post_quant_conv": {"conv": conv("post_quant_conv")},
         "latent_mean": lm,
         "latent_std": np.asarray(take("latent_std"), np.float32).reshape(-1),
     }}
     leftover = [k for k in sd if k not in consumed
-                and not k.startswith("post_quant_conv")
                 and not re.search(r"(_arange|wavelets|patch_size_buffer)", k)]
     if leftover:
         raise ValueError(

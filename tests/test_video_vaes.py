@@ -47,6 +47,8 @@ def test_cosmos_tokenizer_shapes():
     z = tok.apply(params, px, method=CosmosVideoTokenizer.encode)
     # continuous: latent directly; temporal (9-1)/4+1=3, spatial 32/4=8
     assert z.shape == (1, cfg.embedding_dim, 3, 8, 8), z.shape
+    out = tok.apply(params, z, method=CosmosVideoTokenizer.decode)
+    assert out.shape == (1, 3, 9, 32, 32), out.shape
 
 
 def test_cosmos_haar_patcher_roundtrip():
@@ -143,7 +145,24 @@ def _cosmos_synthetic_sd(rng):
     norm("encoder.norm_out", prev)
     fconv("encoder.conv_out", z, prev)
     conv("quant_conv", emb, z, (1, 1, 1))
-    conv("post_quant_conv", z, emb, (1, 1, 1))  # decoder side: ignored
+    conv("post_quant_conv", z, emb, (1, 1, 1))
+    # decoder mirror (up levels keep NVIDIA indices; upsample at up.1
+    # inverts the encoder's level-0 downsample; its convs are written
+    # with SWAPPED names to exercise the kernel-shape role discovery)
+    fconv("decoder.conv_in", widths[-1], emb)
+    resnet("decoder.mid.block_1", widths[-1], widths[-1])
+    attnblock("decoder.mid.attn_1.0", widths[-1])
+    attnblock("decoder.mid.attn_1.1", widths[-1])
+    resnet("decoder.mid.block_2", widths[-1], widths[-1])
+    resnet("decoder.up.1.block.0", widths[-1], widths[-1])
+    resnet("decoder.up.1.block.1", widths[-1], widths[-1])
+    conv("decoder.up.1.upsample.conv1", widths[-1], widths[-1], (3, 1, 1))
+    conv("decoder.up.1.upsample.conv2", widths[-1], widths[-1], (1, 3, 3))
+    conv("decoder.up.1.upsample.conv3", widths[-1], widths[-1], (1, 1, 1))
+    resnet("decoder.up.0.block.0", widths[-1], widths[0])
+    resnet("decoder.up.0.block.1", widths[0], widths[0])
+    norm("decoder.norm_out", widths[0])
+    fconv("decoder.conv_out", 3 * 2 ** 3, widths[0])
     sd["latent_mean"] = np.zeros((emb * chunk,), np.float32)
     sd["latent_std"] = np.ones((emb * chunk,), np.float32)
     return sd
@@ -172,6 +191,9 @@ def test_cosmos_tokenizer_converter():
     z = tok.apply(params, px, method=CosmosVideoTokenizer.encode)
     assert z.shape == (1, 4, 2, 4, 4), z.shape
     assert np.isfinite(np.asarray(z)).all()
+    out = tok.apply(params, z, method=CosmosVideoTokenizer.decode)
+    assert out.shape == (1, 3, 5, 16, 16), out.shape
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_cosmos_tokenizer_converter_rejects_unknown():

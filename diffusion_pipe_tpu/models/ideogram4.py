@@ -20,7 +20,12 @@ from that wrapper:
   - final adaLN layer, output NEGATED (reference :258-263), target
     noise - latents => effective prediction latents - noise
 
-Block internals flagged for real-checkpoint verification; dims are
+Block FFN layout is grounded in the reference keep-list: `mlp_in` appears
+verbatim in keep_in_high_precision (reference :26), and keep-list strings
+are substring-matched against real parameter names (reference base.py:539)
+— so blocks carry a flat mlp_in/mlp_out pair (GLU-vs-plain and the hidden
+width shape-discovered at load). Attention spellings (q/k/v/o + q/k RMS
+norm) remain flagged for real-checkpoint verification; dims are
 checkpoint-configurable.
 """
 
@@ -87,6 +92,15 @@ class Ideogram4Config:
     num_attention_heads: int = 24
     num_layers: int = 30
     mlp_ratio: float = 4.0
+    # Block FFN: a flat mlp_in/mlp_out pair (the reference keep-list names
+    # `mlp_in` verbatim, models/ideogram4.py:26 — keep-list strings are
+    # substring-matched against real param names, base.py:539, so upstream
+    # blocks carry a direct `mlp_in` child, not a nested mlp.gate_proj).
+    # mlp_glu=True: mlp_in -> [gate|up] (2*mlp_hidden), silu(g)*u, mlp_out;
+    # mlp_glu=False: mlp_in -> mlp_hidden, gelu, mlp_out. Both variants are
+    # shape-discovered from the checkpoint at load (load_weights).
+    mlp_glu: bool = True
+    mlp_hidden: int = 0           # 0 -> hidden_size * mlp_ratio
     text_dim: int = 4096          # Qwen3-VL-8B hidden
     mrope_section: Tuple[int, ...] = (24, 20, 20)
     rope_theta: float = 5000000.0
@@ -106,6 +120,10 @@ class Ideogram4Config:
     @property
     def head_dim(self):
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def mlp_dim(self):
+        return self.mlp_hidden or int(self.hidden_size * self.mlp_ratio)
 
     @property
     def lora_kwargs(self):
@@ -166,15 +184,20 @@ class Ideogram4Block(nn.Module):
         x = x + g_msa[:, None] * attn
 
         y = modulate(layer_norm_no_affine(x), s_mlp, sc_mlp)
-        gate = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False,
-                         name="mlp_gate", kernel_axes=(None, "tensor"),
-                         **dd, **lora)(y)
-        up = LoraDense(int(dim * cfg.mlp_ratio), use_bias=False,
-                       name="mlp_up", kernel_axes=(None, "tensor"),
-                       **dd, **lora)(y)
-        y = LoraDense(dim, use_bias=False, name="mlp_down",
-                      kernel_axes=("tensor", None), **dd, **lora)(
-            nn.silu(gate) * up)
+        # mlp_in stays HIGH precision under fp8 storage: the reference
+        # keep-list (models/ideogram4.py:26) excludes it from the fp8 cast
+        # alongside the embedders/final layer.
+        hp = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        mlp_out_dim = cfg.mlp_dim * (2 if cfg.mlp_glu else 1)
+        y = LoraDense(mlp_out_dim, use_bias=False, name="mlp_in",
+                      kernel_axes=(None, "tensor"), **hp, **lora)(y)
+        if cfg.mlp_glu:
+            gate, up = jnp.split(y, 2, axis=-1)
+            y = nn.silu(gate) * up
+        else:
+            y = nn.gelu(y)
+        y = LoraDense(dim, use_bias=False, name="mlp_out",
+                      kernel_axes=("tensor", None), **dd, **lora)(y)
         return x + g_mlp[:, None] * y, None
 
 
@@ -281,9 +304,11 @@ class Ideogram4Pipeline(BasePipeline):
             int8_matmul=mc.get("int8_matmul", False),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
-                     "text_dim", "latent_dim"):
+                     "text_dim", "latent_dim", "mlp_hidden"):
             if mc.get(knob) is not None:
                 kwargs[knob] = int(mc[knob])
+        if mc.get("mlp_glu") is not None:
+            kwargs["mlp_glu"] = bool(mc["mlp_glu"])
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
@@ -384,9 +409,16 @@ class Ideogram4Pipeline(BasePipeline):
         reference wrapper (models/ideogram4.py:26 keep_in_high_precision:
         input_proj, llm_cond_norm, llm_cond_proj, t_embedding, adaln_proj,
         embed_image_indicator, final_layer; block container `layers`, :38).
-        Block-internal spellings follow the LLM q/k/v/o + SwiGLU
-        gate/up/down convention and are flagged pending real-checkpoint
-        verification. LoRA export uses the ComfyUI prefix."""
+        The block FFN is a flat mlp_in/mlp_out pair — `mlp_in` appears
+        verbatim in the keep-list, which is substring-matched against real
+        param names (reference base.py:539), ruling out a nested
+        mlp.gate_proj layout; mlp_out is the symmetric inverse projection.
+        GLU-vs-plain and the hidden width are shape-discovered from the
+        checkpoint at load (load_weights). Attention spellings follow the
+        LLM q/k/v/o convention (the wrapper reuses Qwen3-VL MRoPE naming:
+        head_dim/rope_theta/mrope_section, reference :219-222) and remain
+        flagged pending real-checkpoint verification. LoRA export uses the
+        ComfyUI prefix."""
         from .keymaps import BlockGroup, KeyMap
 
         return KeyMap(
@@ -398,9 +430,8 @@ class Ideogram4Pipeline(BasePipeline):
                     "attn_k": "attn.k_proj",
                     "attn_v": "attn.v_proj",
                     "attn_out": "attn.o_proj",
-                    "mlp_gate": "mlp.gate_proj",
-                    "mlp_up": "mlp.up_proj",
-                    "mlp_down": "mlp.down_proj",
+                    "mlp_in": "mlp_in",
+                    "mlp_out": "mlp_out",
                 },
                 norms={"attn_q_norm": "attn.q_norm",
                        "attn_k_norm": "attn.k_norm"},
@@ -421,11 +452,35 @@ class Ideogram4Pipeline(BasePipeline):
         )
 
     def load_weights(self):
-        from .keymaps import keymap_to_flax, load_sd_for_pipeline
-
-        return keymap_to_flax(
-            load_sd_for_pipeline(self), self.keymap(), self.ideo_config
+        from .keymaps import (
+            keymap_to_flax,
+            load_sd_for_pipeline,
+            strip_known_prefixes,
         )
+
+        sd = load_sd_for_pipeline(self)
+        stripped = strip_known_prefixes(sd, self.keymap())
+        # Shape-discover the FFN variant: torch mlp_in.weight is [O, I],
+        # mlp_out.weight is [dim, mlp_hidden]. O == 2*mlp_hidden means a
+        # fused-GLU mlp_in (gate|up halves); O == mlp_hidden means a plain
+        # activation MLP.
+        win = stripped.get("layers.0.mlp_in.weight")
+        wout = stripped.get("layers.0.mlp_out.weight")
+        if win is not None and wout is not None:
+            mlp_hidden = int(wout.shape[1])
+            mlp_glu = int(win.shape[0]) == 2 * mlp_hidden
+            if not mlp_glu and int(win.shape[0]) != mlp_hidden:
+                raise ValueError(
+                    f"ideogram4 mlp_in/mlp_out shapes inconsistent: "
+                    f"{win.shape} vs {wout.shape}"
+                )
+            if (mlp_glu != self.ideo_config.mlp_glu
+                    or mlp_hidden != self.ideo_config.mlp_dim):
+                self.ideo_config = dataclasses.replace(
+                    self.ideo_config, mlp_glu=mlp_glu, mlp_hidden=mlp_hidden
+                )
+                self.model = Ideogram4Transformer(self.ideo_config)
+        return keymap_to_flax(sd, self.keymap(), self.ideo_config)
 
     def get_call_vae_fn(self):
         """Ideogram4 uses the flux2 VAE (docs/supported_models.md:608);

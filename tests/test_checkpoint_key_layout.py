@@ -465,12 +465,17 @@ AUDIT = {
     # (keep_in_high_precision at models/ideogram4.py:26 + InitialLayer
     # accesses :137-142,246: input_proj / t_embedding / adaln_proj /
     # llm_cond_norm / llm_cond_proj / embed_image_indicator / final_layer;
-    # blocks via diffusion_model.layers :38). Tops-only audit: the
-    # keep-list's 'mlp_in' entry hints the upstream blocks carry mlp_in-
-    # named params, so block internals stay flagged in docs.
+    # blocks via diffusion_model.layers :38). The keep-list's 'mlp_in'
+    # entry is substring-matched against real param names (base.py:539),
+    # grounding a flat per-block mlp_in/mlp_out FFN; the old nested
+    # mlp.gate_proj SwiGLU guess is asserted ABSENT. Attention internals
+    # stay flagged in docs.
     "ideogram4": dict(
         n_attr=("ideo_config", "num_layers"),
-        per_block=[],
+        per_block=[
+            "layers.{i}.mlp_in.weight",
+            "layers.{i}.mlp_out.weight",
+        ],
         top=[
             "input_proj.weight", "input_proj.bias",
             "t_embedding.linear_1.weight",
@@ -486,6 +491,11 @@ AUDIT = {
             "x_embedder.weight",
             "caption_projection.linear_1.weight",
             "context_embedder.weight",
+            # the round-3 SwiGLU gate/up/down guess the keep-list's
+            # mlp_in entry contradicts (reference ideogram4.py:26)
+            "layers.0.mlp.gate_proj.weight",
+            "layers.0.mlp.up_proj.weight",
+            "layers.0.mlp.down_proj.weight",
         ],
     ),
     # Krea 2: reference wrapper names every top-level module verbatim
@@ -729,3 +739,49 @@ def test_reference_layout_keys(model_type):
         if k in sd:
             present.append(k)
     assert not present, f"{model_type}: wrong-dialect keys emitted: {present}"
+
+
+@pytest.mark.parametrize("glu", [True, False])
+def test_ideogram4_mlp_shape_discovery(tmp_path, glu):
+    """load_weights discovers the FFN variant from mlp_in/mlp_out shapes
+    (the keep-list grounds only the NAMES, reference ideogram4.py:26; the
+    width and GLU-vs-plain split come from the checkpoint itself)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    pipe, sd = _export("ideogram4")
+    d = pipe.ideo_config.hidden_size
+    h_mlp = 48  # differs from the config default to prove discovery wins
+    rng = np.random.default_rng(0)
+    n = pipe.ideo_config.num_layers
+    for i in range(n):
+        sd[f"layers.{i}.mlp_in.weight"] = rng.standard_normal(
+            ((2 * h_mlp) if glu else h_mlp, d)).astype(np.float32)
+        sd[f"layers.{i}.mlp_out.weight"] = rng.standard_normal(
+            (d, h_mlp)).astype(np.float32)
+    f = tmp_path / "ideogram4.safetensors"
+    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, str(f))
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "ideogram4", "dtype": "float32", "_tiny": True,
+                  "ckpt_path": str(f)},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe2 = get_model_class("ideogram4")(cfg)
+    params = pipe2.load_weights()
+    assert pipe2.ideo_config.mlp_glu is glu
+    assert pipe2.ideo_config.mlp_dim == h_mlp
+    kin = params["params"]["layers"]["mlp_in"]["kernel"]
+    assert kin.shape == (n, d, (2 * h_mlp) if glu else h_mlp)
+
+    import jax.numpy as jnp
+    c = pipe2.ideo_config
+    out = pipe2.forward(params, dict(
+        x=jnp.zeros((1, c.latent_dim, 4, 4)),
+        t=jnp.full((1,), 0.5),
+        text_embeds=jnp.zeros((1, 8, c.text_dim)),
+        text_mask=jnp.ones((1, 8), jnp.int32),
+    ))
+    assert out.shape == (1, c.latent_dim, 4, 4)
+    assert np.isfinite(np.asarray(out)).all()

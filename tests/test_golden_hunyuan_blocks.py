@@ -39,7 +39,11 @@ def _install_hyimage_stubs():
         return
 
     def _mod(name):
+        import importlib.machinery
+
         m = types.ModuleType(name)
+        # Real ModuleSpec so later find_spec probes don't ValueError.
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules[name] = m
         return m
 

@@ -142,6 +142,9 @@ def _stub_modules():
                         ("diffusers.configuration_utils", cu),
                         ("diffusers.models", mm),
                         ("diffusers.models.modeling_utils", mu)]:
+            # A real ModuleSpec so later find_spec("diffusers") probes
+            # (transformers availability checks) don't ValueError.
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
             sys.modules[name] = m
 
 

@@ -32,18 +32,25 @@ def _ref_path():
     if REF not in sys.path:
         sys.path.insert(0, REF)
     # utils/common.py imports deepspeed at module scope; only its dist
-    # helpers (unused here) touch it, so an empty stub suffices
+    # helpers (unused here) touch it, so an empty stub suffices. Each stub
+    # must carry a real ModuleSpec: transformers/diffusers availability
+    # probes call importlib.util.find_spec("deepspeed") later in the same
+    # process, which raises ValueError on a module whose __spec__ is None.
     if "deepspeed" not in sys.modules:
+        import importlib.machinery
         import types
 
-        ds = types.ModuleType("deepspeed")
-        comm = types.ModuleType("deepspeed.comm")
-        comm_comm = types.ModuleType("deepspeed.comm.comm")
+        def _stub(name):
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            sys.modules[name] = mod
+            return mod
+
+        ds = _stub("deepspeed")
+        comm = _stub("deepspeed.comm")
+        comm_comm = _stub("deepspeed.comm.comm")
         comm.comm = comm_comm
         ds.comm = comm
-        sys.modules["deepspeed"] = ds
-        sys.modules["deepspeed.comm"] = comm
-        sys.modules["deepspeed.comm.comm"] = comm_comm
 
 
 def _build_ref_model():

@@ -36,6 +36,51 @@ import jax.numpy as jnp
 A100_BASELINE_SAMPLES_PER_SEC = 1.0
 
 
+def bench_wan_1_3b():
+    """Wan2.1-1.3B t2v LoRA-r32 512x512x81f (the second BASELINE.md
+    north-star row). Flux is at its int8 roofline (~2.65 for three rounds),
+    so this row is the non-saturated per-round perf carrier; returned as
+    extra keys on the single bench JSON line."""
+    from diffusion_pipe_tpu.models import get_model_class
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    config = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "wan", "dtype": "bfloat16", "variant": "t2v-1.3b"},
+        "adapter": {"type": "lora", "rank": 32, "alpha": 32, "dropout": 0.0},
+        "optimizer": {"type": "adamw8bit", "lr": 1e-4},
+        "gradient_clipping": 1.0,
+        "activation_checkpointing": "attn",
+    }
+    pipeline = get_model_class("wan")(config)
+    optimizer = get_optimizer(config)
+    state = init_train_state(
+        pipeline, optimizer, jax.random.PRNGKey(0), lora_predicate
+    )
+    step = jax.jit(make_train_step(pipeline, optimizer), donate_argnums=(0,))
+    k = jax.random.PRNGKey(1)
+    batch = {
+        # 81 frames -> 21 latent frames (Wan VAE 4x temporal), 64x64 latents
+        "latents": jax.random.normal(k, (1, 16, 21, 64, 64), jnp.float32),
+        "text_embeddings": jax.random.normal(k, (1, 512, 4096), jnp.bfloat16),
+        "seq_lens": jnp.full((1,), 512, jnp.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    _ = jax.device_get(metrics["loss"])
+    n_steps = 3
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
+    _ = jax.device_get(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+    return round(1.0 / dt, 4)
+
+
 def main():
     from diffusion_pipe_tpu.models import get_model_class
     from diffusion_pipe_tpu.training.optimizers import get_optimizer
@@ -89,6 +134,14 @@ def main():
     dt = (time.perf_counter() - t0) / n_steps
 
     samples_per_sec = batch_size / dt
+
+    # free the flux state before the wan bench shares the 16 GB chip
+    del state, batch, metrics, pipeline, optimizer, step
+    try:
+        wan_sps = bench_wan_1_3b()
+    except Exception as e:  # the headline metric must still print
+        wan_sps = f"error: {e}"
+
     print(
         json.dumps(
             {
@@ -98,6 +151,10 @@ def main():
                 "vs_baseline": round(
                     samples_per_sec / A100_BASELINE_SAMPLES_PER_SEC, 3
                 ),
+                # second north-star row (BASELINE.md): non-saturated carrier
+                "extra": {
+                    "wan_1_3b_t2v_512px81f_lora_samples_per_sec_chip": wan_sps,
+                },
             }
         )
     )

@@ -97,11 +97,24 @@ class FluxPipeline(BasePipeline):
             int8_matmul=mc.get("int8_matmul", False),
             sequence_sharding=bool(self.config.get("sequence_sharding", False)),
         )
-        from ..parallel.offload import offload_stacks_from_config
-
-        kwargs["offload_blocks"] = offload_stacks_from_config(
-            self.config, num_single_layers=38
-        )
+        n_layers = int(mc.get("num_layers", 19))
+        n_single = int(mc.get("num_single_layers", 38))
+        if mc.get("_tiny", False):
+            n_layers, n_single = 2, 2
+        n = int(self.config.get("blocks_to_swap", 0) or 0)
+        if n > 0:
+            # reference split (models/flux.py:404-418): double = N//2,
+            # single = (N - N//2)*2 + 1, each swapping the DEEPEST blocks
+            # of its stack (utils/offloading.py:184). Where the reference
+            # asserts the per-stack caps (num-2), a 16 GB chip legitimately
+            # needs MORE than the caps allow — map that to whole-stack
+            # streaming instead of failing.
+            dbl = n // 2
+            sgl = (n - dbl) * 2 + 1
+            if dbl > n_layers - 2 or sgl > n_single - 2:
+                dbl, sgl = n_layers, n_single
+            kwargs["offload_tail_double"] = dbl
+            kwargs["offload_tail_single"] = sgl
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
@@ -190,9 +203,18 @@ class FluxPipeline(BasePipeline):
         return model_inputs, target, mask
 
     def host_stack_names(self):
-        from ..parallel.offload import offload_stacks_from_config
-
-        return offload_stacks_from_config(self.config, num_single_layers=38)
+        """Param-stack names the trainer moves to host RAM (exact-N
+        blocks_to_swap; see FluxConfig.double_split/single_split)."""
+        cfg = self.flux_config
+        names = []
+        for stack, (n_res, n_swap), total in (
+            ("double_blocks", cfg.double_split, cfg.num_layers),
+            ("single_blocks", cfg.single_split, cfg.num_single_layers),
+        ):
+            if n_swap == 0:
+                continue
+            names.append(stack if n_swap == total else f"{stack}_swap")
+        return tuple(names)
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
@@ -308,15 +330,28 @@ class FluxPipeline(BasePipeline):
                 "guidance_embedder/linear_2":
                     "time_text_embed.guidance_embedder.linear_2",
             })
+        # partial blocks_to_swap: the deepest blocks live in "<stack>_swap"
+        # flax collections but keep the reference's single-stack checkpoint
+        # indices (BlockGroup.offset folds them back)
+        blocks = []
+        for stack, prefix, (n_res, n_swap), res_attr, swap_attr, lin, nrm in (
+            ("double_blocks", "transformer_blocks", cfg.double_split,
+             "num_double_res", "num_double_swap", _DOUBLE_MAP, _DOUBLE_NORMS),
+            ("single_blocks", "single_transformer_blocks", cfg.single_split,
+             "num_single_res", "num_single_swap", _SINGLE_MAP, _SINGLE_NORMS),
+        ):
+            split = 0 < n_swap and n_res > 0
+            blocks.append(BlockGroup(
+                stack, prefix, res_attr if split else
+                ("num_layers" if stack == "double_blocks"
+                 else "num_single_layers"),
+                linears=dict(lin), norms=dict(nrm)))
+            if split:
+                blocks.append(BlockGroup(
+                    f"{stack}_swap", prefix, swap_attr, offset=n_res,
+                    linears=dict(lin), norms=dict(nrm)))
         return KeyMap(
-            blocks=[
-                BlockGroup("double_blocks", "transformer_blocks",
-                           "num_layers", linears=dict(_DOUBLE_MAP),
-                           norms=dict(_DOUBLE_NORMS)),
-                BlockGroup("single_blocks", "single_transformer_blocks",
-                           "num_single_layers", linears=dict(_SINGLE_MAP),
-                           norms=dict(_SINGLE_NORMS)),
-            ],
+            blocks=blocks,
             top_linears=top_linears,
             lora_prefix="transformer.",
         )

@@ -76,13 +76,17 @@ def convert_diffusers_flux(sd: Dict[str, np.ndarray], config: FluxConfig):
             out[ours] = norm_scale(sd, f"{prefix}.{theirs}")
         return out
 
+    # partial blocks_to_swap: deepest n_swap blocks go to a separate
+    # "<stack>_swap" collection (flux_model.FluxConfig.double_split)
+    d_res, d_swap = config.double_split
+    s_res, s_swap = config.single_split
     doubles = stack_layers([
         block(f"transformer_blocks.{i}", _DOUBLE_MAP, _DOUBLE_NORMS)
-        for i in range(config.num_layers)
+        for i in range(d_res or config.num_layers)
     ])
     singles = stack_layers([
         block(f"single_transformer_blocks.{i}", _SINGLE_MAP, _SINGLE_NORMS)
-        for i in range(config.num_single_layers)
+        for i in range(s_res or config.num_single_layers)
     ])
 
     params = {
@@ -101,6 +105,18 @@ def convert_diffusers_flux(sd: Dict[str, np.ndarray], config: FluxConfig):
         "double_blocks": doubles,
         "single_blocks": singles,
     }
+    if 0 < d_swap < config.num_layers:
+        params["double_blocks_swap"] = stack_layers([
+            block(f"transformer_blocks.{d_res + i}", _DOUBLE_MAP,
+                  _DOUBLE_NORMS)
+            for i in range(d_swap)
+        ])
+    if 0 < s_swap < config.num_single_layers:
+        params["single_blocks_swap"] = stack_layers([
+            block(f"single_transformer_blocks.{s_res + i}", _SINGLE_MAP,
+                  _SINGLE_NORMS)
+            for i in range(s_swap)
+        ])
     if config.guidance_embeds:
         params["guidance_embedder"] = {
             "linear_1": linear(sd, "time_text_embed.guidance_embedder.linear_1"),
@@ -145,7 +161,7 @@ def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray
                     np.ascontiguousarray(w.T.astype(np.float32))
                 )
 
-    def emit_stacked(tree, count, prefix_fmt, lin_map):
+    def emit_stacked(tree, count, prefix_fmt, lin_map, offset=0):
         for ours, theirs in lin_map.items():
             leaf = tree.get(ours)
             if leaf is None or not isinstance(leaf, dict):
@@ -156,14 +172,22 @@ def export_lora_diffusers(trainable, config: FluxConfig) -> Dict[str, np.ndarray
                     for k, v in leaf.items()
                     if k == "lora_a" or k == "lora_b" or k in _LOKR_LEAVES
                 }
-                emit(prefix_fmt.format(i=i) + "." + theirs, emit_single)
+                emit(prefix_fmt.format(i=offset + i) + "." + theirs,
+                     emit_single)
 
-    d = p.get("double_blocks", {})
-    emit_stacked(d, config.num_layers, "transformer_blocks.{i}", _DOUBLE_MAP)
-    s = p.get("single_blocks", {})
-    emit_stacked(
-        s, config.num_single_layers, "single_transformer_blocks.{i}", _SINGLE_MAP
-    )
+    d_res, d_swap = config.double_split
+    s_res, s_swap = config.single_split
+    emit_stacked(p.get("double_blocks", {}), d_res or config.num_layers,
+                 "transformer_blocks.{i}", _DOUBLE_MAP)
+    if "double_blocks_swap" in p:
+        emit_stacked(p["double_blocks_swap"], d_swap,
+                     "transformer_blocks.{i}", _DOUBLE_MAP, offset=d_res)
+    emit_stacked(p.get("single_blocks", {}), s_res or config.num_single_layers,
+                 "single_transformer_blocks.{i}", _SINGLE_MAP)
+    if "single_blocks_swap" in p:
+        emit_stacked(p["single_blocks_swap"], s_swap,
+                     "single_transformer_blocks.{i}", _SINGLE_MAP,
+                     offset=s_res)
     return out
 
 
@@ -200,7 +224,8 @@ def import_lora_diffusers(sd: Dict[str, np.ndarray], config: FluxConfig, params)
         **_LOKR_LEAVES,
     }
 
-    def fill(block_key: str, count: int, prefix_fmt: str, lin_map: Dict[str, str]):
+    def fill(block_key: str, count: int, prefix_fmt: str,
+             lin_map: Dict[str, str], offset: int = 0):
         nonlocal loaded
         for ours, theirs in lin_map.items():
             for leaf_name, their_leaf in leaf_to_theirs.items():
@@ -210,7 +235,7 @@ def import_lora_diffusers(sd: Dict[str, np.ndarray], config: FluxConfig, params)
                 stack = np.array(nn.unbox(flat[key]), dtype=np.float32, copy=True)
                 hit = False
                 for i in range(count):
-                    k = f"{prefix_fmt.format(i=i)}.{theirs}.{their_leaf}"
+                    k = f"{prefix_fmt.format(i=offset + i)}.{theirs}.{their_leaf}"
                     if k in sd:
                         # saved in torch [out, in] orientation; ours is [in, out]
                         stack[i] = np.asarray(sd[k], np.float32).T
@@ -219,13 +244,18 @@ def import_lora_diffusers(sd: Dict[str, np.ndarray], config: FluxConfig, params)
                 if hit:
                     flat[key] = put(flat[key], stack)
 
-    fill("double_blocks", config.num_layers, "transformer_blocks.{i}", _DOUBLE_MAP)
-    fill(
-        "single_blocks",
-        config.num_single_layers,
-        "single_transformer_blocks.{i}",
-        _SINGLE_MAP,
-    )
+    d_res, d_swap = config.double_split
+    s_res, s_swap = config.single_split
+    fill("double_blocks", d_res or config.num_layers,
+         "transformer_blocks.{i}", _DOUBLE_MAP)
+    if 0 < d_swap < config.num_layers:
+        fill("double_blocks_swap", d_swap, "transformer_blocks.{i}",
+             _DOUBLE_MAP, offset=d_res)
+    fill("single_blocks", s_res or config.num_single_layers,
+         "single_transformer_blocks.{i}", _SINGLE_MAP)
+    if 0 < s_swap < config.num_single_layers:
+        fill("single_blocks_swap", s_swap, "single_transformer_blocks.{i}",
+             _SINGLE_MAP, offset=s_res)
     if loaded == 0:
         raise RuntimeError(
             "init_from_existing: no LoRA keys in the file matched this model"

@@ -79,6 +79,15 @@ class FluxConfig:
     # block stacks whose frozen params live in host RAM and stream per
     # iteration (TPU block-swap analogue, parallel/offload.py)
     offload_blocks: Tuple[str, ...] = ()
+    # Exact-N blocks_to_swap (reference utils/offloading.py:184 swaps
+    # exactly N per stack; flux splits N as double = N//2,
+    # single = (N - N//2)*2 + 1, reference models/flux.py:404-418): the
+    # DEEPEST offload_tail_* blocks of each stack live in a separate
+    # "<stack>_swap" scan streamed from host RAM while the rest stay
+    # HBM-resident. A tail >= the stack size streams the whole stack under
+    # its original name (single-stack checkpoint layout preserved).
+    offload_tail_double: int = 0
+    offload_tail_single: int = 0
     # shard activations along the token dim over 'tensor' between attention
     # ops (sequence parallelism via GSPMD; XLA inserts the gathers around
     # attention). The reference has no SP (SURVEY.md section 2.7).
@@ -87,6 +96,47 @@ class FluxConfig:
     @property
     def hidden_size(self) -> int:
         return self.num_attention_heads * self.attention_head_dim
+
+    @staticmethod
+    def _swap_split(n: int, tail: int) -> Tuple[int, int]:
+        """(resident, swapped) block counts; tail >= n keeps the whole
+        stack streamed under the original collection name."""
+        if tail <= 0 or n <= 0:
+            return (n, 0)
+        if tail >= n:
+            return (0, n)
+        return (n - tail, tail)
+
+    @property
+    def double_split(self) -> Tuple[int, int]:
+        tail = self.offload_tail_double
+        if "double_blocks" in self.offload_blocks:
+            tail = self.num_layers
+        return self._swap_split(self.num_layers, tail)
+
+    @property
+    def single_split(self) -> Tuple[int, int]:
+        tail = self.offload_tail_single
+        if "single_blocks" in self.offload_blocks:
+            tail = self.num_single_layers
+        return self._swap_split(self.num_single_layers, tail)
+
+    # keymap block-count attrs (BlockGroup.num_layers_attr)
+    @property
+    def num_double_res(self) -> int:
+        return self.double_split[0]
+
+    @property
+    def num_double_swap(self) -> int:
+        return self.double_split[1]
+
+    @property
+    def num_single_res(self) -> int:
+        return self.single_split[0]
+
+    @property
+    def num_single_swap(self) -> int:
+        return self.single_split[1]
 
     @property
     def lora_kwargs(self) -> dict:
@@ -290,34 +340,45 @@ class FluxTransformer(nn.Module):
             self.guidance_embedder = TimestepEmbedder(dim, **dd)
         self.text_embedder = PixArtAlphaTextProjection(dim, **dd)
 
-        double = FluxDoubleBlock
-        single = FluxSingleBlock
-        if cfg.offload_blocks:
-            from ..parallel.offload import stream_params_from_host
+        def _scan(block_cls, length, name, streamed):
+            b = block_cls
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
 
-            if "double_blocks" in cfg.offload_blocks:
-                double = stream_params_from_host(double)
-            if "single_blocks" in cfg.offload_blocks:
-                single = stream_params_from_host(single)
-        if cfg.remat:
-            double = remat_wrap(double, cfg.remat)
-            single = remat_wrap(single, cfg.remat)
-        self.double_blocks = nn.scan(
-            double,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=nn.broadcast,
-            length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg)
-        self.single_blocks = nn.scan(
-            single,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            in_axes=nn.broadcast,
-            length=cfg.num_single_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg)
+                b = stream_params_from_host(b)
+            if cfg.remat:
+                b = remat_wrap(b, cfg.remat)
+            return nn.scan(
+                b,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)
+
+        # exact-N blocks_to_swap: the deepest n_swap blocks of each stack
+        # live in a separate streamed "<stack>_swap" scan (reference
+        # utils/offloading.py:184); whole-stack streaming keeps the
+        # original single-collection layout.
+        d_res, d_swap = cfg.double_split
+        self.double_blocks = _scan(
+            FluxDoubleBlock, d_res or cfg.num_layers, "double_blocks",
+            streamed=(d_swap == cfg.num_layers),
+        )
+        self.double_blocks_swap = (
+            _scan(FluxDoubleBlock, d_swap, "double_blocks_swap", True)
+            if 0 < d_swap < cfg.num_layers else None
+        )
+        s_res, s_swap = cfg.single_split
+        self.single_blocks = _scan(
+            FluxSingleBlock, s_res or cfg.num_single_layers, "single_blocks",
+            streamed=(s_swap == cfg.num_single_layers),
+        )
+        self.single_blocks_swap = (
+            _scan(FluxSingleBlock, s_swap, "single_blocks_swap", True)
+            if 0 < s_swap < cfg.num_single_layers else None
+        )
 
         self.norm_out_linear = LoraDense(2 * dim, **dd)
         self.proj_out = LoraDense(cfg.out_channels, **dd)
@@ -374,6 +435,10 @@ class FluxTransformer(nn.Module):
         (img, txt), _ = self.double_blocks(
             (img, txt), temb, rope_cos, rope_sin, txt_mask
         )
+        if self.double_blocks_swap is not None:
+            (img, txt), _ = self.double_blocks_swap(
+                (img, txt), temb, rope_cos, rope_sin, txt_mask
+            )
 
         x = seq_shard(jnp.concatenate([txt, img], axis=1))
         kv_mask = None
@@ -384,6 +449,9 @@ class FluxTransformer(nn.Module):
                 axis=1,
             )
         x, _ = self.single_blocks(x, temb, rope_cos, rope_sin, kv_mask)
+        if self.single_blocks_swap is not None:
+            x, _ = self.single_blocks_swap(x, temb, rope_cos, rope_sin,
+                                           kv_mask)
 
         txt_len = txt.shape[1]
         out = x[:, txt_len:]

@@ -119,6 +119,19 @@ def _head(cfg: FluxConfig, p: Dict[str, Any], x, temb, txt_len: int,
     return _dense(cfg, cfg.out_channels).apply({"params": p["proj_out"]}, out)
 
 
+def _reject_partial_swap(cfg: FluxConfig):
+    """Partial blocks_to_swap splits the block stacks; the pipelined
+    programs index single 'double_blocks'/'single_blocks' collections
+    (same constraint as wan, models/wan.py make_pp_program)."""
+    if (0 < cfg.double_split[1] < cfg.num_layers
+            or 0 < cfg.single_split[1] < cfg.num_single_layers):
+        raise NotImplementedError(
+            "partial blocks_to_swap (split block stacks) cannot be "
+            "combined with pipeline_stages > 1; use whole-stack streaming "
+            "or drop pipeline parallelism"
+        )
+
+
 def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
                            timestep_quantile=None):
     """Returns loss_fn(trainable, frozen, batch, rng) running the flux
@@ -129,6 +142,7 @@ def make_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
     mesh installed (jax.set_mesh) — shard_map is applied internally.
     """
     cfg: FluxConfig = pipeline.flux_config
+    _reject_partial_swap(cfg)
     s = mesh.shape[STAGE_AXIS]
     m_total = num_microbatches
 
@@ -322,6 +336,7 @@ def make_pipelined_grad_fn_1f1b(pipeline, mesh, num_microbatches: int,
     from ..parallel.pipeline import pipeline_train_1f1b_multiphase
 
     cfg: FluxConfig = pipeline.flux_config
+    _reject_partial_swap(cfg)
     s = mesh.shape[STAGE_AXIS]
     m_total = num_microbatches
 

@@ -43,6 +43,11 @@ class BlockGroup:
     flax_key: str
     prefix: str                       # e.g. "transformer_blocks"
     num_layers_attr: str              # config attr holding the block count
+    # torch index base: flax stack slot i <-> torch `{prefix}.{offset+i}`.
+    # Used by partial blocks_to_swap splits, where the deepest N blocks
+    # live in a separate "<stack>_swap" flax collection but keep the
+    # reference's single-stack checkpoint indexing (utils/offloading.py:184).
+    offset: int = 0
     linears: Dict[str, str] = dataclasses.field(default_factory=dict)
     norms: Dict[str, str] = dataclasses.field(default_factory=dict)
     raw: Dict[str, str] = dataclasses.field(default_factory=dict)
@@ -150,7 +155,7 @@ def _stack_to_sd(sd, base: str, fmt: str, kernel: np.ndarray):
 
 
 def _block_from_sd(sd, bg: BlockGroup, i: int, config=None) -> dict:
-    prefix = f"{bg.prefix}.{i}"
+    prefix = f"{bg.prefix}.{bg.offset + i}"
     out: dict = {}
     for ours, (fmt, count) in bg.stacks.items():
         _set_path(out, ours, _stack_from_sd(
@@ -251,7 +256,7 @@ def keymap_to_flax(sd: Dict[str, np.ndarray], km: KeyMap, config) -> dict:
 
 
 def _block_to_sd(sd, bg: BlockGroup, block_tree: dict, i: int):
-    prefix = f"{bg.prefix}.{i}"
+    prefix = f"{bg.prefix}.{bg.offset + i}"
 
     def leaf(path):
         return _get_path(block_tree, path)
@@ -391,7 +396,7 @@ def export_lora_keymap(trainable: dict, km: KeyMap, config
             if leaf is None:
                 continue
             for i in range(n):
-                put(f"{bg.prefix}.{i}.{theirs}", leaf, i)
+                put(f"{bg.prefix}.{bg.offset + i}.{theirs}", leaf, i)
         for theirs, entries in bg.fused.items():
             leaf_names, _sizes = _fused_names_sizes(entries)
             leaves = [maybe(blocks, name) for name in leaf_names]
@@ -416,9 +421,9 @@ def export_lora_keymap(trainable: dict, km: KeyMap, config
                 for j, bb in enumerate(b_blocks):
                     big_b[row:row + bb.shape[0], j * r:(j + 1) * r] = bb
                     row += bb.shape[0]
-                out[f"{km.lora_prefix}{bg.prefix}.{i}.{theirs}"
+                out[f"{km.lora_prefix}{bg.prefix}.{bg.offset + i}.{theirs}"
                     ".lora_A.weight"] = big_a.astype(np.float32)
-                out[f"{km.lora_prefix}{bg.prefix}.{i}.{theirs}"
+                out[f"{km.lora_prefix}{bg.prefix}.{bg.offset + i}.{theirs}"
                     ".lora_B.weight"] = big_b.astype(np.float32)
     # top-level adapters (rare; embedders usually carry none)
     for ours, theirs in km.top_linears.items():
@@ -549,8 +554,8 @@ def import_lora_keymap(path, km: KeyMap, config, params: dict) -> dict:
             a_stack, b_stack = [], []
             complete = True
             for i in range(n):
-                ka = f"{bg.prefix}.{i}.{theirs}.lora_A.weight"
-                kb = f"{bg.prefix}.{i}.{theirs}.lora_B.weight"
+                ka = f"{bg.prefix}.{bg.offset + i}.{theirs}.lora_A.weight"
+                kb = f"{bg.prefix}.{bg.offset + i}.{theirs}.lora_B.weight"
                 if ka not in sd or kb not in sd:
                     complete = False
                     break

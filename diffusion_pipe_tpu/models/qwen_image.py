@@ -65,10 +65,34 @@ class QwenImageConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # Exact-N blocks_to_swap (reference utils/offloading.py:184 +
+    # examples/qwen_image_24gb_vram.toml blocks_to_swap=8): the DEEPEST
+    # offload_tail blocks live in a separate "blocks_swap" scan streamed
+    # from host RAM. tail >= num_layers streams the whole stack under the
+    # single-collection layout.
+    offload_tail: int = 0
 
     @property
     def hidden_size(self):
         return self.num_attention_heads * self.attention_head_dim
+
+    @property
+    def swap_split(self):
+        """(resident, swapped) block counts."""
+        if self.offload_tail <= 0:
+            return (self.num_layers, 0)
+        if self.offload_tail >= self.num_layers:
+            return (0, self.num_layers)
+        return (self.num_layers - self.offload_tail, self.offload_tail)
+
+    # keymap block-count attrs (BlockGroup.num_layers_attr)
+    @property
+    def num_res(self):
+        return self.swap_split[0]
+
+    @property
+    def num_swap(self):
+        return self.swap_split[1]
 
     def to_flux_config(self) -> FluxConfig:
         """Block-level config shared with FluxDoubleBlock."""
@@ -138,15 +162,35 @@ class QwenImageTransformer(nn.Module):
             ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
         )
 
-        block = FluxDoubleBlock
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        (img, txt), _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(fcfg, name="blocks")((img, txt), temb, rope_cos, rope_sin, txt_mask)
+        def _scan(length, name, streamed):
+            b_cls = FluxDoubleBlock
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_cls = stream_params_from_host(b_cls)
+            if cfg.remat:
+                b_cls = remat_wrap(b_cls, cfg.remat)
+            return nn.scan(
+                b_cls,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(fcfg, name=name)
+
+        # exact-N blocks_to_swap: deepest n_swap blocks stream from host
+        # in a separate "blocks_swap" scan (reference offloading.py:184)
+        n_res, n_swap = cfg.swap_split
+        carry = (img, txt)
+        if n_swap == cfg.num_layers:
+            carry, _ = _scan(cfg.num_layers, "blocks", True)(
+                carry, temb, rope_cos, rope_sin, txt_mask)
+        else:
+            carry, _ = _scan(n_res, "blocks", False)(
+                carry, temb, rope_cos, rope_sin, txt_mask)
+            if n_swap:
+                carry, _ = _scan(n_swap, "blocks_swap", True)(
+                    carry, temb, rope_cos, rope_sin, txt_mask)
+        img, txt = carry
 
         out = img
         if img_seq_len is not None:
@@ -183,6 +227,7 @@ class QwenImagePipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
@@ -199,6 +244,16 @@ class QwenImagePipeline(BasePipeline):
         if mc.get("_tiny", False):
             return QwenImageConfig.tiny(**kwargs)
         return QwenImageConfig(**kwargs)
+
+    def host_stack_names(self):
+        """Param-stack names the trainer moves to host RAM (exact-N
+        blocks_to_swap, QwenImageConfig.swap_split)."""
+        n_res, n_swap = self.qi_config.swap_split
+        if n_swap == 0:
+            return ()
+        if n_swap == self.qi_config.num_layers:
+            return ("blocks",)
+        return ("blocks_swap",)
 
     def init_params(self, rng):
         cfg = self.qi_config
@@ -293,6 +348,13 @@ class QwenImagePipeline(BasePipeline):
         modulated head on the last stage (reference partitions via
         to_layers() + PipelineModule, models/qwen_image.py). See
         parallel/model_pp.py."""
+        n_res, n_swap = self.qi_config.swap_split
+        if 0 < n_swap < self.qi_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _QwenImagePPProgram(self)
 
     def get_call_vae_fn(self):
@@ -471,32 +533,42 @@ class QwenImagePipeline(BasePipeline):
         format ('diffusion_model.' prefix, models/qwen_image.py:284-288)."""
         from .keymaps import BlockGroup, KeyMap
 
+        linears = {
+            "norm1_linear": "img_mod.1",
+            "norm1_context_linear": "txt_mod.1",
+            "attn_to_q": "attn.to_q",
+            "attn_to_k": "attn.to_k",
+            "attn_to_v": "attn.to_v",
+            "attn_add_q": "attn.add_q_proj",
+            "attn_add_k": "attn.add_k_proj",
+            "attn_add_v": "attn.add_v_proj",
+            "attn_to_out": "attn.to_out.0",
+            "attn_to_add_out": "attn.to_add_out",
+            "ff_in": "img_mlp.net.0.proj",
+            "ff_out": "img_mlp.net.2",
+            "ff_context_in": "txt_mlp.net.0.proj",
+            "ff_context_out": "txt_mlp.net.2",
+        }
+        norms = {
+            "attn_norm_q": "attn.norm_q",
+            "attn_norm_k": "attn.norm_k",
+            "attn_norm_added_q": "attn.norm_added_q",
+            "attn_norm_added_k": "attn.norm_added_k",
+        }
+        # partial blocks_to_swap: the deepest blocks live in "blocks_swap"
+        # but keep the reference's single-stack checkpoint indices
+        n_res, n_swap = self.qi_config.swap_split
+        split = 0 < n_swap and n_res > 0
+        blocks = [BlockGroup(
+            "blocks", "transformer_blocks",
+            "num_res" if split else "num_layers",
+            linears=dict(linears), norms=dict(norms))]
+        if split:
+            blocks.append(BlockGroup(
+                "blocks_swap", "transformer_blocks", "num_swap",
+                offset=n_res, linears=dict(linears), norms=dict(norms)))
         return KeyMap(
-            blocks=[BlockGroup(
-                "blocks", "transformer_blocks", "num_layers",
-                linears={
-                    "norm1_linear": "img_mod.1",
-                    "norm1_context_linear": "txt_mod.1",
-                    "attn_to_q": "attn.to_q",
-                    "attn_to_k": "attn.to_k",
-                    "attn_to_v": "attn.to_v",
-                    "attn_add_q": "attn.add_q_proj",
-                    "attn_add_k": "attn.add_k_proj",
-                    "attn_add_v": "attn.add_v_proj",
-                    "attn_to_out": "attn.to_out.0",
-                    "attn_to_add_out": "attn.to_add_out",
-                    "ff_in": "img_mlp.net.0.proj",
-                    "ff_out": "img_mlp.net.2",
-                    "ff_context_in": "txt_mlp.net.0.proj",
-                    "ff_context_out": "txt_mlp.net.2",
-                },
-                norms={
-                    "attn_norm_q": "attn.norm_q",
-                    "attn_norm_k": "attn.norm_k",
-                    "attn_norm_added_q": "attn.norm_added_q",
-                    "attn_norm_added_k": "attn.norm_added_k",
-                },
-            )],
+            blocks=blocks,
             top_linears={
                 "img_in": "img_in",
                 "txt_in": "txt_in",

@@ -63,3 +63,20 @@ def pytest_collection_modifyitems(items):
             item.add_marker(pytest.mark.quick)
         if base in _GATE_FILES:
             item.add_marker(pytest.mark.gate)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_memory_per_module():
+    """Keep one-process full-suite runs within host RAM.
+
+    Every jitted executable and its constant buffers stay alive in jax's
+    in-process caches; across ~300 compile-heavy tests that accumulation
+    segfaulted the single-process run (observed at ~260 tests on this
+    125 GB host). Dropping the caches after each module trades warm
+    recompiles (served from the persistent on-disk cache above) for a
+    bounded footprint."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

@@ -180,3 +180,278 @@ def test_partial_swap_converter_split():
         assert set(back) == set(sd)
         for k in sd:
             np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+# --------------------------------------------------------------------------
+# flux: exact-N over TWO stacks (reference models/flux.py:404-418 splits
+# blocks_to_swap as double = N//2, single = (N - N//2)*2 + 1)
+# --------------------------------------------------------------------------
+
+def _flux_cfg(swap=0):
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "float32", "_tiny": True,
+                  "guidance": 1.0},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+    }
+    if swap:
+        cfg["blocks_to_swap"] = swap
+    return cfg
+
+
+def _flux_pipe(tail_d=0, tail_s=0, adapter=True):
+    """Tiny flux (2 double + 2 single) with explicit per-stack tails: the
+    reference N-split formula can never produce a partial split at tiny
+    sizes (caps are num-2 = 0), so tests drive the tails directly."""
+    import dataclasses
+
+    from diffusion_pipe_tpu.models.flux_model import FluxTransformer
+
+    cfg = _flux_cfg()
+    if not adapter:
+        del cfg["adapter"]
+    pipe = get_model_class("flux")(cfg)
+    if tail_d or tail_s:
+        pipe.flux_config = dataclasses.replace(
+            pipe.flux_config, offload_tail_double=tail_d,
+            offload_tail_single=tail_s)
+        pipe.model = FluxTransformer(pipe.flux_config)
+    return pipe
+
+
+def _flux_inputs(cfg):
+    k = jax.random.PRNGKey
+    b, simg, stxt = 1, 16, 8
+    return dict(
+        hidden_states=jax.random.normal(k(1), (b, simg, cfg.in_channels)),
+        encoder_hidden_states=jax.random.normal(
+            k(2), (b, stxt, cfg.joint_attention_dim)),
+        pooled_projections=jax.random.normal(
+            k(3), (b, cfg.pooled_projection_dim)),
+        timestep=jnp.full((b,), 0.4),
+        img_ids=jnp.zeros((simg, 3)),
+        txt_ids=jnp.zeros((stxt, 3)),
+        guidance=jnp.ones((b,)),
+    )
+
+
+def _flux_split_params(base_params, d_res, s_res):
+    p = dict(base_params)
+    p["params"] = dict(p["params"])
+    for stack, res in (("double_blocks", d_res), ("single_blocks", s_res)):
+        whole = p["params"][stack]
+        p["params"][stack] = jax.tree.map(lambda x: x[:res], whole)
+        p["params"][f"{stack}_swap"] = jax.tree.map(
+            lambda x: x[res:], whole)
+    return p
+
+
+def test_flux_partial_swap_forward_parity():
+    base = _flux_pipe()
+    part = _flux_pipe(tail_d=1, tail_s=1)
+    assert part.flux_config.double_split == (1, 1)
+    assert part.flux_config.single_split == (1, 1)
+    assert part.host_stack_names() == ("double_blocks_swap",
+                                       "single_blocks_swap")
+
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    params_split = _flux_split_params(params, 1, 1)
+    init_split = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    assert set(init_split["params"]) == set(params_split["params"])
+
+    mi = _flux_inputs(base.flux_config)
+    out_base = base.model.apply(params, **mi)
+    out_split = part.model.apply(params_split, **mi)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_split), atol=1e-6)
+
+
+def test_flux_swap_formula_wiring():
+    """blocks_to_swap N -> double = N//2, single = (N - N//2)*2 + 1 at
+    full flux dims (reference models/flux.py:410-413)."""
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "flux", "dtype": "bfloat16", "guidance": 1.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+        "blocks_to_swap": 10,
+    }
+    pipe = get_model_class("flux")(cfg)
+    fc = pipe.flux_config
+    assert fc.offload_tail_double == 5
+    assert fc.offload_tail_single == 11
+    assert fc.double_split == (14, 5)
+    assert fc.single_split == (27, 11)
+    assert pipe.host_stack_names() == ("double_blocks_swap",
+                                       "single_blocks_swap")
+
+
+def test_flux_swap_whole_stack_fallback():
+    """When the reference caps (num-2) cannot hold the formula split, a
+    16 GB chip still needs the memory: fall back to whole-stack streaming
+    with the single-collection layout preserved."""
+    pipe = get_model_class("flux")(_flux_cfg(swap=20))
+    assert pipe.flux_config.double_split == (0, 2)
+    assert pipe.flux_config.single_split == (0, 2)
+    assert pipe.host_stack_names() == ("double_blocks", "single_blocks")
+    p = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+    assert "double_blocks_swap" not in p["params"]
+    assert "single_blocks_swap" not in p["params"]
+
+
+def test_flux_partial_swap_lora_export_offsets():
+    from diffusion_pipe_tpu.models.flux_convert import export_lora_diffusers
+    from diffusion_pipe_tpu.training.train_state import (
+        lora_predicate,
+        partition_params,
+    )
+
+    part = _flux_pipe(tail_d=1, tail_s=1)
+    params = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    trainable, _ = partition_params(params, lora_predicate)
+    sd = export_lora_diffusers(trainable, part.flux_config)
+    d_idx = {k.split(".")[2] for k in sd if k.startswith(
+        "transformer.transformer_blocks.")}
+    s_idx = {k.split(".")[2] for k in sd if k.startswith(
+        "transformer.single_transformer_blocks.")}
+    assert d_idx == {"0", "1"}, d_idx
+    assert s_idx == {"0", "1"}, s_idx
+
+    base = _flux_pipe()
+    params_b = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    trainable_b, _ = partition_params(params_b, lora_predicate)
+    assert set(sd) == set(export_lora_diffusers(trainable_b,
+                                                base.flux_config))
+
+
+def test_flux_partial_swap_converter_and_keymap():
+    """convert_diffusers_flux routes checkpoint blocks into the right
+    stack/local index; keymap_from_flax inverts with reference indices."""
+    from diffusion_pipe_tpu.models.flux_convert import convert_diffusers_flux
+    from diffusion_pipe_tpu.models.keymaps import keymap_from_flax
+
+    # no adapter: the converter produces base weights only
+    base = _flux_pipe(adapter=False)
+    part = _flux_pipe(tail_d=1, tail_s=1, adapter=False)
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+
+    sd = keymap_from_flax(params, base.keymap(), base.flux_config)
+    got = convert_diffusers_flux(dict(sd), part.flux_config)
+    for stack in ("double_blocks", "single_blocks"):
+        whole = params["params"][stack]
+        flat_w = jax.tree_util.tree_leaves_with_path(whole)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(
+            got["params"][stack]))
+        flat_s = dict(jax.tree_util.tree_leaves_with_path(
+            got["params"][f"{stack}_swap"]))
+        for path, leaf in flat_w:
+            np.testing.assert_allclose(
+                np.asarray(flat_r[path]), np.asarray(leaf)[:1],
+                atol=1e-6, err_msg=f"{stack}{path}")
+            np.testing.assert_allclose(
+                np.asarray(flat_s[path]), np.asarray(leaf)[1:],
+                atol=1e-6, err_msg=f"{stack}{path}")
+
+    # split-layout export emits the same reference key set as the base
+    params_split = _flux_split_params(params, 1, 1)
+    sd_split = keymap_from_flax(params_split, part.keymap(),
+                                part.flux_config)
+    assert set(sd_split) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(np.asarray(sd_split[k]),
+                                   np.asarray(sd[k]), atol=1e-6,
+                                   err_msg=k)
+
+
+# --------------------------------------------------------------------------
+# qwen_image: exact-N over the generic single "blocks" stack (the reference
+# 24GB example uses blocks_to_swap=8, examples/qwen_image_24gb_vram.toml)
+# --------------------------------------------------------------------------
+
+def _qwen_cfg(swap=0):
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "qwen_image", "dtype": "float32", "_tiny": True},
+        "adapter": {"type": "lora", "rank": 4, "alpha": 4, "dropout": 0.0},
+        "optimizer": {"type": "adamw", "lr": 1e-3},
+    }
+    if swap:
+        cfg["blocks_to_swap"] = swap
+    return cfg
+
+
+def test_qwen_partial_swap_forward_parity():
+    from diffusion_pipe_tpu.models.flux import latent_image_ids
+
+    base = get_model_class("qwen_image")(_qwen_cfg())
+    part = get_model_class("qwen_image")(_qwen_cfg(swap=1))
+    assert base.qi_config.num_layers == 2
+    assert part.qi_config.swap_split == (1, 1)
+    assert part.host_stack_names() == ("blocks_swap",)
+
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    p = dict(params)
+    p["params"] = dict(p["params"])
+    whole = p["params"]["blocks"]
+    p["params"]["blocks"] = jax.tree.map(lambda x: x[:1], whole)
+    p["params"]["blocks_swap"] = jax.tree.map(lambda x: x[1:], whole)
+
+    init_split = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    assert set(init_split["params"]) == set(p["params"])
+
+    cfg = base.qi_config
+    mi = dict(
+        hidden_states=jax.random.normal(
+            jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        encoder_hidden_states=jax.random.normal(
+            jax.random.PRNGKey(2), (1, 8, cfg.joint_attention_dim)),
+        timestep=jnp.full((1,), 0.4),
+        img_ids=latent_image_ids(4, 4),
+        txt_mask=jnp.ones((1, 8), jnp.int32),
+    )
+    out_base = base.model.apply(params, **mi)
+    out_split = part.model.apply(p, **mi)
+    np.testing.assert_allclose(
+        np.asarray(out_base), np.asarray(out_split), atol=1e-6)
+
+
+def test_qwen_partial_swap_keymap_offsets():
+    from diffusion_pipe_tpu.models.keymaps import (
+        export_lora_keymap,
+        keymap_from_flax,
+    )
+    from diffusion_pipe_tpu.training.train_state import (
+        lora_predicate,
+        partition_params,
+    )
+
+    base = get_model_class("qwen_image")(_qwen_cfg())
+    part = get_model_class("qwen_image")(_qwen_cfg(swap=1))
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    p = dict(params)
+    p["params"] = dict(p["params"])
+    whole = p["params"]["blocks"]
+    p["params"]["blocks"] = jax.tree.map(lambda x: x[:1], whole)
+    p["params"]["blocks_swap"] = jax.tree.map(lambda x: x[1:], whole)
+
+    sd_base = keymap_from_flax(params, base.keymap(), base.qi_config)
+    sd_split = keymap_from_flax(p, part.keymap(), part.qi_config)
+    assert set(sd_base) == set(sd_split)
+    for k in sd_base:
+        np.testing.assert_allclose(np.asarray(sd_split[k]),
+                                   np.asarray(sd_base[k]), atol=1e-6,
+                                   err_msg=k)
+
+    # LoRA export: indices 0 (resident) and 1 (swap, offset back)
+    trainable, _ = partition_params(p, lora_predicate)
+    sd = export_lora_keymap(trainable, part.keymap(), part.qi_config)
+    idx = {k.split(".")[2] for k in sd if "transformer_blocks" in k}
+    assert idx == {"0", "1"}, idx
+
+
+def test_qwen_whole_stack_fallback():
+    full = get_model_class("qwen_image")(_qwen_cfg(swap=99))
+    assert full.qi_config.swap_split == (0, 2)
+    assert full.host_stack_names() == ("blocks",)
+    p = nn.unbox(full.init_params(jax.random.PRNGKey(0)))
+    assert "blocks_swap" not in p["params"]

@@ -199,7 +199,7 @@ def test_host_offload_train_step_matches_default():
 
     def run(with_offload):
         p = get_model_class("flux")(cfg)
-        stacks = p.flux_config.offload_blocks if with_offload else ()
+        stacks = p.host_stack_names() if with_offload else ()
         opt = get_optimizer(cfg)
         st = init_train_state(p, opt, jax.random.PRNGKey(0), lora_predicate,
                               host_stacks=stacks)
@@ -213,7 +213,7 @@ def test_host_offload_train_step_matches_default():
         return out
 
     cfg_plain = dict(cfg)
-    assert get_model_class("flux")(cfg).flux_config.offload_blocks
+    assert get_model_class("flux")(cfg).host_stack_names()
     base = run(False)
     offl = run(True)
     np.testing.assert_allclose(offl, base, rtol=1e-5)

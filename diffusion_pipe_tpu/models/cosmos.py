@@ -96,9 +96,24 @@ class CosmosPipeline(BasePipeline):
     def load_weights(self):
         from .keymaps import keymap_to_flax, load_sd_for_pipeline
 
-        return keymap_to_flax(
-            load_sd_for_pipeline(self), self.keymap(), self.cp_config
-        )
+        sd = load_sd_for_pipeline(self)
+        # The original Cosmos-1 GeneralDIT serialization is detectable from
+        # the names the reference wrapper itself exposes: blocks is an
+        # nn.ModuleDict keyed "block0", "block1", ... (reference
+        # models/cosmos.py:273 iterates transformer.blocks.items()) and TE
+        # checkpoints carry "_extra_state" entries (cosmos.py:172-174
+        # filters them). Fail LOUDLY instead of silently matching nothing.
+        gd_markers = [k for k in sd
+                      if "blocks.block0." in k or k.endswith("_extra_state")]
+        if gd_markers:
+            raise ValueError(
+                "cosmos: this checkpoint uses the original Cosmos-1 "
+                "GeneralDIT serialization (nested FA/CA/MLP sub-block "
+                f"triples; e.g. {gd_markers[0]!r}); this pipeline trains "
+                "the Predict2 MiniTrainDIT layout — convert the checkpoint "
+                "offline to the Predict2 naming before loading"
+            )
+        return keymap_to_flax(sd, self.keymap(), self.cp_config)
 
     def init_params(self, rng):
         cfg = self.cp_config

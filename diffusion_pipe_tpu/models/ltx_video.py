@@ -8,10 +8,14 @@ bias; first-frame conditioning probability (t~0 + loss-masked first frame,
 (global 6*dim timestep embedding + per-block scale_shift_table).
 
 Model core is the LTX transformer shape (RMS-normed blocks, gated self-attn
-and FF, ungated cross-attn, qk RMS-norm, rope on self-attention only). The
-RoPE per-axis dim split defaults to the (t, h, w) = (rest, d//6*2, d//6*2)
-convention; verify against pretrained checkpoints before converted-weight
-training.
+and FF, ungated cross-attn, qk RMS-norm, rope on self-attention only). RoPE
+follows the real LTX-Video Transformer3DModel.precompute_freqs_cis ("exp"
+spacing): pixel-space coordinates normalized to [0,1] by
+positional_embedding_max_pos then mapped to [-1,1]; per-axis frequencies
+(pi/2)*theta**linspace(0,1,dim//6) shared by all three axes; axis-fastest
+interleave over the FULL inner_dim (each head sees a different frequency
+band) with dim%6 leading identity columns; rotation applied to q/k BEFORE
+the head split (numpy replica test: tests/test_ltx_rope.py).
 """
 
 from __future__ import annotations
@@ -31,11 +35,9 @@ from .base import BasePipeline
 from .layers import (
     LoraDense,
     RMSNorm,
-    apply_rope,
     layer_norm_no_affine,
     remat_spec,
     remat_wrap,
-    rope_frequencies,
     sinusoidal_timestep_embedding,
 )
 
@@ -69,11 +71,18 @@ class LTXConfig:
     def head_dim(self):
         return self.hidden_size // self.num_heads
 
-    @property
-    def rope_axes_dim(self):
-        d = self.head_dim
-        sp = d // 6 * 2
-        return (d - 2 * sp, sp, sp)
+    # LTX rope operates over the FULL inner_dim with fractional positions
+    # normalized by these maxima (public Lightricks/LTX-Video
+    # Transformer3DModel positional_embedding_max_pos; time axis is in
+    # SECONDS after the wrapper's /framerate, reference ltx_video.py:190-192)
+    rope_max_pos: Any = (20, 2048, 2048)
+    # transformer config causal_temporal_positioning: first latent frame
+    # covers 1 pixel frame, later ones 8 — time pixel-coords get
+    # clamp(t*8 + 1 - 8, 0). Off by default as in the public config.
+    causal_temporal_positioning: bool = False
+    # LTX causal VAE compression (latent index -> pixel coordinate)
+    vae_spatial_factor: int = 32
+    vae_temporal_factor: int = 8
 
     @property
     def lora_kwargs(self):
@@ -91,6 +100,56 @@ class LTXConfig:
                  dtype=jnp.float32, param_dtype=jnp.float32)
         d.update(kw)
         return LTXConfig(**d)
+
+
+def ltx_rope_tables(coords, dim, theta, max_pos):
+    """LTX-Video rope tables ("exp" spacing) from PIXEL-space coordinates.
+
+    coords: [S, 3] (t/framerate, h_pix, w_pix). Fractional positions
+    coords/max_pos in [0,1] are mapped to 2f-1 in [-1,1]; frequency ladder
+    (pi/2) * theta**linspace(0, 1, dim//6) is SHARED by the three axes and
+    interleaved axis-fastest: freqs[s, j, axis] flattens to 3 adjacent
+    columns per frequency. The leading (dim%6)//2 pairs are identity
+    rotations (cos=1/sin=0 front padding in the torch original). Returns
+    (cos, sin) [S, dim//2] in apply_rope's pair format — equal to the
+    original's repeat_interleave(2) read per (even, odd) pair.
+    """
+    s = coords.shape[0]
+    n = dim // 6
+    frac = coords.astype(jnp.float32) / jnp.asarray(max_pos, jnp.float32)
+    # ladder built host-side in float64 then cast once: phases reach
+    # theta*pi/2 ~ 1.6e4 rad at the highest band, where a float32 linspace
+    # rounding (~1e-7 relative) already moves cos by ~1e-3
+    ladder = jnp.asarray(
+        np.power(theta, np.linspace(0.0, 1.0, n, dtype=np.float64))
+        * (np.pi / 2.0),
+        jnp.float32,
+    )
+    freqs = ladder[None, :, None] * (frac[:, None, :] * 2.0 - 1.0)
+    freqs = freqs.reshape(s, n * 3)
+    pad = (dim - 6 * n) // 2
+    cos = jnp.cos(freqs)
+    sin = jnp.sin(freqs)
+    if pad:
+        cos = jnp.concatenate([jnp.ones((s, pad), cos.dtype), cos], -1)
+        sin = jnp.concatenate([jnp.zeros((s, pad), sin.dtype), sin], -1)
+    return cos, sin
+
+
+def apply_rope_full_dim(x, cos, sin):
+    """apply_rope for tables computed over the FULL inner_dim: x is
+    [B, S, H, Dh] (head-split AFTER the torch original rotates the flat
+    [B, S, H*Dh] tensor), cos/sin [S, H*Dh//2] reshaped so head h reads
+    its own columns. Pairs never straddle heads (Dh is even)."""
+    b, s, h, hd = x.shape
+    c = cos.reshape(s, h, hd // 2)[None]
+    sn = sin.reshape(s, h, hd // 2)[None]
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    out0 = x0 * c - x1 * sn
+    out1 = x0 * sn + x1 * c
+    return jnp.stack([out0, out1], axis=-1).reshape(x.shape).astype(x.dtype)
 
 
 class LTXBlock(nn.Module):
@@ -132,8 +191,8 @@ class LTXBlock(nn.Module):
                                           **lora)(y)).reshape(b, s, heads, hd)
         v = LoraDense(dim, name="attn1_to_v", **dd, **lora)(y).reshape(
             b, s, heads, hd)
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
+        q = apply_rope_full_dim(q, rope_cos, rope_sin)
+        k = apply_rope_full_dim(k, rope_cos, rope_sin)
         y = dot_product_attention(q, k, v).reshape(b, s, dim)
         y = LoraDense(dim, name="attn1_to_out", **dd, **lora)(y)
         x = x + (gate_msa * y.astype(jnp.float32)).astype(x.dtype)
@@ -207,8 +266,8 @@ class LTXTransformer(nn.Module):
 
         # rope from fractional coords (identical per batch under bucketing)
         ids = jnp.transpose(fractional_coords[0], (1, 0))  # [S, 3]
-        rope_cos, rope_sin = rope_frequencies(
-            ids, cfg.rope_axes_dim, cfg.rope_theta
+        rope_cos, rope_sin = ltx_rope_tables(
+            ids, dim, cfg.rope_theta, cfg.rope_max_pos
         )
 
         block = LTXBlock
@@ -268,6 +327,8 @@ class LTXVideoPipeline(BasePipeline):
             int8_matmul=mc.get("int8_matmul", False),
             sequence_sharding=bool(
                 self.config.get("sequence_sharding", False)),
+            causal_temporal_positioning=bool(
+                mc.get("causal_temporal_positioning", False)),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
@@ -284,6 +345,27 @@ class LTXVideoPipeline(BasePipeline):
         if mc.get("_tiny", False):
             return LTXConfig.tiny(**kwargs)
         return LTXConfig(**kwargs)
+
+    def _pixel_coords(self, f, h, w, b):
+        """Token (t, h, w) coordinates in PIXEL space, token order (f, h, w):
+        latent indices x VAE downscale factors (the reference's patchify ->
+        latent_to_pixel_coords path, prepare_conditioning at
+        ltx_video.py:130-139), time then divided by the framerate
+        (ltx_video.py:190-192). causal_temporal_positioning applies the
+        causal-VAE fix clamp(t*8 + 1 - 8, 0): the first latent frame holds
+        ONE pixel frame, the rest hold 8."""
+        cfg = self.ltx_config
+        tpix = (jnp.arange(f) * cfg.vae_temporal_factor).astype(jnp.float32)
+        if cfg.causal_temporal_positioning:
+            tpix = jnp.clip(tpix + 1.0 - cfg.vae_temporal_factor, 0.0)
+        fi = jnp.repeat(tpix, h * w)
+        hi = jnp.tile(
+            jnp.repeat(jnp.arange(h) * cfg.vae_spatial_factor, w), f
+        ).astype(jnp.float32)
+        wi = jnp.tile(
+            jnp.arange(w) * cfg.vae_spatial_factor, f * h
+        ).astype(jnp.float32)
+        return jnp.stack([fi / self.framerate, hi, wi])[None].repeat(b, 0)
 
     def init_params(self, rng):
         cfg = self.ltx_config
@@ -334,11 +416,8 @@ class LTXVideoPipeline(BasePipeline):
             )
         loss_mask = loss_mask / jnp.maximum(jnp.mean(loss_mask), 1e-8)
 
-        # token order (f, h, w); fractional coords with time / framerate
-        fi = jnp.repeat(jnp.arange(f), h * w).astype(jnp.float32)
-        hi = jnp.tile(jnp.repeat(jnp.arange(h), w), f).astype(jnp.float32)
-        wi = jnp.tile(jnp.arange(w), f * h).astype(jnp.float32)
-        coords = jnp.stack([fi / self.framerate, hi, wi])[None].repeat(b, 0)
+        # token order (f, h, w); PIXEL coords with time / framerate
+        coords = self._pixel_coords(f, h, w, b)
 
         tokens = x_t.reshape(b, c, s).transpose(0, 2, 1)
         target = target.reshape(b, c, s).transpose(0, 2, 1)
@@ -369,10 +448,7 @@ class LTXVideoPipeline(BasePipeline):
         h, w = height // 32, width // 32
         f = max(1, (int(num_frames) - 1) // 8 + 1)
         s = f * h * w
-        fi = jnp.repeat(jnp.arange(f), h * w).astype(jnp.float32)
-        hi = jnp.tile(jnp.repeat(jnp.arange(h), w), f).astype(jnp.float32)
-        wi = jnp.tile(jnp.arange(w), f * h).astype(jnp.float32)
-        coords = jnp.stack([fi / self.framerate, hi, wi])[None].repeat(b, 0)
+        coords = self._pixel_coords(f, h, w, b)
         pmask = embeds.get("prompt_attention_mask")
 
         def vel(x, t):
@@ -586,8 +662,9 @@ class _LTXPPProgram:
 
     def make_ctx(self, p_rest, mi0):
         ids = jnp.transpose(mi0["fractional_coords"][0], (1, 0))
-        rope_cos, rope_sin = rope_frequencies(
-            ids, self.cfg.rope_axes_dim, self.cfg.rope_theta
+        rope_cos, rope_sin = ltx_rope_tables(
+            ids, self.cfg.hidden_size, self.cfg.rope_theta,
+            self.cfg.rope_max_pos,
         )
         return {"rope_cos": rope_cos, "rope_sin": rope_sin}
 

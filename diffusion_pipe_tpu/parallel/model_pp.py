@@ -233,15 +233,18 @@ def make_generic_pipelined_loss_fn(pipeline, mesh, num_microbatches: int,
     return loss_fn
 
 
-def _block_to_slot(config: Dict[str, Any], num_layers: int, num_stages: int):
+def _block_to_slot(config: Dict[str, Any], num_layers: int, num_stages: int,
+                   phase_offset: int = 0):
     """Inverse of stack_for_stages' slot layout: for each block j, the
-    padded-slot index that holds it (pure python — usable under jit)."""
+    padded-slot index that holds it (pure python — usable under jit).
+    phase_offset mirrors stack_for_stages: manual boundaries are global
+    positions over the COMBINED block sequence, offset per phase."""
     split = config.get("partition_split",
                        config.get("manual_partition_split"))
     if (str(config.get("partition_method", "")).lower() == "manual"
             and split is not None):
         counts = counts_from_manual_split(
-            num_layers, num_stages, [int(b) for b in split]
+            num_layers, num_stages, [int(b) - phase_offset for b in split]
         )
         k = max(max(counts), 1)
         out = []
@@ -441,15 +444,6 @@ def _make_generic_multiphase_grad_fn_1f1b(pipeline, mesh, program,
     m_total = num_microbatches
     phases = program.phases
     n_phases = len(phases)
-    split_cfg = pipeline.config.get(
-        "partition_split", pipeline.config.get("manual_partition_split"))
-    if (str(pipeline.config.get("partition_method", "")).lower() == "manual"
-            and split_cfg is not None):
-        raise NotImplementedError(
-            "pipeline_schedule='1f1b' with a multi-phase program does not "
-            "support manual partition splits; use the GPipe schedule"
-        )
-
     def grad_fn(trainable, frozen, batch, rng):
         flat_t = traverse_util.flatten_dict(
             flax.core.unfreeze(trainable)["params"]
@@ -606,10 +600,13 @@ def _make_generic_multiphase_grad_fn_1f1b(pipeline, mesh, program,
 
         flat_rest = traverse_util.flatten_dict(g_rest) if has_rest_t else {}
         flat_gs = []
+        ph_offset = 0
         for ph, g in zip(phases, gs):
-            b2s = _block_to_slot(pipeline.config, ph.num_blocks, s)
+            b2s = _block_to_slot(pipeline.config, ph.num_blocks, s,
+                                 phase_offset=ph_offset)
             g = jax.tree.map(lambda x: x[b2s], g)
             flat_gs.append(traverse_util.flatten_dict(g))
+            ph_offset += ph.num_blocks
         key_to_phase = {ph.param_key: i for i, ph in enumerate(phases)}
         flat_out = {}
         for path, leaf in flat_t.items():

@@ -741,6 +741,63 @@ def test_reference_layout_keys(model_type):
     assert not present, f"{model_type}: wrong-dialect keys emitted: {present}"
 
 
+def test_z_image_turbo_merge_end_to_end(tmp_path):
+    """The Z-Image turbo adapter-merge path, end to end on the real
+    loader: `model.merge_adapters = [path]` folds a ComfyUI-dialect LoRA
+    (diffusion_model.<module>.lora_A/B + .alpha — the naming comfy
+    load_lora_for_models consumes, reference models/base.py:562-581) into
+    the base state dict BEFORE keymap conversion, and the merged weight
+    survives the flax round trip. Also asserts the loud failure on an
+    adapter whose keys match nothing (wrong model)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    pipe, sd = _export("z_image")
+    base = {k: np.ascontiguousarray(np.asarray(v)) for k, v in sd.items()}
+    save_file(base, str(tmp_path / "model.safetensors"))
+
+    tgt = "layers.0.attention.qkv.weight"
+    w = base[tgt]
+    rng = np.random.default_rng(3)
+    rank = 2
+    down = rng.standard_normal((rank, w.shape[1])).astype(np.float32)
+    up = rng.standard_normal((w.shape[0], rank)).astype(np.float32)
+    save_file({
+        "diffusion_model.layers.0.attention.qkv.lora_A.weight": down,
+        "diffusion_model.layers.0.attention.qkv.lora_B.weight": up,
+        "diffusion_model.layers.0.attention.qkv.alpha":
+            np.asarray(4.0, np.float32),
+    }, str(tmp_path / "turbo.safetensors"))
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {
+            "type": "z_image", "dtype": "float32", "_tiny": True,
+            "ckpt_path": str(tmp_path / "model.safetensors"),
+            "merge_adapters": [str(tmp_path / "turbo.safetensors")],
+        },
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe2 = get_model_class("z_image")(cfg)
+    params = pipe2.load_weights()
+    sd2 = keymap_from_flax(
+        nn.unbox(params), pipe2.keymap(), pipe2._keymap_config())
+    expected = w + (4.0 / rank) * (up @ down)
+    np.testing.assert_allclose(sd2[tgt], expected, rtol=1e-4, atol=1e-5)
+    # untouched weights unchanged
+    other = "layers.1.attention.qkv.weight"
+    np.testing.assert_allclose(sd2[other], base[other], rtol=1e-6)
+
+    save_file({
+        "diffusion_model.not_a_module.lora_A.weight": down,
+        "diffusion_model.not_a_module.lora_B.weight": up,
+    }, str(tmp_path / "wrong.safetensors"))
+    cfg["model"]["merge_adapters"] = [str(tmp_path / "wrong.safetensors")]
+    pipe3 = get_model_class("z_image")(cfg)
+    with pytest.raises(ValueError, match="merge_adapters"):
+        pipe3.load_weights()
+
+
 @pytest.mark.parametrize("glu", [True, False])
 def test_ideogram4_mlp_shape_discovery(tmp_path, glu):
     """load_weights discovers the FFN variant from mlp_in/mlp_out shapes

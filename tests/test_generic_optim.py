@@ -91,6 +91,23 @@ def test_factory_genericoptim_and_aliases():
         assert np.isfinite(losses).all() and losses[-1] < losses[0], otype
 
 
+def test_offload_optimizer_matches_adamw():
+    """optimizer.type = "offload" (reference train.py:677-681, torchao
+    CPUOffloadOptimizer wrapping AdamW): host-resident optimizer state,
+    UNCHANGED update math — a seeded train trajectory is bit-identical to
+    type = "adamw" (on CPU the host round-trip is the identity; on TPU it
+    is device_put to/from jax.memory.Space.Host, which preserves values)."""
+    common = {"lr": 1e-3, "betas": [0.9, 0.99], "weight_decay": 0.02}
+    opt_off = get_optimizer({"optimizer": {"type": "offload", **common},
+                             "save_every_n_epochs": 1})
+    opt_ref = get_optimizer({"optimizer": {"type": "adamw", **common},
+                             "save_every_n_epochs": 1})
+    losses_off = _quadratic_losses(opt_off, steps=20)
+    losses_ref = _quadratic_losses(opt_ref, steps=20)
+    np.testing.assert_array_equal(losses_off, losses_ref)
+    assert losses_off[-1] < losses_off[0]
+
+
 def test_factory_optax_fallback_prodigy_lion():
     for otype in ("prodigy", "lion"):
         cfg = {"optimizer": {"type": otype, "lr": 1e-2},

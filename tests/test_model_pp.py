@@ -509,6 +509,41 @@ def test_generic_1f1b_multiphase_grads_match_single(model_type, batch_fn,
         )
 
 
+def test_generic_1f1b_multiphase_manual_split():
+    """Multi-phase 1F1B composes with manual_partition_split: the
+    reference's 1F1B TrainSchedule runs over ManualPipelineModule
+    boundaries (utils/pipeline.py:11-53 + utils/patches.py:113-160).
+    Tiny flux2 (2 double + 2 single = 4 combined blocks), split [1] ->
+    stage0 holds 1 double; stage1 holds 1 double + both singles."""
+    from diffusion_pipe_tpu.parallel.model_pp import (
+        make_generic_pipelined_grad_fn_1f1b,
+    )
+
+    pipeline, mesh, trainable, frozen, batch = _setup(
+        "flux2", 2, _flux2_batch)
+    assert len(pipeline.make_pp_program().phases) > 1
+    pipeline.config["partition_method"] = "manual"
+    pipeline.config["partition_split"] = [1]
+    rng = jax.random.PRNGKey(7)
+    grad_fn = make_generic_pipelined_grad_fn_1f1b(pipeline, mesh, M)
+    with jax.set_mesh(mesh):
+        loss_pp, g_pp = jax.jit(grad_fn)(trainable, frozen, batch, rng)
+    loss_ref = _reference_loss(pipeline, trainable, frozen, batch, rng)
+    g_ref = jax.grad(_reference_loss, argnums=1)(
+        pipeline, trainable, frozen, batch, rng
+    )
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    flat_pp = jax.tree.leaves(g_pp)
+    flat_ref = jax.tree.leaves(g_ref)
+    assert len(flat_pp) == len(flat_ref)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat_pp)
+    for a, b in zip(flat_pp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_generic_1f1b_multiphase_full_ft_grads_match_single():
     """Multi-phase 1F1B full fine-tuning: embed/head cotangents flow
     through BOTH phases and the hand-off transpose; every parameter's

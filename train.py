@@ -378,9 +378,11 @@ def main(argv=None):
             if zero1 else None
         ),
     )
-    if host_stacks:
+    offload_opt = str(ocfg.get("type", "")).lower() == "offload"
+    if host_stacks or offload_opt:
         # entry-output layouts must carry the pinned_host memory kinds of
-        # the offloaded leaves (trainer.jit_train_step)
+        # the offloaded leaves — frozen stacks (blocks_to_swap) and/or
+        # host-resident optimizer state (trainer.jit_train_step)
         from diffusion_pipe_tpu.training.trainer import jit_train_step
 
         train_step = jit_train_step(train_step_raw, state)

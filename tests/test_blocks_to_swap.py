@@ -455,3 +455,44 @@ def test_qwen_whole_stack_fallback():
     assert full.host_stack_names() == ("blocks",)
     p = nn.unbox(full.init_params(jax.random.PRNGKey(0)))
     assert "blocks_swap" not in p["params"]
+
+def test_fp8_storage_trains_close_to_bf16():
+    """transformer_dtype = "float8" (fp8 base-kernel STORAGE — what the
+    fp8 host-stream operating point packs, reference models/flux.py:79
+    keep-fp32 allowlist analogue): a seeded tiny-wan loss trajectory stays
+    within quantization noise of full-precision storage. The TPU streaming
+    itself is measured on hardware (BASELINE.md round 4); on CPU the
+    offload wrapper is the identity, so this isolates the fp8 numerics."""
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    def losses(fp8):
+        cfg = _cfg(swap=99)
+        if fp8:
+            cfg["model"]["transformer_dtype"] = "float8"
+        pipe = get_model_class("wan")(cfg)
+        opt = get_optimizer(cfg)
+        state = init_train_state(
+            pipe, opt, jax.random.PRNGKey(0), lora_predicate)
+        step = jax.jit(make_train_step(pipe, opt))
+        k = jax.random.PRNGKey(1)
+        batch = {
+            "latents": jax.random.normal(k, (2, 16, 3, 8, 8)) * 0.5,
+            "text_embeddings": jax.random.normal(k, (2, 16, 32)),
+            "seq_lens": jnp.full((2,), 16, jnp.int32),
+        }
+        out = []
+        for _ in range(6):
+            state, m = step(state, batch, jax.random.PRNGKey(7))
+            out.append(float(m["loss"]))
+        return out
+
+    l_fp8 = losses(True)
+    l_bf = losses(False)
+    assert np.isfinite(l_fp8).all()
+    assert l_fp8[-1] < l_fp8[0], l_fp8
+    np.testing.assert_allclose(l_fp8, l_bf, rtol=0.05)

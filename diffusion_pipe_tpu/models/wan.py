@@ -148,6 +148,17 @@ class WanPipeline(BasePipeline):
         # once the variant's num_layers is known.
         kwargs["offload_tail"] = int(
             self.config.get("blocks_to_swap", 0) or 0)
+        # Partial-swap saved-activation placement: under remat="attn" the
+        # stacked [n_swap, B, H, S, D] flash o/lse buffer caused the 480px
+        # swap=28 HBM OOM (41% fragmentation, BASELINE.md round 3) — route
+        # the SWAPPED blocks' saved attention through pinned host memory by
+        # default ("offload_attn"); override with
+        # swap_activation_checkpointing.
+        swap_remat = self.config.get("swap_activation_checkpointing")
+        if swap_remat is None and kwargs["remat"] == "attn":
+            swap_remat = "offload_attn"
+        kwargs["swap_remat"] = str(swap_remat) if swap_remat else ""
+        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),

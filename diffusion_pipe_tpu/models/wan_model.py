@@ -76,6 +76,22 @@ class WanConfig:
     # "blocks" in offload_blocks) streams the whole single "blocks" stack
     # (layout-compatible with non-offloaded checkpoints/params).
     offload_tail: int = 0
+    # remat spec for the PARTIAL "blocks_swap" scan only ("" = same as
+    # `remat`). Default resolution (wan.py _build_wan_config): "attn" ->
+    # "offload_attn" — a partially-swapped stack's saved flash o/lse is the
+    # dominant stacked HBM buffer ([n_swap, B, H, S, D]; the 480px swap=28
+    # OOM was 41% fragmentation from exactly this buffer), so it rides the
+    # existing host link instead. Resident blocks keep fast HBM residuals.
+    swap_remat: str = ""
+    # One-block-ahead host->HBM prefetch for streamed stacks (the TPU
+    # analogue of the reference's double-buffered CUDA-stream block swap,
+    # utils/offloading.py:69-87): the custom-VJP scan in
+    # parallel/offload.py copies block i+1 while block i computes, both
+    # directions. True = on for TPU offloaded runs; "force" additionally
+    # enables it on the CPU backend (tests); False = use-time map_variables
+    # streaming. Requires lora_dropout == 0 (the functional block apply
+    # carries no rng).
+    stream_prefetch: Any = True
     sequence_sharding: bool = False
 
     @property
@@ -347,8 +363,10 @@ class WanTransformer(nn.Module):
                 from ..parallel.offload import stream_params_from_host
 
                 b = stream_params_from_host(b)
-            if cfg.remat:
-                b = remat_wrap(b, cfg.remat)
+            remat = (cfg.swap_remat or cfg.remat) if name == "blocks_swap" \
+                else cfg.remat
+            if remat:
+                b = remat_wrap(b, remat)
             return nn.scan(
                 b,
                 variable_axes={"params": 0},
@@ -358,18 +376,48 @@ class WanTransformer(nn.Module):
                 metadata_params={nn.PARTITION_NAME: "layers"},
             )(cfg, name=name)
 
+        # streamed stacks: one-block-ahead prefetch when enabled (see
+        # WanConfig.stream_prefetch); params must already exist, so the
+        # init pass always takes the nn.scan path (identical layout)
+        use_prefetch = bool(
+            cfg.stream_prefetch and not self.is_initializing()
+            and cfg.lora_dropout == 0.0
+            and (jax.default_backend() != "cpu"
+                 or cfg.stream_prefetch == "force")
+        )
+
+        def _stream_prefetched(name, length, x):
+            from ..parallel.offload import prefetch_stream_scan
+
+            storage = self.scope.get_variable("params", name)
+            assert storage, f"streamed stack {name!r} has no params"
+            # nn.scan's PARTITION_NAME metadata boxes leaves in Partitioned;
+            # unboxing is pytree-transparent so cotangents flow back intact
+            storage = nn.unbox(storage)
+            blk = WanAttentionBlock(cfg, parent=None)
+            return prefetch_stream_scan(
+                blk, storage, x, (e0, rope_cos, rope_sin, ctx), length,
+                move=jax.default_backend() != "cpu",
+            )
+
         if n_swap == cfg.num_layers:
             # whole stack streamed: single-"blocks" layout preserved
-            xe, _ = _scan(WanAttentionBlock, cfg.num_layers, "blocks",
-                          True)(xe, e0, rope_cos, rope_sin, ctx)
+            if use_prefetch:
+                xe = _stream_prefetched("blocks", cfg.num_layers, xe)
+            else:
+                xe, _ = _scan(WanAttentionBlock, cfg.num_layers, "blocks",
+                              True)(xe, e0, rope_cos, rope_sin, ctx)
         else:
             xe, _ = _scan(WanAttentionBlock, n_res, "blocks",
                           False)(xe, e0, rope_cos, rope_sin, ctx)
             if n_swap:
                 # blocks_to_swap dial: only the DEEPEST n_swap blocks
                 # stream from host (reference utils/offloading.py:184)
-                xe, _ = _scan(WanAttentionBlock, n_swap, "blocks_swap",
-                              True)(xe, e0, rope_cos, rope_sin, ctx)
+                if use_prefetch:
+                    xe = _stream_prefetched("blocks_swap", n_swap, xe)
+                else:
+                    xe, _ = _scan(WanAttentionBlock, n_swap, "blocks_swap",
+                                  True)(xe, e0, rope_cos, rope_sin, ctx)
 
         # head (model.py:315-341): modulation table [1,2,dim] + e
         head_mod = self.param(

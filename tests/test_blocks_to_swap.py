@@ -496,3 +496,92 @@ def test_fp8_storage_trains_close_to_bf16():
     assert np.isfinite(l_fp8).all()
     assert l_fp8[-1] < l_fp8[0], l_fp8
     np.testing.assert_allclose(l_fp8, l_bf, rtol=0.05)
+
+def test_partial_swap_attn_remat_offloads_swapped_stack():
+    """Under activation_checkpointing="attn", the partial "blocks_swap"
+    scan defaults to the "offload_attn" policy (saved flash o/lse of
+    swapped blocks pinned host-side — the stacked [n_swap,B,H,S,D] buffer
+    caused the 480px swap=28 HBM OOM, BASELINE.md round 3) while resident
+    blocks keep HBM residuals; numerics are unchanged and training runs."""
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = _cfg(swap=1)
+    cfg["activation_checkpointing"] = "attn"
+    pipe = get_model_class("wan")(cfg)
+    assert pipe.wan_config.remat == "attn"
+    assert pipe.wan_config.swap_remat == "offload_attn"
+    # explicit override wins
+    cfg2 = _cfg(swap=1)
+    cfg2["activation_checkpointing"] = "attn"
+    cfg2["swap_activation_checkpointing"] = "attn"
+    assert get_model_class("wan")(cfg2).wan_config.swap_remat == "attn"
+
+    opt = get_optimizer(cfg)
+    state = init_train_state(pipe, opt, jax.random.PRNGKey(0),
+                             lora_predicate)
+    step = jax.jit(make_train_step(pipe, opt))
+    k = jax.random.PRNGKey(1)
+    batch = {
+        "latents": jax.random.normal(k, (2, 16, 3, 8, 8)) * 0.5,
+        "text_embeddings": jax.random.normal(k, (2, 16, 32)),
+        "seq_lens": jnp.full((2,), 16, jnp.int32),
+    }
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+def test_prefetch_stream_scan_grad_parity():
+    """The one-block-ahead prefetch scan (parallel/offload.py
+    prefetch_stream_scan, custom VJP — the TPU analogue of the reference's
+    double-buffered block swap, utils/offloading.py:69-87) is numerically
+    invisible: loss AND grads of a seeded tiny-wan train step with
+    stream_prefetch="force" match the map_variables/nn.scan streaming
+    path exactly (same init, same batch, CPU backend where both paths
+    skip the actual host transfers)."""
+    from diffusion_pipe_tpu.training.optimizers import get_optimizer
+    from diffusion_pipe_tpu.training.train_state import lora_predicate
+    from diffusion_pipe_tpu.training.trainer import (
+        init_train_state,
+        make_train_step,
+    )
+
+    def run(prefetch, swap):
+        cfg = _cfg(swap=swap)
+        cfg["activation_checkpointing"] = "attn"
+        if prefetch:
+            cfg["stream_prefetch"] = "force"
+        else:
+            cfg["stream_prefetch"] = False
+        pipe = get_model_class("wan")(cfg)
+        opt = get_optimizer(cfg)
+        state = init_train_state(
+            pipe, opt, jax.random.PRNGKey(0), lora_predicate)
+        step = jax.jit(make_train_step(pipe, opt))
+        k = jax.random.PRNGKey(1)
+        batch = {
+            "latents": jax.random.normal(k, (2, 16, 3, 8, 8)) * 0.5,
+            "text_embeddings": jax.random.normal(k, (2, 16, 32)),
+            "seq_lens": jnp.full((2,), 16, jnp.int32),
+        }
+        losses = []
+        for i in range(3):
+            state, m = step(state, batch, jax.random.PRNGKey(7 + i))
+            losses.append(float(m["loss"]))
+        return losses, nn.unbox(state.trainable)
+
+    for swap in (1, 99):  # partial tail AND whole-stack streamed layouts
+        l_pf, t_pf = run(True, swap)
+        l_ref, t_ref = run(False, swap)
+        assert np.isfinite(l_pf).all()
+        np.testing.assert_allclose(l_pf, l_ref, rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(t_pf), jax.tree.leaves(t_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)

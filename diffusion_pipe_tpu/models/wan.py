@@ -155,11 +155,41 @@ class WanPipeline(BasePipeline):
         # default ("offload_attn"); override with
         # swap_activation_checkpointing.
         swap_remat = self.config.get("swap_activation_checkpointing")
+        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
+        if swap_remat is not None and kwargs["stream_prefetch"]:
+            # the prefetch scan always full-recomputes with x-only
+            # residuals, so a per-stack remat spec cannot apply there
+            # (round-4 advisor). An explicit swap_activation_checkpointing
+            # falls back to the nn.scan streaming path that honors it —
+            # unless stream_prefetch is ALSO explicit, in which case
+            # prefetch wins and the remat spec is declared ignored.
+            import warnings
+
+            if "stream_prefetch" in self.config:
+                warnings.warn(
+                    "swap_activation_checkpointing is ignored while "
+                    "stream_prefetch = true: the prefetch scan uses its "
+                    "own full-recompute schedule.", stacklevel=2,
+                )
+            else:
+                warnings.warn(
+                    "swap_activation_checkpointing is set: disabling "
+                    "stream_prefetch for this run (the prefetch scan "
+                    "uses its own full-recompute schedule). Set "
+                    "stream_prefetch = true explicitly to keep prefetch "
+                    "and ignore the remat spec instead.", stacklevel=2,
+                )
+                kwargs["stream_prefetch"] = False
         if swap_remat is None and kwargs["remat"] == "attn":
             swap_remat = "offload_attn"
         kwargs["swap_remat"] = str(swap_remat) if swap_remat else ""
-        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
         if adapter.get("type") in ("lora", "lokr"):
+            # only adapter factors are trainable in a streamed stack: the
+            # prefetch backward skips real grads for frozen base leaves
+            kwargs["stream_grad_leaves"] = (
+                "lora_a", "lora_b", "lokr_w1", "lokr_w2",
+                "lokr_w2_a", "lokr_w2_b",
+            )
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
                 lora_type=adapter["type"],
@@ -234,6 +264,12 @@ class WanPipeline(BasePipeline):
                 params = convert_umt5_comfy(
                     load_safetensors_dir(mc["llm_path"]), cfg
                 )
+                if mc.get("text_encoder_fp8"):
+                    # reference wan/wan.py:188-191: 2-D T5 weights (except
+                    # embeddings/relpos) stored float8_e4m3fn
+                    from .text_encoders import cast_te_params_fp8
+
+                    params = cast_te_params_fp8(params)
             self._t5 = (enc, params)
         return self._t5
 
@@ -512,6 +548,11 @@ class WanPipeline(BasePipeline):
         params = convert_umt5_comfy(
             load_safetensors_dir(mc["llm_path"]), cfg
         )
+        if mc.get("text_encoder_fp8"):
+            # reference wan/wan.py:188-191
+            from .text_encoders import cast_te_params_fp8
+
+            params = cast_te_params_fp8(params)
         run = jax.jit(lambda ids, m: enc.apply(params, ids, m))
 
         def te(captions):

@@ -92,6 +92,13 @@ class WanConfig:
     # streaming. Requires lora_dropout == 0 (the functional block apply
     # carries no rng).
     stream_prefetch: Any = True
+    # Last key-component names of the TRAINABLE leaves inside a streamed
+    # stack (e.g. ("lora_a", "lora_b") under a LoRA adapter). The prefetch
+    # backward emits real gradients only for these; known-frozen float
+    # leaves get broadcast-zero cotangents instead of full [L, ...]-stacked
+    # grads (round-4 advisor). None/() = grads for every inexact leaf
+    # (full fine-tuning of a streamed stack).
+    stream_grad_leaves: Tuple[str, ...] = ()
     sequence_sharding: bool = False
 
     @property
@@ -398,6 +405,7 @@ class WanTransformer(nn.Module):
             return prefetch_stream_scan(
                 blk, storage, x, (e0, rope_cos, rope_sin, ctx), length,
                 move=jax.default_backend() != "cpu",
+                grad_leaves=cfg.stream_grad_leaves or None,
             )
 
         if n_swap == cfg.num_layers:

@@ -16,11 +16,13 @@ of compute (SURVEY.md section 5.9). The TPU-native equivalent:
   an offloaded stack live host-side too; their per-step optimizer transfer
   is negligible.
 
-Granularity: flux maps `blocks_to_swap: N` to its single/double stack
-boundaries; wan honors the exact reference dial — the DEEPEST N blocks
-move to a separate "blocks_swap" scan that streams from host while the
-first num_layers-N stay HBM-resident (WanConfig.offload_tail /
-swap_split; reference utils/offloading.py:184 swaps exactly N). Other
+Granularity: wan, flux, and qwen_image honor the exact reference dial.
+wan moves the DEEPEST N blocks to a separate "blocks_swap" scan that
+streams from host while the first num_layers-N stay HBM-resident
+(WanConfig.offload_tail / swap_split; reference utils/offloading.py:184
+swaps exactly N); flux applies the reference's N//2-double /
+(N-N//2)*2+1-single split (models/flux.py:404-418, flux.py exact_n);
+qwen_image streams its deepest N (models/qwen_image.py). Other
 single-stack families stream their whole "blocks" stack. An offload
 request that matches no stack raises (see offload_param_stacks).
 """
@@ -217,11 +219,22 @@ offload_frozen_stacks = offload_param_stacks
 
 
 def _slice_block(storage, i):
-    """Row i of every stacked leaf of a storage-format tree (traced i)."""
+    """Row i of every stacked leaf of a storage-format tree (traced i).
+
+    keepdims=True on purpose: slicing host-resident leaves with an
+    immediate squeeze makes the TPU backend fold the squeeze into the
+    host->HBM copy, which its post-layout bitcast canonicalization
+    miscompiles on sub-tile shapes ("Bitcast cannot have different shape
+    sizes"). The leading unit axis is dropped on-device in apply_one."""
     return jax.tree.map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+        lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=True),
         storage,
     )
+
+
+def _squeeze_block(tree):
+    """Drop the leading unit axis _slice_block kept (device-side)."""
+    return jax.tree.map(lambda a: jax.lax.squeeze(a, (0,)), tree)
 
 
 def _move_to_device(tree, move: bool):
@@ -248,7 +261,7 @@ def _decode_block(tree):
 
 
 def prefetch_stream_scan(block, storage, x, broadcast, length: int,
-                         move: bool = True):
+                         move: bool = True, grad_leaves=None):
     """Scan a detached `block` module over `length` host-resident blocks
     with one-block-ahead host->HBM prefetch (see note above).
 
@@ -258,13 +271,22 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
     storage:   stacked storage-format param tree (leading axis = block),
                as produced by init + offload_param_stacks.
     broadcast: tuple of per-call constants handed to every block.
-    Returns the final carry x. Differentiable wrt storage/x/broadcast;
-    cotangents of float storage leaves are returned pinned host-side to
-    match their primals.
+    grad_leaves: optional collection of LAST key-component names (e.g.
+               ("lora_a", "lora_b")) whose leaves are the only trainable
+               params in the stack; grads for the rest come back as
+               broadcast-zeros that XLA folds away. None = real grads for
+               every inexact leaf (full fine-tuning of a streamed stack).
+    Returns the final carry x. Differentiable wrt storage/x/broadcast.
+    ALL cotangents come back DEVICE-resident: the train step's optimizer
+    path runs on device over the trainable partition (trainer.py), and
+    the only host-resident storage leaves are the FROZEN ones
+    (offload_param_stacks is applied to the frozen partition only), whose
+    cotangents jax.grad discards — pinning them host-side would add a
+    pointless HBM->host round-trip per trainable grad (round-4 advisor).
     """
 
     def apply_one(cur, xc, bc):
-        p = _decode_block(cur)
+        p = _decode_block(_squeeze_block(cur))
         y, _ = block.apply({"params": p}, xc, *bc)
         return y
 
@@ -298,6 +320,15 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
         # broadcast operands must be inexact (they are activations)
         gbc0 = jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), bc)
 
+        def emit_grad(key, leaf):
+            # packed frozen leaves are integer primals -> float0 (which
+            # lax.scan cannot stack, so they are never emitted); inexact
+            # leaves outside grad_leaves are known-frozen -> skip their
+            # (full [L, ...]-stacked!) grads and return broadcast-zeros
+            if not jnp.issubdtype(leaf.dtype, jnp.inexact):
+                return False
+            return grad_leaves is None or key[-1] in grad_leaves
+
         def body(carry, x_in):
             gx, cur, i, gbc = carry
             nxt = _move_to_device(
@@ -306,11 +337,11 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
             g_cur, g_x, g_b = vjp(gx)
             gbc = jax.tree.map(
                 lambda acc, g: acc + g.astype(jnp.float32), gbc, g_b)
-            # emit only inexact-leaf grads (packed frozen leaves are
-            # integer primals -> float0, which lax.scan cannot stack)
             flat = traverse_util.flatten_dict(g_cur)
-            g_f = {k: v for k, v in flat.items()
-                   if jnp.issubdtype(v.dtype, jnp.inexact)}
+            # drop the leading unit axis the keepdims slice introduced so
+            # the scan stacks per-block grads back to storage shape
+            g_f = {k: jax.lax.squeeze(v, (0,)) for k, v in flat.items()
+                   if emit_grad(k, v)}
             return (g_x, nxt, i - 1, gbc), g_f
 
         curL = _move_to_device(_slice_block(sto, length - 1), move)
@@ -322,11 +353,13 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
         g_flat = {}
         for k, v in flat_sto.items():
             if k in g_rev:
-                g = jnp.flip(g_rev[k], 0)
-                if move:
-                    # float storage primals live pinned host-side
-                    g = jax.device_put(g, jax.memory.Space.Host)
-                g_flat[k] = g
+                g_flat[k] = jnp.flip(g_rev[k], 0)
+            elif jnp.issubdtype(jnp.dtype(v.dtype), jnp.inexact):
+                # frozen float leaf filtered by grad_leaves: its cotangent
+                # is discarded by jax.grad (trainable-only argnums), but
+                # custom_vjp requires a dtype/shape-matching value — a
+                # broadcasted zero costs no HBM and folds away
+                g_flat[k] = jnp.zeros(v.shape, v.dtype)
             else:
                 g_flat[k] = np.zeros(v.shape, jax_dtypes.float0)
         g_sto = traverse_util.unflatten_dict(g_flat)
@@ -335,6 +368,116 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
 
     run.defvjp(run_fwd, run_bwd)
     return run(storage, x, tuple(broadcast))
+
+
+def _unpack_leaf_np(words, key: str):
+    """Host-side inverse of _pack_leaf for a WHOLE stacked leaf:
+    uint32 [lead..., packed] -> dtype [lead..., rest...] (numpy)."""
+    import numpy as np
+
+    dtype, rest, pad = _parse_pack_key(key)
+    w = np.ascontiguousarray(np.asarray(words))
+    lead = w.shape[:-1]
+    flat = w.view(np.dtype(dtype)).reshape(lead + (-1,))
+    if pad:
+        flat = flat[..., : flat.shape[-1] - pad]
+    return flat.reshape(lead + rest)
+
+
+def unstream_param_stacks(tree: Any, stack_names: Sequence[str]):
+    """Inverse of offload_param_stacks for EVAL: the reference's
+    `disable_block_swap_for_eval` moves every swapped block back to the
+    accelerator before evaluation (train.py:234,
+    utils/offloading.py prepare_block_swap_inference). Here: host-resident
+    storage leaves become device-resident logical params (bit-packed
+    narrow dtypes unpacked host-side first), and partial-swap
+    "<base>_swap" collections fold back into "<base>" (concat on the
+    block axis, resident-first — matching the swap_split that took the
+    DEEPEST N blocks). None leaves (the other partition's holes) are
+    preserved."""
+    import numpy as np
+    from flax.core import meta
+
+    flat = traverse_util.flatten_dict(tree)
+    swap_names = {n for n in stack_names if n.endswith("_swap")}
+    final = {}
+    swaps = {}
+    for k, v in flat.items():
+        if isinstance(v, meta.AxisMetadata):
+            v = v.unbox()  # eval-only copy; sharding metadata not needed
+        in_stack = any(name in k for name in stack_names)
+        if in_stack and isinstance(k[-1], str) and \
+                k[-1].startswith(_PACK_TAG):
+            v = _unpack_leaf_np(v, k[-1])
+            k = k[:-1]
+        if in_stack and v is not None:
+            host = isinstance(v, np.ndarray) or getattr(
+                getattr(v, "sharding", None), "memory_kind", None
+            ) == "pinned_host"
+            if host:
+                v = (jax.device_put(np.asarray(v), jax.memory.Space.Device)
+                     if jax.default_backend() != "cpu" else jnp.asarray(v))
+        si = next((i for i, p in enumerate(k) if p in swap_names), None)
+        if si is not None:
+            base_k = k[:si] + (k[si][:-len("_swap")],) + k[si + 1:]
+            swaps[base_k] = v
+        else:
+            final[k] = v
+    for base_k, sv in swaps.items():
+        rv = final.get(base_k)
+        if sv is None and rv is None:
+            final[base_k] = None
+        elif sv is not None and rv is not None:
+            final[base_k] = jnp.concatenate(
+                [jnp.asarray(rv), jnp.asarray(sv)], axis=0)
+        else:
+            # both partitions split a stack identically, so a one-sided
+            # pair means the leaf exists only in one collection — keep it
+            final[base_k] = rv if rv is not None else sv
+    return traverse_util.unflatten_dict(final)
+
+
+def apply_swap_split(carry, split, apply_stack, base="blocks"):
+    """Run one block stack under the exact-N blocks_to_swap layout.
+
+    split = (n_res, n_swap) as produced by a config's swap_split; the
+    DEEPEST n_swap blocks stream from host in a separate "<base>_swap"
+    collection (reference utils/offloading.py:184 swaps exactly N), a full
+    swap keeps the single-collection layout, zero swap is a plain scan.
+    apply_stack(carry, length, name, streamed) applies `length` blocks
+    named `name` and returns the new carry — each family supplies its own
+    scan construction (body signature / remat / prefetch differ); the
+    split topology lives here once.
+    """
+    n_res, n_swap = split
+    total = n_res + n_swap
+    if total and n_swap == total:
+        return apply_stack(carry, total, base, True)
+    if n_res:
+        carry = apply_stack(carry, n_res, base, False)
+    if n_swap:
+        carry = apply_stack(carry, n_swap, f"{base}_swap", True)
+    return carry
+
+
+def swap_split_of(num_layers: int, tail: int):
+    """(resident, swapped) block counts for blocks_to_swap = tail."""
+    if tail <= 0 or num_layers <= 0:
+        return (num_layers, 0)
+    if tail >= num_layers:
+        return (0, num_layers)
+    return (num_layers - tail, tail)
+
+
+def swap_stack_names(splits, bases=("blocks",)):
+    """host_stack_names for exact-N families: per (split, base) pair the
+    streamed collection name, if any."""
+    names = []
+    for (n_res, n_swap), base in zip(splits, bases):
+        if n_swap == 0:
+            continue
+        names.append(base if n_res == 0 else f"{base}_swap")
+    return tuple(names)
 
 
 def offload_stacks_from_config(config, num_single_layers=0):

@@ -69,13 +69,22 @@ def zero1_opt_state_sharding(mesh: Mesh, opt_state: Any):
             if isinstance(getattr(x, "sharding", None), NamedSharding)
             else P()
         )
+        # optimizer.type="offload" pins state leaves to pinned_host BEFORE
+        # this runs; re-sharding must not silently move them back to HBM
+        # (round-4 advisor) — carry the memory kind into the new sharding
+        kind = getattr(getattr(x, "sharding", None), "memory_kind", None)
+
+        def named(spec):
+            s = NamedSharding(mesh, spec)
+            return s.with_memory_kind(kind) if kind == "pinned_host" else s
+
         if n <= 1 or not hasattr(x, "ndim") or x.ndim == 0 or x.size < 2 * n:
-            return NamedSharding(mesh, cur)
+            return named(cur)
         spec = list(cur) + [None] * (x.ndim - len(cur))
         for i in range(x.ndim):
             if spec[i] is None and x.shape[i] % n == 0:
                 spec[i] = "data"
                 break
-        return NamedSharding(mesh, P(*spec))
+        return named(P(*spec))
 
     return jax.tree.map(shard_of, opt_state)

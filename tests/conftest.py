@@ -65,6 +65,27 @@ def pytest_collection_modifyitems(items):
             item.add_marker(pytest.mark.gate)
 
 
+# Modules whose individual tests each compile a full (often multi-device)
+# train step: cache accumulation WITHIN one such module segfaulted the
+# single-process full run at ~288/423 (inside test_model_pp.py) even with
+# the per-module cleanup below — clear after every test there. Warm
+# recompiles come from the persistent on-disk cache.
+_PER_TEST_CLEAR_FILES = {
+    "test_model_pp.py", "test_pipeline_parallel.py", "test_pipeline_1f1b.py",
+}
+
+
+@pytest.fixture(autouse=True)
+def _release_jax_memory_per_test(request):
+    yield
+    fspath = getattr(request.node, "fspath", None)
+    if fspath is not None and fspath.basename in _PER_TEST_CLEAR_FILES:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _release_jax_memory_per_module():
     """Keep one-process full-suite runs within host RAM.

@@ -27,6 +27,92 @@ from .cosmos_predict2_model import CosmosPredict2Config, CosmosPredict2Transform
 from .layers import remat_spec
 
 
+# --- Cosmos-1 GeneralDIT -> Predict2 (MiniTrainDIT) key conversion ----------
+#
+# GeneralDIT (the original Cosmos-1 serialization the reference loads
+# directly, models/cosmos.py:165-172) nests each transformer block as an
+# nn.ModuleDict entry "blockN" holding a ModuleList of three
+# DITBuildingBlocks in Text2World's "FA-CA-MLP" order (full attention,
+# cross attention, feed-forward — the wrapper's adapter_target_modules
+# names GeneralDITTransformerBlock, ref cosmos.py:139). Inside:
+#   attention sub-blocks wrap to_q/to_k/to_v as Sequential(Linear, RMSNorm)
+#   and to_out as Sequential(Linear, Dropout) -> ".0" linear / ".1" norm;
+#   each sub-block carries adaLN_modulation.{1,2} (SiLU, Linear, Linear);
+#   the MLP sub-block is GPT2FeedForward layer1/layer2;
+#   top level: affline_norm (the Predict2 t_embedding_norm), x_embedder /
+#   t_embedder / final_layer names shared with Predict2 except the
+#   adaLN_modulation capitalization.
+_GD_ATTN = {
+    "to_q.0": "q_proj", "to_q.1": "q_norm",
+    "to_k.0": "k_proj", "to_k.1": "k_norm",
+    "to_v.0": "v_proj", "to_out.0": "output_proj",
+}
+_GD_SUBBLOCK = {
+    "0": ("self_attn", "adaln_modulation_self_attn"),
+    "1": ("cross_attn", "adaln_modulation_cross_attn"),
+    "2": ("mlp", "adaln_modulation_mlp"),
+}
+
+
+def convert_general_dit_sd(sd):
+    """GeneralDIT-serialized state dict -> Predict2/MiniTrainDIT naming.
+
+    Returns (converted_sd, dropped_keys). `_extra_state` entries (TE
+    transformer-engine blobs the reference also filters, cosmos.py:170-172)
+    are dropped silently; any other unmappable key is reported in
+    dropped_keys so the caller can decide how loud to be.
+    """
+    import re
+
+    out: Dict[str, Any] = {}
+    dropped = []
+    for k, v in sd.items():
+        kk = k
+        for p in ("model.diffusion_model.", "diffusion_model.", "net."):
+            if kk.startswith(p):
+                kk = kk[len(p):]
+        if kk.endswith("_extra_state"):
+            continue
+        m = re.match(r"blocks\.block(\d+)\.blocks\.(\d+)\.(.+)$", kk)
+        if m:
+            i, j, rest = m.group(1), m.group(2), m.group(3)
+            names = _GD_SUBBLOCK.get(j)
+            if names is None:
+                dropped.append(k)
+                continue
+            mod, ada = names
+            if rest.startswith("adaLN_modulation."):
+                out[f"blocks.{i}.{ada}."
+                    f"{rest[len('adaLN_modulation.'):]}"] = v
+                continue
+            if j in ("0", "1"):
+                m2 = re.match(r"block\.attn\.(to_\w+\.\d)\.(.+)$", rest)
+                if m2 and m2.group(1) in _GD_ATTN:
+                    out[f"blocks.{i}.{mod}."
+                        f"{_GD_ATTN[m2.group(1)]}.{m2.group(2)}"] = v
+                    continue
+            else:
+                m2 = re.match(r"block\.(layer\d)\.(.+)$", rest)
+                if m2:
+                    out[f"blocks.{i}.mlp.{m2.group(1)}.{m2.group(2)}"] = v
+                    continue
+            dropped.append(k)
+            continue
+        if kk.startswith("affline_norm."):
+            out["t_embedding_norm." + kk[len("affline_norm."):]] = v
+            continue
+        if kk.startswith("final_layer.adaLN_modulation."):
+            out["final_layer.adaln_modulation."
+                + kk[len("final_layer.adaLN_modulation."):]] = v
+            continue
+        # x_embedder.proj.1, t_embedder.1.linear_{1,2}, final_layer.linear
+        # share Predict2 names; anything else passes through and is simply
+        # unused by the keymap (the reference ignores unexpected keys via
+        # load_state_dict(strict=False) as well)
+        out[kk] = v
+    return out, dropped
+
+
 @register_model("cosmos")
 class CosmosPipeline(BasePipeline):
     name = "cosmos"
@@ -100,19 +186,33 @@ class CosmosPipeline(BasePipeline):
         # The original Cosmos-1 GeneralDIT serialization is detectable from
         # the names the reference wrapper itself exposes: blocks is an
         # nn.ModuleDict keyed "block0", "block1", ... (reference
-        # models/cosmos.py:273 iterates transformer.blocks.items()) and TE
-        # checkpoints carry "_extra_state" entries (cosmos.py:172-174
-        # filters them). Fail LOUDLY instead of silently matching nothing.
-        gd_markers = [k for k in sd
-                      if "blocks.block0." in k or k.endswith("_extra_state")]
-        if gd_markers:
-            raise ValueError(
-                "cosmos: this checkpoint uses the original Cosmos-1 "
-                "GeneralDIT serialization (nested FA/CA/MLP sub-block "
-                f"triples; e.g. {gd_markers[0]!r}); this pipeline trains "
-                "the Predict2 MiniTrainDIT layout — convert the checkpoint "
-                "offline to the Predict2 naming before loading"
-            )
+        # models/cosmos.py:273 iterates transformer.blocks.items()) and
+        # checkpoints carry "_extra_state" entries (cosmos.py:170-172
+        # filters them via strict=False). ALL released Cosmos-1
+        # transformers ship in that dialect, so it is converted in-process
+        # to the Predict2 naming (the reference's own vendored MiniTrainDIT
+        # states it "can load and reproduce the training results of the
+        # original DIT model", cosmos_predict2_modeling.py:1147 — the
+        # block internals map 1:1; see convert_general_dit_sd).
+        if any("blocks.block0." in k for k in sd):
+            sd, dropped = convert_general_dit_sd(sd)
+            if not any(k.startswith("blocks.0.") for k in sd):
+                raise ValueError(
+                    "cosmos: checkpoint looked like the Cosmos-1 "
+                    "GeneralDIT serialization but no transformer block "
+                    "converted — unknown layout; first dropped keys: "
+                    f"{dropped[:5]}"
+                )
+            if dropped:
+                import warnings
+
+                warnings.warn(
+                    f"cosmos: {len(dropped)} GeneralDIT keys have no "
+                    "Predict2-layout analogue and were ignored (the "
+                    "reference ignores unexpected keys too, "
+                    f"load_state_dict(strict=False)): {dropped[:5]}...",
+                    stacklevel=2,
+                )
         return keymap_to_flax(sd, self.keymap(), self.cp_config)
 
     def init_params(self, rng):

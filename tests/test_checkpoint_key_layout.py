@@ -842,3 +842,75 @@ def test_ideogram4_mlp_shape_discovery(tmp_path, glu):
     ))
     assert out.shape == (1, c.latent_dim, 4, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cosmos_general_dit_checkpoint_loads(tmp_path):
+    """Cosmos-1 GeneralDIT serialization loads end-to-end through the
+    real loader: a synthetically GeneralDIT-keyed checkpoint (the
+    `blocks.blockN.blocks.{0,1,2}` FA/CA/MLP nesting + `_extra_state`
+    blobs the reference consumes via load_state_dict(strict=False),
+    ref models/cosmos.py:165-172) round-trips to the exact Predict2-layout
+    params. Genuinely unknown layouts still fail loudly."""
+    import re
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from diffusion_pipe_tpu.models.cosmos import _GD_ATTN
+
+    pipe, sd = _export("cosmos")
+    inv_attn = {v: k for k, v in _GD_ATTN.items()}
+    sub_of = {"self_attn": "0", "cross_attn": "1", "mlp": "2"}
+    ada_of = {
+        "adaln_modulation_self_attn": "0",
+        "adaln_modulation_cross_attn": "1",
+        "adaln_modulation_mlp": "2",
+    }
+    gd = {}
+    for k, v in sd.items():
+        m = re.match(r"blocks\.(\d+)\.([a-z_]+)\.(.+)$", k)
+        if m:
+            i, mod, rest = m.groups()
+            if mod in ada_of:
+                gd[f"net.blocks.block{i}.blocks.{ada_of[mod]}"
+                   f".adaLN_modulation.{rest}"] = v
+            elif mod == "mlp":
+                gd[f"net.blocks.block{i}.blocks.2.block.{rest}"] = v
+            else:
+                proj, leaf = rest.split(".", 1)
+                gd[f"net.blocks.block{i}.blocks.{sub_of[mod]}"
+                   f".block.attn.{inv_attn[proj]}.{leaf}"] = v
+        elif k.startswith("t_embedding_norm."):
+            gd["net.affline_norm." + k[len("t_embedding_norm."):]] = v
+        elif k.startswith("final_layer.adaln_modulation."):
+            gd["net.final_layer.adaLN_modulation."
+               + k[len("final_layer.adaln_modulation."):]] = v
+        else:
+            gd["net." + k] = v
+    # extras the reference also tolerates: TE blobs + unknown buffers
+    gd["net.blocks.block0.blocks.0.block.attn._extra_state"] = np.zeros(
+        (1,), np.uint8)
+    gd["net.pos_embedder.seq"] = np.zeros((4,), np.float32)
+    save_file({k: np.ascontiguousarray(np.asarray(v))
+               for k, v in gd.items()}, str(tmp_path / "gd.safetensors"))
+
+    cfg = {
+        "save_every_n_epochs": 1,
+        "model": {"type": "cosmos", "dtype": "float32", "_tiny": True,
+                  "transformer_path": str(tmp_path / "gd.safetensors")},
+        "optimizer": {"type": "adamw", "lr": 1e-4},
+    }
+    pipe2 = get_model_class("cosmos")(cfg)
+    params = nn.unbox(pipe2.load_weights())
+    sd2 = keymap_from_flax(params, pipe2.keymap(), pipe2._keymap_config())
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k]), k
+
+    # unknown layout: block marker present but nothing converts
+    bogus = {"net.blocks.block0.weird.q.weight": np.zeros((4, 4), np.float32)}
+    save_file(bogus, str(tmp_path / "bogus.safetensors"))
+    cfg["model"]["transformer_path"] = str(tmp_path / "bogus.safetensors")
+    pipe3 = get_model_class("cosmos")(cfg)
+    with pytest.raises((ValueError, KeyError)):
+        pipe3.load_weights()

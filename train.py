@@ -391,6 +391,26 @@ def main(argv=None):
     eval_step_raw = make_eval_step(pipeline, loss_builder=pp_eval_builder)
     eval_step = jax.jit(eval_step_raw, static_argnums=(3,))
 
+    # disable_block_swap_for_eval (reference train.py:234 / offloading.py
+    # prepare_block_swap_inference): evaluate with every swapped block back
+    # in device memory. A second pipeline without the swap dial provides
+    # the non-streamed eval graph; params fold back at eval time
+    # (parallel/offload.py unstream_param_stacks).
+    unswap_eval_step = None
+    if config.get("disable_block_swap_for_eval") and host_stacks:
+        if pp_eval_builder is not None:
+            raise ValueError(
+                "disable_block_swap_for_eval is not supported together "
+                "with pipeline_stages > 1"
+            )
+        import copy as _copy
+
+        eval_config = _copy.deepcopy(config)
+        eval_config.pop("blocks_to_swap", None)
+        eval_pipeline = get_model_class(config["model"]["type"])(eval_config)
+        unswap_eval_step = jax.jit(
+            make_eval_step(eval_pipeline), static_argnums=(3,))
+
     from diffusion_pipe_tpu.parallel.sharding import batch_sharding
 
     data_sharding = batch_sharding(mesh)
@@ -404,6 +424,20 @@ def main(argv=None):
         )
 
     def run_eval(state, step_i, examples):
+        step_fn = eval_step
+        if unswap_eval_step is not None:
+            from diffusion_pipe_tpu.parallel.offload import (
+                unstream_param_stacks,
+            )
+
+            # one-time per eval: swapped stacks back to HBM, logical
+            # layout; the temporary copy is dropped when eval ends
+            state = state.replace(
+                trainable=unstream_param_stacks(state.trainable,
+                                                host_stacks),
+                frozen=unstream_param_stacks(state.frozen, host_stacks),
+            )
+            step_fn = unswap_eval_step
         for name, ds in eval_datasets:
             eval_loader = PipelineDataLoader(
                 ds, config["eval_gradient_accumulation_steps"]
@@ -425,7 +459,7 @@ def main(argv=None):
                         jax.random.PRNGKey(12345),
                         qi * 1_000_003 + bi,
                     )
-                    loss = eval_step(state, jb, key, q)
+                    loss = step_fn(state, jb, key, q)
                     quantile_losses[q].append(float(loss))
             out = {}
             for q, losses in quantile_losses.items():

@@ -421,10 +421,23 @@ class CosmosPredict2Pipeline(BasePipeline):
         path = mc.get("t5_path") or mc["text_encoder_path"]
         with open(_Path(path) / "config.json") as f:
             is_t5 = "t5" in _json.load(f).get("model_type", "t5")
+        te_fp8 = bool(mc.get("text_encoder_fp8"))
+        if mc.get("text_encoder_nf4"):
+            # reference cosmos_predict2.py:213-221 uses bitsandbytes nf4;
+            # there is no TPU nf4 kernel — store fp8_e4m3 instead (2x the
+            # nf4 footprint, half of bf16) and say so
+            import warnings
+
+            warnings.warn(
+                "text_encoder_nf4: TPU build stores the text encoder in "
+                "float8_e4m3 instead of nf4 (no bitsandbytes on TPU): "
+                "half the bf16 footprint, twice nf4's.", stacklevel=2,
+            )
+            te_fp8 = True
         if is_t5:
             from .text_encoders import HFTextEncoder
 
-            enc = HFTextEncoder("t5", path, max_length=512)
+            enc = HFTextEncoder("t5", path, max_length=512, fp8=te_fp8)
 
             def fn(caps):
                 h, m = enc.encode(caps, return_mask=True)
@@ -433,7 +446,8 @@ class CosmosPredict2Pipeline(BasePipeline):
             return [fn]
         from .llm_encoders import LLMTextEncoder
 
-        enc = LLMTextEncoder(path, max_length=512, hidden_layer=-1)
+        enc = LLMTextEncoder(path, max_length=512, hidden_layer=-1,
+                             fp8=te_fp8)
 
         def fn(caps):
             h, m = enc.encode(caps)

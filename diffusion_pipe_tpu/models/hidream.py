@@ -654,10 +654,22 @@ class HiDreamPipeline(BasePipeline):
         clip_g = HFTextEncoder("clip_pooled", mc["clip_g_path"], max_length=77)
         t5 = HFTextEncoder("t5", mc["t5_path"],
                            max_length=int(mc.get("max_t5_sequence_length", 128)))
+        llama_fp8 = bool(mc.get("llama3_4bit"))
+        if llama_fp8:
+            # reference hidream.py:76-83 loads Llama-3.1-8B in
+            # bitsandbytes nf4; no TPU nf4 kernel exists — float8_e4m3
+            # storage instead (2x nf4's footprint, half of bf16)
+            import warnings
+
+            warnings.warn(
+                "llama3_4bit: TPU build stores Llama3 in float8_e4m3 "
+                "instead of nf4 (no bitsandbytes on TPU).", stacklevel=2,
+            )
         llama = LLMTextEncoder(
             mc["llama3_path"],
             max_length=int(mc.get("max_llama3_sequence_length", 128)),
             hidden_layer=-1,
+            fp8=llama_fp8,
         )
 
         def pooled_fn(caps):

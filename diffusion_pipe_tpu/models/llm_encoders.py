@@ -426,7 +426,8 @@ class LLMTextEncoder:
                  hidden_layer: int = -1,
                  tokenizer_path: Optional[str] = None,
                  dtype=jnp.bfloat16,
-                 hf_prefix: str = "model."):
+                 hf_prefix: str = "model.",
+                 fp8: bool = False):
         self.path = Path(path)
         self.max_length = max_length
         self.template = template
@@ -435,6 +436,7 @@ class LLMTextEncoder:
         self.tokenizer_path = tokenizer_path or path
         self.dtype = dtype
         self.hf_prefix = hf_prefix
+        self.fp8 = fp8
         self._model = None
         self._params = None
         self._tokenizer = None
@@ -461,6 +463,12 @@ class LLMTextEncoder:
                     prefix = cand
                     break
         self._params = convert_hf_causal_lm(sd, cfg, prefix=prefix)
+        if self.fp8:
+            # text_encoder_fp8 / llama3_4bit analogue (see
+            # text_encoders.cast_te_params_fp8)
+            from .text_encoders import cast_te_params_fp8
+
+            self._params = cast_te_params_fp8(self._params)
         self._tokenizer = AutoTokenizer.from_pretrained(str(self.tokenizer_path))
         collect = self.hidden_layer != -1
 

@@ -14,23 +14,51 @@ from typing import Callable, List, Optional
 import numpy as np
 
 
+def cast_te_params_fp8(params, skip=("shared", "embed_tokens",
+                                     "relative_attention_bias",
+                                     "token_embedding", "pos_embedding",
+                                     "position_embedding", "embedding",
+                                     "lm_head")):
+    """`text_encoder_fp8` analogue (reference wan/wan.py:188-191,
+    cosmos_predict2.py:229-232 cast 2-D TE weights except embeddings /
+    relpos tables to torch.float8_e4m3fn): matmul weights become
+    float8_e4m3fn STORAGE; the encoder's nn.Dense promote_dtype casts them
+    back to the compute dtype at use, so XLA fuses the dequant into the
+    matmul — half the resident-TE footprint, embeddings kept full."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for k, v in flat.items():
+        if (hasattr(v, "ndim") and v.ndim == 2
+                and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+                and not any(s in str(part) for part in k for s in skip)):
+            v = jnp.asarray(v).astype(jnp.float8_e4m3fn)
+        out[k] = v
+    return traverse_util.unflatten_dict(out)
+
+
 class HFTextEncoder:
     """Lazy wrapper around a transformers Flax text encoder.
 
     kind: 't5' | 'clip' | 'clip_pooled'
     path: HF-layout folder with weights + tokenizer (pass tokenizer_path to
-    override).
+    override). fp8=True applies cast_te_params_fp8 after load
+    (`text_encoder_fp8`).
     """
 
     def __init__(self, kind: str, path: str, max_length: int,
                  tokenizer_path: Optional[str] = None,
-                 output_key: Optional[str] = None, dtype=None):
+                 output_key: Optional[str] = None, dtype=None,
+                 fp8: bool = False):
         self.kind = kind
         self.path = path
         self.max_length = max_length
         self.tokenizer_path = tokenizer_path or path
         self.output_key = output_key
         self.dtype = dtype
+        self.fp8 = fp8
         self._model = None
         self._tokenizer = None
         self._jitted = None
@@ -75,6 +103,8 @@ class HFTextEncoder:
 
         else:
             raise NotImplementedError(self.kind)
+        if self.fp8:
+            self._model.params = cast_te_params_fp8(self._model.params)
         self._jitted = jax.jit(run)
 
     def encode(self, captions: List[str], return_mask: bool = False):

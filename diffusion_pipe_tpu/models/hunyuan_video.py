@@ -52,6 +52,22 @@ class HunyuanVideoPipeline(BasePipeline):
             sequence_sharding=bool(
                 self.config.get("sequence_sharding", False)),
         )
+        n = int(self.config.get("blocks_to_swap", 0) or 0)
+        if n > 0:
+            # reference dual-offloader split (models/hunyuan_video.py:
+            # 492-512): double = N//2, single = (N - N//2)*2 + 1, each
+            # swapping the DEEPEST blocks of its stack. Where the
+            # reference asserts per-stack caps (num-2), a 16 GB chip may
+            # legitimately need more — fall back to whole-stack streaming
+            # instead of failing (same policy as flux).
+            n_dbl = 20 if not mc.get("_tiny", False) else 2
+            n_sgl = 40 if not mc.get("_tiny", False) else 2
+            dbl = n // 2
+            sgl = (n - dbl) * 2 + 1
+            if dbl > n_dbl - 2 or sgl > n_sgl - 2:
+                dbl, sgl = n_dbl, n_sgl
+            kwargs["offload_tail_double"] = dbl
+            kwargs["offload_tail_single"] = sgl
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
@@ -155,6 +171,17 @@ class HunyuanVideoPipeline(BasePipeline):
     def keymap(self):
         return _hv_keymap(self.hv_config)
 
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap over BOTH stacks (reference dual
+        offloaders, models/hunyuan_video.py:508-512)."""
+        from ..parallel.offload import swap_stack_names
+
+        cfg = self.hv_config
+        return swap_stack_names(
+            (cfg.double_split, cfg.single_split),
+            ("double_blocks", "single_blocks"),
+        )
+
     def load_weights(self):
         from .keymaps import keymap_to_flax, load_sd_for_pipeline
 
@@ -168,6 +195,15 @@ class HunyuanVideoPipeline(BasePipeline):
         vec + token refiner) on stage 0, adaLN head + loss on the last
         stage. BASELINE.json configs[4]: HunyuanVideo t2v LoRA across 4
         pipeline stages. See parallel/model_pp.py."""
+        cfg = self.hv_config
+        for split, total in ((cfg.double_split, cfg.num_layers),
+                             (cfg.single_split, cfg.num_single_layers)):
+            if 0 < split[1] < total:
+                raise NotImplementedError(
+                    "partial blocks_to_swap (split block stacks) cannot "
+                    "be combined with pipeline_stages > 1; use whole-stack "
+                    "streaming or drop pipeline parallelism"
+                )
         return _HunyuanVideoPPProgram(self)
 
     # --- caching ------------------------------------------------------------
@@ -503,9 +539,13 @@ def _hv_keymap(cfg):
             f"refiner_{i}/norm2_scale": f"{ref}.norm2.weight",
             f"refiner_{i}/norm2_bias": f"{ref}.norm2.bias",
         })
+    from .keymaps import split_block_group
+
+    d_res, d_swap = cfg.double_split
+    s_res, s_swap = cfg.single_split
     return KeyMap(
         blocks=[
-            BlockGroup(
+            *split_block_group(BlockGroup(
                 "double_blocks", "double_blocks", "num_layers",
                 linears={
                     "img_mod": "img_mod.linear",
@@ -525,8 +565,8 @@ def _hv_keymap(cfg):
                     "txt_attn_q_norm": "txt_attn_q_norm",
                     "txt_attn_k_norm": "txt_attn_k_norm",
                 },
-            ),
-            BlockGroup(
+            ), d_res, d_swap),
+            *split_block_group(BlockGroup(
                 "single_blocks", "single_blocks", "num_single_layers",
                 linears={
                     "modulation": "modulation.linear",
@@ -534,7 +574,7 @@ def _hv_keymap(cfg):
                     "linear2": "linear2",
                 },
                 norms={"q_norm": "q_norm", "k_norm": "k_norm"},
-            ),
+            ), s_res, s_swap),
         ],
         top_linears=top_linears,
         top_raw=top_raw,

@@ -63,6 +63,26 @@ class HunyuanVideoConfig:
     lokr_rank_dropout: float = 0.0
     remat: bool = False
     sequence_sharding: bool = False
+    # Exact-N blocks_to_swap: the reference runs SEPARATE double/single
+    # offloaders with double = N//2, single = (N - N//2)*2 + 1 (reference
+    # models/hunyuan_video.py:492-512, same Musubi split as flux). The
+    # deepest tail of each stack lives in a "<stack>_swap" scan streamed
+    # from host (parallel/offload.py apply_swap_split).
+    offload_tail_double: int = 0
+    offload_tail_single: int = 0
+
+    @property
+    def double_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_layers, self.offload_tail_double)
+
+    @property
+    def single_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_single_layers,
+                             self.offload_tail_single)
 
     @property
     def hidden_size(self):
@@ -329,30 +349,48 @@ class HunyuanVideoTransformer(nn.Module):
             ids, cfg.rope_axes_dim, cfg.rope_theta
         )
 
-        block = HunyuanDoubleBlock
-        sblock = HunyuanSingleBlock
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-            sblock = remat_wrap(sblock, cfg.remat)
-        (img, txt), _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="double_blocks")((img, txt), vec, rope_cos, rope_sin,
-                                     text_mask)
+        from ..parallel.offload import apply_swap_split
+
+        def _scan(b_cls, length, name, streamed, *mod_args):
+            b_ = b_cls
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_ = stream_params_from_host(b_)
+            if cfg.remat:
+                b_ = remat_wrap(b_, cfg.remat)
+            return nn.scan(
+                b_,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, *mod_args, name=name)
+
+        def apply_double(carry, length, name, streamed):
+            carry, _ = _scan(HunyuanDoubleBlock, length, name, streamed)(
+                carry, vec, rope_cos, rope_sin, text_mask)
+            return carry
+
+        # exact-N blocks_to_swap: the deepest tail of each stack streams
+        # from host in a "<stack>_swap" scan (reference dual offloaders,
+        # models/hunyuan_video.py:508-512)
+        img, txt = apply_swap_split(
+            (img, txt), cfg.double_split, apply_double,
+            base="double_blocks")
 
         xcat = jnp.concatenate([img, txt], axis=1)
         kv_mask = jnp.concatenate(
             [jnp.ones((b, img_len), jnp.int32), text_mask.astype(jnp.int32)], 1
         )
-        xcat, _ = nn.scan(
-            sblock,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_single_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, img_len, name="single_blocks")(xcat, vec, rope_cos, rope_sin,
-                                              kv_mask)
+
+        def apply_single(carry, length, name, streamed):
+            carry, _ = _scan(HunyuanSingleBlock, length, name, streamed,
+                             img_len)(
+                carry, vec, rope_cos, rope_sin, kv_mask)
+            return carry
+
+        xcat = apply_swap_split(
+            xcat, cfg.single_split, apply_single, base="single_blocks")
         img = xcat[:, :img_len]
 
         # final adaLN head

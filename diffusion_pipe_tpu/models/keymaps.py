@@ -42,7 +42,9 @@ class BlockGroup:
 
     flax_key: str
     prefix: str                       # e.g. "transformer_blocks"
-    num_layers_attr: str              # config attr holding the block count
+    # config attr holding the block count, or a literal int (partial
+    # blocks_to_swap splits embed concrete counts via split_block_group)
+    num_layers_attr: Any = None
     # torch index base: flax stack slot i <-> torch `{prefix}.{offset+i}`.
     # Used by partial blocks_to_swap splits, where the deepest N blocks
     # live in a separate "<stack>_swap" flax collection but keep the
@@ -134,6 +136,24 @@ def split_passthrough(sd: Dict[str, np.ndarray], km: KeyMap):
     for k, v in sd.items():
         (keep if any(p.search(k) for p in pats) else main)[k] = v
     return main, keep
+
+
+def split_block_group(bg: "BlockGroup", n_res: int, n_swap: int):
+    """Partial blocks_to_swap keymap split: one BlockGroup becomes a
+    [resident, "<flax_key>_swap"] pair that SHARES the reference's
+    single-stack checkpoint indexing (utils/offloading.py:184 swaps
+    exactly the deepest N; checkpoints and LoRA exports keep the
+    original indices via `offset`). Returns [bg] unchanged when either
+    side of the split is empty (no swap, or whole-stack streaming which
+    keeps the single-collection layout)."""
+    if n_res <= 0 or n_swap <= 0:
+        return [bg]
+    res = dataclasses.replace(bg, num_layers_attr=n_res)
+    swap = dataclasses.replace(
+        bg, flax_key=bg.flax_key + "_swap", num_layers_attr=n_swap,
+        offset=bg.offset + n_res,
+    )
+    return [res, swap]
 
 
 def _resolve_count(count, config) -> int:
@@ -248,7 +268,7 @@ def keymap_to_flax(sd: Dict[str, np.ndarray], km: KeyMap, config) -> dict:
         _set_path(params, ours, _stack_from_sd(
             sd, "", fmt, _resolve_count(count, config)))
     for bg in km.blocks:
-        n = getattr(config, bg.num_layers_attr)
+        n = _resolve_count(bg.num_layers_attr, config)
         params[bg.flax_key] = stack_layers(
             [_block_from_sd(sd, bg, i, config) for i in range(n)]
         )
@@ -341,7 +361,7 @@ def keymap_from_flax(params: dict, km: KeyMap, config
     for ours, (fmt, _count) in km.top_stacks.items():
         _stack_to_sd(sd, "", fmt, np.asarray(_get_path(p, ours)))
     for bg in km.blocks:
-        n = getattr(config, bg.num_layers_attr)
+        n = _resolve_count(bg.num_layers_attr, config)
         for i in range(n):
             _block_to_sd(sd, bg, p[bg.flax_key], i)
     return sd
@@ -390,7 +410,7 @@ def export_lora_keymap(trainable: dict, km: KeyMap, config
         blocks = p.get(bg.flax_key)
         if not isinstance(blocks, dict):
             continue
-        n = getattr(config, bg.num_layers_attr)
+        n = _resolve_count(bg.num_layers_attr, config)
         for ours, theirs in bg.linears.items():
             leaf = maybe(blocks, ours)
             if leaf is None:
@@ -546,7 +566,7 @@ def import_lora_keymap(path, km: KeyMap, config, params: dict) -> dict:
         blocks = p.get(bg.flax_key)
         if not isinstance(blocks, dict):
             continue
-        n = getattr(config, bg.num_layers_attr)
+        n = _resolve_count(bg.num_layers_attr, config)
         for ours, theirs in bg.linears.items():
             leaf = _maybe_subtree(blocks, ours)
             if leaf is None or "lora_a" not in leaf:

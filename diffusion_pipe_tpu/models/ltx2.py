@@ -87,6 +87,16 @@ class LTX2Config:
     lokr_rank_dropout: float = 0.0
     remat: bool = False
     sequence_sharding: bool = False
+    # Exact-N blocks_to_swap (reference docs/supported_models.md:599:
+    # ltx2 blocks_to_swap=46 max): deepest N blocks stream from host in
+    # a "blocks_swap" scan (parallel/offload.py apply_swap_split).
+    offload_tail: int = 0
+
+    @property
+    def swap_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_layers, self.offload_tail)
 
     @property
     def head_dim(self):
@@ -287,16 +297,28 @@ class LTX2Transformer(nn.Module):
             ids, cfg.rope_axes_dim, cfg.rope_theta
         )
 
-        block = LTX2Block
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        h, _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="blocks")(h, timestep_6d, prompt_2d, ctx, rope_cos,
+        from ..parallel.offload import apply_swap_split
+
+        def apply_blocks(carry, length, name, streamed):
+            b_cls = LTX2Block
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_cls = stream_params_from_host(b_cls)
+            if cfg.remat:
+                b_cls = remat_wrap(b_cls, cfg.remat)
+            carry, _ = nn.scan(
+                b_cls,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)(carry, timestep_6d, prompt_2d, ctx, rope_cos,
                               rope_sin)
+            return carry
+
+        # exact-N blocks_to_swap: deepest N blocks stream from host
+        # (reference offloading.py:184; ltx2 docs blocks_to_swap=46)
+        h = apply_swap_split(h, cfg.swap_split, apply_blocks)
 
         out_table = self.param(
             "scale_shift_table",
@@ -340,6 +362,7 @@ class LTX2Pipeline(BasePipeline):
             int8_matmul=mc.get("int8_matmul", False),
             sequence_sharding=bool(
                 self.config.get("sequence_sharding", False)),
+            offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
         )
         for knob in ("hidden_size", "num_layers", "num_heads",
                      "cross_attention_dim", "audio_cross_attention_dim",
@@ -456,7 +479,20 @@ class LTX2Pipeline(BasePipeline):
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""
+        n_res, n_swap = self.ltx2_config.swap_split
+        if 0 < n_swap < self.ltx2_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _LTX2PPProgram(self)
+
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap (ltx2 docs blocks_to_swap=46)."""
+        from ..parallel.offload import swap_stack_names
+
+        return swap_stack_names((self.ltx2_config.swap_split,))
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
@@ -505,8 +541,11 @@ class LTX2Pipeline(BasePipeline):
                 f"video_embeddings_connector/mlp_in_{i}": f"{base}.mlp.fc1",
                 f"video_embeddings_connector/mlp_out_{i}": f"{base}.mlp.fc2",
             })
+        from .keymaps import split_block_group
+
+        n_res, n_swap = cfg.swap_split
         return KeyMap(
-            blocks=[BlockGroup(
+            blocks=[*split_block_group(BlockGroup(
                 "blocks", "transformer_blocks", "num_layers",
                 linears={
                     "attn1_to_q": "attn1.to_q",
@@ -530,7 +569,7 @@ class LTX2Pipeline(BasePipeline):
                     "scale_shift_table": "scale_shift_table",
                     "prompt_scale_shift_table": "prompt_scale_shift_table",
                 },
-            )],
+            ), n_res, n_swap)],
             top_linears=top_linears,
             top_raw=top_raw,
             lora_prefix="diffusion_model.",

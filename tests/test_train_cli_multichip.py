@@ -73,6 +73,17 @@ def _read_losses(run_dir):
 
 
 def _run(cfg_path):
+    # golden-parity tests insert /root/reference at sys.path[0] to import
+    # the reference's vendored torch modules; in a full-suite run that
+    # makes a bare `import train` resolve to the REFERENCE's train.py.
+    # Pin our repo root back to the front and drop any wrong cached module.
+    root = str(Path(__file__).resolve().parents[1])
+    if sys.path[0] != root:
+        sys.path.insert(0, root)
+    cached = sys.modules.get("train")
+    if cached is not None and getattr(cached, "__file__", "") != str(
+            Path(root) / "train.py"):
+        del sys.modules["train"]
     import train as train_mod
 
     rc = train_mod.main(["--config", str(cfg_path), "--max_steps", "2"])

@@ -252,9 +252,16 @@ def jit_train_step(step_fn, state, donate=True):
     out_sh = jax.tree.map(
         lambda l: l.sharding if isinstance(l, jax.Array) else None, state
     )
+    # in_shardings too: without it, call 1 compiles for the UNCOMMITTED
+    # input layouts, returns committed outputs (out_shardings), and call 2
+    # becomes a cache miss that recompiles the whole program (~24 s for
+    # the streamed wan-14B step — measured polluting the round-4 bench
+    # rows). Declaring the state's shardings up front makes every call
+    # share one executable.
     return jax.jit(
         step_fn,
         donate_argnums=(0,) if donate else (),
+        in_shardings=(out_sh, None, None),
         out_shardings=(out_sh, None),
     )
 

@@ -108,13 +108,26 @@ t0 = time.perf_counter()
 state, metrics = step(state, batch, jax.random.PRNGKey(2))
 _ = jax.device_get(metrics["loss"])
 print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
+# second warmup: the first donated call can return leaves whose layout /
+# memory-kind differs from the entry annotation, making call 2 a cache
+# miss that RECOMPILES (~24 s at 14B — measured polluting the round-4
+# timed window); time steady state only
+t0 = time.perf_counter()
+state, metrics = step(state, batch, jax.random.PRNGKey(2))
+_ = jax.device_get(metrics["loss"])
+print(f"second step (relayout recompile if any): "
+      f"{time.perf_counter()-t0:.1f}s", flush=True)
 
 if args.profile_dir:
     jax.profiler.start_trace(args.profile_dir)
 t0 = time.perf_counter()
+per_step = []
 for i in range(args.steps):
+    t1 = time.perf_counter()
     state, metrics = step(state, batch, jax.random.PRNGKey(3 + i))
-_ = jax.device_get(metrics["loss"])
+    _ = jax.device_get(metrics["loss"])
+    per_step.append(time.perf_counter() - t1)
+print("per-step s:", [round(t, 2) for t in per_step], flush=True)
 dt = (time.perf_counter() - t0) / args.steps
 if args.profile_dir:
     jax.profiler.stop_trace()

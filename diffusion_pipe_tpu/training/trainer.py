@@ -256,8 +256,11 @@ def jit_train_step(step_fn, state, donate=True):
     # input layouts, returns committed outputs (out_shardings), and call 2
     # becomes a cache miss that recompiles the whole program (~24 s for
     # the streamed wan-14B step — measured polluting the round-4 bench
-    # rows). Declaring the state's shardings up front makes every call
-    # share one executable.
+    # rows). Declaring the state's shardings removes the
+    # commitment/memory-kind miss (verified call-2 == 40 ms at tiny
+    # scale); at 14B one layout-level miss can remain (XLA picks tiled
+    # layouts for some outputs that differ from the entry default), so
+    # benchmarks warm up two steps before timing.
     return jax.jit(
         step_fn,
         donate_argnums=(0,) if donate else (),

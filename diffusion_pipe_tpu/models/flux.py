@@ -115,6 +115,14 @@ class FluxPipeline(BasePipeline):
                 dbl, sgl = n_layers, n_single
             kwargs["offload_tail_double"] = dbl
             kwargs["offload_tail_single"] = sgl
+        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
+        if adapter.get("type") in ("lora", "lokr"):
+            # only adapter factors are trainable in a streamed stack: the
+            # prefetch backward skips real grads for frozen base leaves
+            kwargs["stream_grad_leaves"] = (
+                "lora_a", "lora_b", "lokr_w1", "lokr_w2",
+                "lokr_w2_a", "lokr_w2_b",
+            )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),

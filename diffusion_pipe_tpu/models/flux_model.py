@@ -88,6 +88,13 @@ class FluxConfig:
     # its original name (single-stack checkpoint layout preserved).
     offload_tail_double: int = 0
     offload_tail_single: int = 0
+    # One-block-ahead host->HBM prefetch for streamed stacks (the custom-
+    # VJP scan in parallel/offload.py — same scheme as wan, measured
+    # removing the ~40% use-time dependency stall). True = on for TPU;
+    # "force" also on CPU (tests); requires lora_dropout == 0.
+    stream_prefetch: Any = True
+    # trainable leaf names inside streamed stacks (see WanConfig)
+    stream_grad_leaves: Tuple[str, ...] = ()
     # shard activations along the token dim over 'tensor' between attention
     # ops (sequence parallelism via GSPMD; XLA inserts the gathers around
     # attention). The reference has no SP (SURVEY.md section 2.7).
@@ -432,13 +439,46 @@ class FluxTransformer(nn.Module):
         rope_cos = rope_cos.astype(jnp.float32)
         rope_sin = rope_sin.astype(jnp.float32)
 
-        (img, txt), _ = self.double_blocks(
-            (img, txt), temb, rope_cos, rope_sin, txt_mask
+        # streamed stacks take the one-block-ahead prefetch scan (same
+        # wiring as wan_model._stream_prefetched; params already exist,
+        # so init always goes through the nn.scan modules — identical
+        # param layout either way)
+        use_prefetch = bool(
+            cfg.stream_prefetch and not self.is_initializing()
+            and cfg.lora_dropout == 0.0
+            and (jax.default_backend() != "cpu"
+                 or cfg.stream_prefetch == "force")
         )
-        if self.double_blocks_swap is not None:
-            (img, txt), _ = self.double_blocks_swap(
+
+        def _prefetched(name, block_cls, length, carry, bc):
+            from ..parallel.offload import prefetch_stream_scan
+
+            storage = nn.unbox(self.scope.get_variable("params", name))
+            blk = block_cls(cfg, parent=None)
+            return prefetch_stream_scan(
+                blk, storage, carry, bc, length,
+                move=jax.default_backend() != "cpu",
+                grad_leaves=cfg.stream_grad_leaves or None,
+            )
+
+        d_res, d_swap = cfg.double_split
+        bc_d = (temb, rope_cos, rope_sin, txt_mask)
+        if use_prefetch and d_swap == cfg.num_layers:
+            img, txt = _prefetched("double_blocks", FluxDoubleBlock,
+                                   cfg.num_layers, (img, txt), bc_d)
+        else:
+            (img, txt), _ = self.double_blocks(
                 (img, txt), temb, rope_cos, rope_sin, txt_mask
             )
+            if self.double_blocks_swap is not None:
+                if use_prefetch:
+                    img, txt = _prefetched(
+                        "double_blocks_swap", FluxDoubleBlock, d_swap,
+                        (img, txt), bc_d)
+                else:
+                    (img, txt), _ = self.double_blocks_swap(
+                        (img, txt), temb, rope_cos, rope_sin, txt_mask
+                    )
 
         x = seq_shard(jnp.concatenate([txt, img], axis=1))
         kv_mask = None
@@ -448,10 +488,20 @@ class FluxTransformer(nn.Module):
                  jnp.ones((img.shape[0], img.shape[1]), jnp.int32)],
                 axis=1,
             )
-        x, _ = self.single_blocks(x, temb, rope_cos, rope_sin, kv_mask)
-        if self.single_blocks_swap is not None:
-            x, _ = self.single_blocks_swap(x, temb, rope_cos, rope_sin,
-                                           kv_mask)
+        s_res, s_swap = cfg.single_split
+        bc_s = (temb, rope_cos, rope_sin, kv_mask)
+        if use_prefetch and s_swap == cfg.num_single_layers:
+            x = _prefetched("single_blocks", FluxSingleBlock,
+                            cfg.num_single_layers, x, bc_s)
+        else:
+            x, _ = self.single_blocks(x, temb, rope_cos, rope_sin, kv_mask)
+            if self.single_blocks_swap is not None:
+                if use_prefetch:
+                    x = _prefetched("single_blocks_swap", FluxSingleBlock,
+                                    s_swap, x, bc_s)
+                else:
+                    x, _ = self.single_blocks_swap(x, temb, rope_cos,
+                                                   rope_sin, kv_mask)
 
         txt_len = txt.shape[1]
         out = x[:, txt_len:]

@@ -71,6 +71,11 @@ class QwenImageConfig:
     # from host RAM. tail >= num_layers streams the whole stack under the
     # single-collection layout.
     offload_tail: int = 0
+    # One-block-ahead host->HBM prefetch for streamed stacks (the custom-
+    # VJP scan in parallel/offload.py; same wiring as wan/flux). True =
+    # on for TPU; "force" also on CPU (tests); needs lora_dropout == 0.
+    stream_prefetch: Any = True
+    stream_grad_leaves: Any = ()
 
     @property
     def hidden_size(self):
@@ -178,18 +183,44 @@ class QwenImageTransformer(nn.Module):
             )(fcfg, name=name)
 
         # exact-N blocks_to_swap: deepest n_swap blocks stream from host
-        # in a separate "blocks_swap" scan (reference offloading.py:184)
+        # in a separate "blocks_swap" scan (reference offloading.py:184);
+        # streamed stacks take the one-block-ahead prefetch scan when
+        # enabled (init always goes through nn.scan — same param layout)
+        use_prefetch = bool(
+            cfg.stream_prefetch and not self.is_initializing()
+            and cfg.lora_dropout == 0.0
+            and (jax.default_backend() != "cpu"
+                 or cfg.stream_prefetch == "force")
+        )
+
+        def _prefetched(name, length, carry):
+            from ..parallel.offload import prefetch_stream_scan
+
+            storage = nn.unbox(self.scope.get_variable("params", name))
+            blk = FluxDoubleBlock(fcfg, parent=None)
+            return prefetch_stream_scan(
+                blk, storage, carry, (temb, rope_cos, rope_sin, txt_mask),
+                length, move=jax.default_backend() != "cpu",
+                grad_leaves=tuple(cfg.stream_grad_leaves) or None,
+            )
+
         n_res, n_swap = cfg.swap_split
         carry = (img, txt)
         if n_swap == cfg.num_layers:
-            carry, _ = _scan(cfg.num_layers, "blocks", True)(
-                carry, temb, rope_cos, rope_sin, txt_mask)
+            if use_prefetch:
+                carry = _prefetched("blocks", cfg.num_layers, carry)
+            else:
+                carry, _ = _scan(cfg.num_layers, "blocks", True)(
+                    carry, temb, rope_cos, rope_sin, txt_mask)
         else:
             carry, _ = _scan(n_res, "blocks", False)(
                 carry, temb, rope_cos, rope_sin, txt_mask)
             if n_swap:
-                carry, _ = _scan(n_swap, "blocks_swap", True)(
-                    carry, temb, rope_cos, rope_sin, txt_mask)
+                if use_prefetch:
+                    carry = _prefetched("blocks_swap", n_swap, carry)
+                else:
+                    carry, _ = _scan(n_swap, "blocks_swap", True)(
+                        carry, temb, rope_cos, rope_sin, txt_mask)
         img, txt = carry
 
         out = img
@@ -228,7 +259,13 @@ class QwenImagePipeline(BasePipeline):
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
             offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
+            stream_prefetch=self.config.get("stream_prefetch", True),
         )
+        if adapter.get("type") in ("lora", "lokr"):
+            kwargs["stream_grad_leaves"] = (
+                "lora_a", "lora_b", "lokr_w1", "lokr_w2",
+                "lokr_w2_a", "lokr_w2_b",
+            )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),

@@ -268,6 +268,9 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
     block:     nn.Module instance created with parent=None; its __call__
                must follow the nn.scan body convention
                (x, *broadcast) -> (x, _) and use no rngs (dropout off).
+               x may be any pytree (e.g. flux's (img, txt) carry);
+               integer broadcast operands (attention masks) are fine and
+               get float0 cotangents.
     storage:   stacked storage-format param tree (leading axis = block),
                as produced by init + offload_param_stacks.
     broadcast: tuple of per-call constants handed to every block.
@@ -317,8 +320,14 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
         sto, xs, bc = res
         # f32 accumulators for the broadcast cotangents (the bf16 rope/ctx
         # trees would otherwise round on every one of `length` adds);
-        # broadcast operands must be inexact (they are activations)
-        gbc0 = jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), bc)
+        # integer broadcast operands (attention masks) accumulate nothing
+        # and return float0 cotangents like any int primal
+        def acc0(a):
+            if jnp.issubdtype(a.dtype, jnp.inexact):
+                return jnp.zeros(a.shape, jnp.float32)
+            return jnp.zeros((), jnp.float32)  # placeholder, unused
+
+        gbc0 = jax.tree.map(acc0, bc)
 
         def emit_grad(key, leaf):
             # packed frozen leaves are integer primals -> float0 (which
@@ -336,7 +345,9 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
             _, vjp = jax.vjp(apply_one, cur, x_in, bc)
             g_cur, g_x, g_b = vjp(gx)
             gbc = jax.tree.map(
-                lambda acc, g: acc + g.astype(jnp.float32), gbc, g_b)
+                lambda acc, a, g: (acc + g.astype(jnp.float32))
+                if jnp.issubdtype(a.dtype, jnp.inexact) else acc,
+                gbc, bc, g_b)
             flat = traverse_util.flatten_dict(g_cur)
             # drop the leading unit axis the keepdims slice introduced so
             # the scan stacks per-block grads back to storage shape
@@ -345,7 +356,7 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
             return (g_x, nxt, i - 1, gbc), g_f
 
         curL = _move_to_device(_slice_block(sto, length - 1), move)
-        xs_rev = jnp.flip(xs, 0)
+        xs_rev = jax.tree.map(lambda a: jnp.flip(a, 0), xs)
         (g_x0, _, _, gbc), g_rev = jax.lax.scan(
             body, (gy, curL, jnp.int32(length - 1), gbc0), xs_rev)
 
@@ -363,7 +374,13 @@ def prefetch_stream_scan(block, storage, x, broadcast, length: int,
             else:
                 g_flat[k] = np.zeros(v.shape, jax_dtypes.float0)
         g_sto = traverse_util.unflatten_dict(g_flat)
-        g_bc = jax.tree.map(lambda a, acc: acc.astype(a.dtype), bc, gbc)
+
+        def bc_grad(a, acc):
+            if jnp.issubdtype(a.dtype, jnp.inexact):
+                return acc.astype(a.dtype)
+            return np.zeros(a.shape, jax_dtypes.float0)
+
+        g_bc = jax.tree.map(bc_grad, bc, gbc)
         return g_sto, g_x0, g_bc
 
     run.defvjp(run_fwd, run_bwd)

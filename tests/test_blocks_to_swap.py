@@ -895,3 +895,82 @@ def test_ltx2_partial_swap_keymap_offsets():
     sd = export_lora_keymap(trainable, part.keymap(), part.ltx2_config)
     idx = {k.split(".")[2] for k in sd if "transformer_blocks" in k}
     assert idx == {"0", "1"}, idx
+
+
+def _prefetch_parity_model(pipe_factory, inputs_fn, lora_paths):
+    """Loss + lora-grad parity: stream_prefetch='force' (one-block-ahead
+    custom-VJP scan, CPU 'force' mode) vs the map_variables/nn.scan
+    streaming path, same params, whole-stack AND partial-tail layouts."""
+    import dataclasses
+
+    def run(prefetch):
+        pipe = pipe_factory()
+        pipe_cfg = pipe._keymap_config()
+        cfg2 = dataclasses.replace(
+            pipe_cfg,
+            stream_prefetch="force" if prefetch else False)
+        pipe.model = type(pipe.model)(cfg2)
+        params = nn.unbox(pipe.init_params(jax.random.PRNGKey(0)))
+        mi = inputs_fn(pipe)
+
+        def loss(p):
+            out = pipe.model.apply(p, **mi)
+            return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-3
+
+        l, g = jax.value_and_grad(loss)(params)
+        return float(l), g
+
+    l_pf, g_pf = run(True)
+    l_ref, g_ref = run(False)
+    np.testing.assert_allclose(l_pf, l_ref, rtol=1e-5)
+    from flax import traverse_util
+
+    flat_pf = traverse_util.flatten_dict(g_pf["params"])
+    flat_ref = traverse_util.flatten_dict(g_ref["params"])
+    n = 0
+    for k, v in flat_pf.items():
+        if k[-1] in lora_paths:
+            np.testing.assert_allclose(
+                np.asarray(v, np.float32),
+                np.asarray(flat_ref[k], np.float32),
+                rtol=2e-4, atol=1e-6, err_msg=str(k))
+            n += 1
+    assert n > 0
+
+
+def test_flux_prefetch_stream_parity():
+    def factory():
+        return _flux_pipe(tail_d=99, tail_s=99)  # whole-stack streamed
+
+    _prefetch_parity_model(
+        factory, lambda p: _flux_inputs(p.flux_config),
+        ("lora_a", "lora_b"))
+
+    def factory_partial():
+        return _flux_pipe(tail_d=1, tail_s=1)
+
+    _prefetch_parity_model(
+        factory_partial, lambda p: _flux_inputs(p.flux_config),
+        ("lora_a", "lora_b"))
+
+
+def test_qwen_prefetch_stream_parity():
+    from diffusion_pipe_tpu.models.flux import latent_image_ids
+
+    def inputs(pipe):
+        cfg = pipe.qi_config
+        return dict(
+            hidden_states=jax.random.normal(
+                jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+            encoder_hidden_states=jax.random.normal(
+                jax.random.PRNGKey(2), (1, 8, cfg.joint_attention_dim)),
+            timestep=jnp.full((1,), 0.4),
+            img_ids=latent_image_ids(4, 4),
+            txt_mask=jnp.ones((1, 8), jnp.int32),
+        )
+
+    for swap in (99, 1):
+        def factory(s=swap):
+            return get_model_class("qwen_image")(_qwen_cfg(swap=s))
+
+        _prefetch_parity_model(factory, inputs, ("lora_a", "lora_b"))

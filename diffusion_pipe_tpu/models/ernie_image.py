@@ -72,6 +72,15 @@ class ErnieImageConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # Exact-N blocks_to_swap (reference ernie_image.py enable_block_swap
+    # over the single `layers` container)
+    offload_tail: int = 0
+
+    @property
+    def swap_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_layers, self.offload_tail)
 
     @property
     def head_dim(self):
@@ -192,15 +201,25 @@ class ErnieImageTransformer(nn.Module):
             axis=1,
         )
 
-        block = ErnieSharedAdaLNBlock
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        h, _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="layers")(h, mods, rope_cos, rope_sin, kv_mask)
+        from ..parallel.offload import apply_swap_split
+
+        def apply_blocks(carry, length, name, streamed):
+            b_cls = ErnieSharedAdaLNBlock
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_cls = stream_params_from_host(b_cls)
+            if cfg.remat:
+                b_cls = remat_wrap(b_cls, cfg.remat)
+            carry, _ = nn.scan(
+                b_cls,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)(carry, mods, rope_cos, rope_sin, kv_mask)
+            return carry
+
+        h = apply_swap_split(h, cfg.swap_split, apply_blocks, base="layers")
 
         # final adaLN norm + linear over image tokens
         mod = LoraDense(2 * dim, name="final_norm_mod", **dd)(nn.silu(cvec))
@@ -240,6 +259,7 @@ class ErnieImagePipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "in_channels", "out_channels"):
@@ -328,7 +348,21 @@ class ErnieImagePipeline(BasePipeline):
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""
+        n_res, n_swap = self.ernie_config.swap_split
+        if 0 < n_swap < self.ernie_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _ErniePPProgram(self)
+
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap (reference ernie enable_block_swap)."""
+        from ..parallel.offload import swap_stack_names
+
+        return swap_stack_names((self.ernie_config.swap_split,),
+                                ("layers",))
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
@@ -346,10 +380,11 @@ class ErnieImagePipeline(BasePipeline):
         `layers`, :28). Block-internal spellings follow the LLM q/k/v/o
         convention and are flagged pending real-checkpoint verification.
         LoRA export uses the ComfyUI `diffusion_model.` prefix."""
-        from .keymaps import BlockGroup, KeyMap
+        from .keymaps import BlockGroup, KeyMap, split_block_group
 
+        n_res, n_swap = self.ernie_config.swap_split
         return KeyMap(
-            blocks=[BlockGroup(
+            blocks=[*split_block_group(BlockGroup(
                 "layers", "layers", "num_layers",
                 linears={
                     "attn_q": "attn.q_proj",
@@ -361,7 +396,7 @@ class ErnieImagePipeline(BasePipeline):
                 },
                 norms={"attn_q_norm": "attn.q_norm",
                        "attn_k_norm": "attn.k_norm"},
-            )],
+            ), n_res, n_swap)],
             top_linears={
                 "x_embedder": "x_embedder",
                 "text_proj": "text_proj",

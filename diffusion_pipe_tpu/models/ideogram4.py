@@ -116,6 +116,15 @@ class Ideogram4Config:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # Exact-N blocks_to_swap (reference ideogram4.py enable_block_swap
+    # over the single `layers` container)
+    offload_tail: int = 0
+
+    @property
+    def swap_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_layers, self.offload_tail)
 
     @property
     def head_dim(self):
@@ -255,15 +264,26 @@ class Ideogram4Transformer(nn.Module):
             axis=1,
         )
 
-        block = Ideogram4Block
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        h, _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="layers")(h, adaln_input, rope_cos, rope_sin, kv_mask)
+        from ..parallel.offload import apply_swap_split
+
+        def apply_blocks(carry, length, name, streamed):
+            b_cls = Ideogram4Block
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_cls = stream_params_from_host(b_cls)
+            if cfg.remat:
+                b_cls = remat_wrap(b_cls, cfg.remat)
+            carry, _ = nn.scan(
+                b_cls,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)(carry, adaln_input, rope_cos, rope_sin,
+                              kv_mask)
+            return carry
+
+        h = apply_swap_split(h, cfg.swap_split, apply_blocks, base="layers")
 
         mod = LoraDense(2 * dim, name="final_mod", **dd)(adaln_input)
         shift, scale = jnp.split(mod, 2, -1)
@@ -302,6 +322,7 @@ class Ideogram4Pipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "latent_dim", "mlp_hidden"):
@@ -394,7 +415,21 @@ class Ideogram4Pipeline(BasePipeline):
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""
+        n_res, n_swap = self.ideo_config.swap_split
+        if 0 < n_swap < self.ideo_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _Ideogram4PPProgram(self)
+
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap (reference ideogram4 enable_block_swap)."""
+        from ..parallel.offload import swap_stack_names
+
+        return swap_stack_names((self.ideo_config.swap_split,),
+                                ("layers",))
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
@@ -419,10 +454,12 @@ class Ideogram4Pipeline(BasePipeline):
         head_dim/rope_theta/mrope_section, reference :219-222) and remain
         flagged pending real-checkpoint verification. LoRA export uses the
         ComfyUI prefix."""
-        from .keymaps import BlockGroup, KeyMap
+        from .keymaps import BlockGroup, KeyMap, split_block_group
+
+        n_res, n_swap = self.ideo_config.swap_split
 
         return KeyMap(
-            blocks=[BlockGroup(
+            blocks=[*split_block_group(BlockGroup(
                 "layers", "layers", "num_layers",
                 linears={
                     "adaLN_linear": "adaln_linear",
@@ -435,7 +472,7 @@ class Ideogram4Pipeline(BasePipeline):
                 },
                 norms={"attn_q_norm": "attn.q_norm",
                        "attn_k_norm": "attn.k_norm"},
-            )],
+            ), n_res, n_swap)],
             top_linears={
                 "input_proj": "input_proj",
                 "llm_cond_proj": "llm_cond_proj",

@@ -75,6 +75,15 @@ class Krea2Config:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # Exact-N blocks_to_swap (reference krea2.py:154-168 enable_block_swap
+    # over the single `blocks` container)
+    offload_tail: int = 0
+
+    @property
+    def swap_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_layers, self.offload_tail)
 
     @property
     def head_dim(self):
@@ -231,15 +240,25 @@ class Krea2Transformer(nn.Module):
             ids, cfg.axes_dims_rope, cfg.rope_theta
         )
 
-        block = Krea2Block
-        if cfg.remat:
-            block = remat_wrap(block, cfg.remat)
-        combined, _ = nn.scan(
-            block,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=nn.broadcast, length=cfg.num_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="blocks")(combined, tvec, rope_cos, rope_sin, kv_mask)
+        from ..parallel.offload import apply_swap_split
+
+        def apply_blocks(carry, length, name, streamed):
+            b_cls = Krea2Block
+            if streamed:
+                from ..parallel.offload import stream_params_from_host
+
+                b_cls = stream_params_from_host(b_cls)
+            if cfg.remat:
+                b_cls = remat_wrap(b_cls, cfg.remat)
+            carry, _ = nn.scan(
+                b_cls,
+                variable_axes={"params": 0}, split_rngs={"params": True},
+                in_axes=nn.broadcast, length=length,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name=name)(carry, tvec, rope_cos, rope_sin, kv_mask)
+            return carry
+
+        combined = apply_swap_split(combined, cfg.swap_split, apply_blocks)
 
         # final layer `last(combined, t)`: adaLN from the raw time MLP
         mod = LoraDense(2 * dim, name="last_mod", **dd)(nn.silu(tm))
@@ -279,6 +298,7 @@ class Krea2Pipeline(BasePipeline):
             ),
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
+            offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
         )
         for knob in ("hidden_size", "num_layers", "num_attention_heads",
                      "text_dim", "text_layers", "in_channels", "out_channels"):
@@ -367,7 +387,20 @@ class Krea2Pipeline(BasePipeline):
     def make_pp_program(self):
         """Pipeline-parallel program (reference partitions any model via
         to_layers() + PipelineModule). See parallel/model_pp.py."""
+        n_res, n_swap = self.krea_config.swap_split
+        if 0 < n_swap < self.krea_config.num_layers:
+            raise NotImplementedError(
+                "partial blocks_to_swap (split block stacks) cannot be "
+                "combined with pipeline_stages > 1; use blocks_to_swap >= "
+                "num_layers or drop pipeline parallelism"
+            )
         return _Krea2PPProgram(self)
+
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap (reference krea2.py enable_block_swap)."""
+        from ..parallel.offload import swap_stack_names
+
+        return swap_stack_names((self.krea_config.swap_split,))
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)
@@ -414,8 +447,11 @@ class Krea2Pipeline(BasePipeline):
                 f"txtfusion/norm1_{i}": f"{base}.norm1",
                 f"txtfusion/norm2_{i}": f"{base}.norm2",
             })
+        from .keymaps import split_block_group
+
+        n_res, n_swap = cfg.swap_split
         return KeyMap(
-            blocks=[BlockGroup(
+            blocks=[*split_block_group(BlockGroup(
                 "blocks", "blocks", "num_layers",
                 linears={
                     "modulation": "modulation.lin",
@@ -425,7 +461,7 @@ class Krea2Pipeline(BasePipeline):
                 norms={"q_norm": "norm.query_norm",
                        "k_norm": "norm.key_norm"},
                 norm_suffix="scale",
-            )],
+            ), n_res, n_swap)],
             top_linears=top_linears,
             top_norms=top_norms,
             top_raw=top_raw,

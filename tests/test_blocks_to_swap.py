@@ -7,6 +7,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusion_pipe_tpu.models import get_model_class
 
@@ -974,3 +975,97 @@ def test_qwen_prefetch_stream_parity():
             return get_model_class("qwen_image")(_qwen_cfg(swap=s))
 
         _prefetch_parity_model(factory, inputs, ("lora_a", "lora_b"))
+
+
+@pytest.mark.parametrize("model_type,cfg_attr,stack", [
+    ("krea2", "krea_config", "blocks"),
+    ("ernie_image", "ernie_config", "layers"),
+    ("ideogram4", "ideo_config", "layers"),
+])
+def test_single_stack_family_exact_n_swap(model_type, cfg_attr, stack):
+    """Exact-N blocks_to_swap via the generic apply_swap_split /
+    split_block_group machinery for the remaining single-stack families
+    whose reference supports enable_block_swap (ref models/<family>.py):
+    forward parity, init-layout match, host stack names, LoRA export
+    offsets, and whole-stack fallback."""
+    import dataclasses
+
+    from diffusion_pipe_tpu.models.keymaps import (
+        export_lora_keymap,
+        keymap_from_flax,
+    )
+    from diffusion_pipe_tpu.training.train_state import (
+        lora_predicate,
+        partition_params,
+    )
+
+    def mk(swap):
+        cfg = {
+            "save_every_n_epochs": 1,
+            "model": {"type": model_type, "dtype": "float32",
+                      "_tiny": True},
+            "adapter": {"type": "lora", "rank": 4, "alpha": 4,
+                        "dropout": 0.0},
+            "optimizer": {"type": "adamw", "lr": 1e-3},
+        }
+        if swap:
+            cfg["blocks_to_swap"] = swap
+        return get_model_class(model_type)(cfg)
+
+    base, part, full = mk(0), mk(1), mk(99)
+    cfg = getattr(base, cfg_attr)
+    assert getattr(part, cfg_attr).swap_split == (cfg.num_layers - 1, 1)
+    assert part.host_stack_names() == (f"{stack}_swap",)
+    assert full.host_stack_names() == (stack,)
+    assert base.host_stack_names() == ()
+
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    p = dict(params)
+    p["params"] = dict(p["params"])
+    whole = p["params"][stack]
+    p["params"][stack] = jax.tree.map(lambda x: x[:-1], whole)
+    p["params"][f"{stack}_swap"] = jax.tree.map(lambda x: x[-1:], whole)
+    init_split = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    assert set(init_split["params"]) == set(p["params"])
+    init_full = nn.unbox(full.init_params(jax.random.PRNGKey(0)))
+    assert f"{stack}_swap" not in init_full["params"]
+
+    k = jax.random.PRNGKey(1)
+    if model_type == "krea2":
+        mi = (jax.random.normal(k, (1, cfg.in_channels, 8, 8)),
+              jnp.full((1,), 0.4),
+              jax.random.normal(k, (1, 8, cfg.text_layers * cfg.text_dim)),
+              jnp.ones((1, 8), jnp.int32))
+    elif model_type == "ideogram4":
+        mi = (jax.random.normal(k, (1, cfg.latent_dim, 4, 4)),
+              jnp.full((1,), 0.4),
+              jax.random.normal(k, (1, 8, cfg.text_dim)),
+              jnp.ones((1, 8), jnp.int32))
+    else:
+        mi = (jax.random.normal(k, (1, cfg.in_channels, 8, 8)),
+              jnp.full((1,), 0.4),
+              jax.random.normal(k, (1, 8, cfg.text_dim)),
+              jnp.ones((1, 8), jnp.int32))
+    out_base = base.model.apply(params, *mi)
+    out_split = part.model.apply(p, *mi)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_split),
+                               atol=1e-6)
+
+    # keymap: identical checkpoint keys + values across layouts
+    sd_base = keymap_from_flax(params, base.keymap(), cfg)
+    sd_split = keymap_from_flax(p, part.keymap(), getattr(part, cfg_attr))
+    assert set(sd_base) == set(sd_split)
+    for kk in sd_base:
+        np.testing.assert_allclose(np.asarray(sd_split[kk]),
+                                   np.asarray(sd_base[kk]), atol=1e-6,
+                                   err_msg=kk)
+
+    # LoRA export keeps reference indices (offset folds back)
+    trainable, _ = partition_params(p, lora_predicate)
+    sd = export_lora_keymap(trainable, part.keymap(),
+                            getattr(part, cfg_attr))
+    import re
+
+    idx = {m.group(1) for kk in sd
+           if (m := re.match(rf"diffusion_model\.{stack}\.(\d+)\.", kk))}
+    assert idx == {str(i) for i in range(cfg.num_layers)}, idx

@@ -75,6 +75,24 @@ class HiDreamConfig:
     lokr_factor: int = -1
     lokr_rank_dropout: float = 0.0
     remat: bool = False
+    # Exact-N blocks_to_swap (reference hidream.py:275-295 enable_block_swap:
+    # double = N//2, single = (N - N//2)*2 + 1 like flux/hunyuan)
+    offload_tail_double: int = 0
+    offload_tail_single: int = 0
+
+    @property
+    def double_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_double_layers,
+                             self.offload_tail_double)
+
+    @property
+    def single_split(self):
+        from ..parallel.offload import swap_split_of
+
+        return swap_split_of(self.num_single_layers,
+                             self.offload_tail_single)
 
     @property
     def head_dim(self):
@@ -347,31 +365,42 @@ class HiDreamTransformer(nn.Module):
             ids, tuple(cfg.axes_dims_rope), cfg.rope_theta
         )
 
-        dblock = HiDreamDoubleBlock
-        sblock = HiDreamSingleBlock
-        if cfg.remat:
-            dblock = remat_wrap(dblock, cfg.remat)
-            sblock = remat_wrap(sblock, cfg.remat)
-        (img, txt), _ = nn.scan(
-            dblock,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=(nn.broadcast, 1, nn.broadcast, nn.broadcast),
-            length=cfg.num_double_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="double_blocks")(
-            (img, t5), temb, llama_proj[:, :cfg.num_double_layers],
-            rope_cos, rope_sin)
+        from ..parallel.offload import apply_swap_split
+
+        def _stack_runner(b_cls, lp0):
+            # lp0: global llama_proj offset of this stack's first block —
+            # each sub-stack consumes its own per-block caption slice
+            def apply_blocks(state, length, name, streamed):
+                carry, off = state
+                b_ = b_cls
+                if streamed:
+                    from ..parallel.offload import stream_params_from_host
+
+                    b_ = stream_params_from_host(b_)
+                if cfg.remat:
+                    b_ = remat_wrap(b_, cfg.remat)
+                carry, _ = nn.scan(
+                    b_,
+                    variable_axes={"params": 0}, split_rngs={"params": True},
+                    in_axes=(nn.broadcast, 1, nn.broadcast, nn.broadcast),
+                    length=length,
+                    metadata_params={nn.PARTITION_NAME: "layers"},
+                )(cfg, name=name)(
+                    carry, temb, llama_proj[:, lp0 + off:lp0 + off + length],
+                    rope_cos, rope_sin)
+                return carry, off + length
+
+            return apply_blocks
+
+        (img, txt), _ = apply_swap_split(
+            ((img, t5), 0), cfg.double_split,
+            _stack_runner(HiDreamDoubleBlock, 0), base="double_blocks")
 
         xcat = jnp.concatenate([img, txt], axis=1)
-        xcat, _ = nn.scan(
-            sblock,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-            in_axes=(nn.broadcast, 1, nn.broadcast, nn.broadcast),
-            length=cfg.num_single_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )(cfg, name="single_blocks")(
-            xcat, temb, llama_proj[:, cfg.num_double_layers:],
-            rope_cos, rope_sin)
+        xcat, _ = apply_swap_split(
+            (xcat, 0), cfg.single_split,
+            _stack_runner(HiDreamSingleBlock, cfg.num_double_layers),
+            base="single_blocks")
         out = xcat[:, :si]
         if img_seq_len is not None:
             out = out[:, :img_seq_len]
@@ -408,6 +437,18 @@ class HiDreamPipeline(BasePipeline):
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
         )
+        n = int(self.config.get("blocks_to_swap", 0) or 0)
+        if n > 0:
+            # reference split (hidream.py:281-284); past the num-2 caps,
+            # whole-stack streaming instead of failing (flux policy)
+            n_dbl = 16 if not mc.get("_tiny", False) else 2
+            n_sgl = 32 if not mc.get("_tiny", False) else 2
+            dbl = n // 2
+            sgl = (n - dbl) * 2 + 1
+            if dbl > n_dbl - 2 or sgl > n_sgl - 2:
+                dbl, sgl = n_dbl, n_sgl
+            kwargs["offload_tail_double"] = dbl
+            kwargs["offload_tail_single"] = sgl
         if adapter.get("type") in ("lora", "lokr"):
             kwargs.update(
                 lora_rank=int(adapter["rank"]),
@@ -475,9 +516,13 @@ class HiDreamPipeline(BasePipeline):
         d_lin, d_norms = attn("")
         dt_lin, dt_norms = attn("_t")
         s_lin, s_norms = attn("")
+        from .keymaps import split_block_group
+
+        d_res, d_swap = self.hd_config.double_split
+        s_res, s_swap = self.hd_config.single_split
         return KeyMap(
             blocks=[
-                BlockGroup(
+                *split_block_group(BlockGroup(
                     "double_blocks", "double_stream_blocks",
                     "num_double_layers",
                     linears={
@@ -489,15 +534,15 @@ class HiDreamPipeline(BasePipeline):
                     },
                     norms={**d_norms, **dt_norms},
                     stacks=moe_stacks,
-                ),
-                BlockGroup(
+                ), d_res, d_swap),
+                *split_block_group(BlockGroup(
                     "single_blocks", "single_stream_blocks",
                     "num_single_layers",
                     linears={**s_lin, **moe_lin,
                              "adaLN": "block.adaLN_modulation.1"},
                     norms=s_norms,
                     stacks=moe_stacks,
-                ),
+                ), s_res, s_swap),
             ],
             top_linears={
                 "x_embedder": "x_embedder.proj",
@@ -605,7 +650,27 @@ class HiDreamPipeline(BasePipeline):
         travel stacked in the payload, sliced by phase-local block index
         (PPPhase.needs_index). MoE expert kernels stay GSPMD-sharded over
         'tensor'. See parallel/model_pp.py."""
+        cfg = self.hd_config
+        for split, total in ((cfg.double_split, cfg.num_double_layers),
+                             (cfg.single_split, cfg.num_single_layers)):
+            if 0 < split[1] < total:
+                raise NotImplementedError(
+                    "partial blocks_to_swap (split block stacks) cannot "
+                    "be combined with pipeline_stages > 1; use whole-stack "
+                    "streaming or drop pipeline parallelism"
+                )
         return _HiDreamPPProgram(self)
+
+    def host_stack_names(self):
+        """Exact-N blocks_to_swap over BOTH stacks (reference
+        hidream.py:275-295 dual offloaders)."""
+        from ..parallel.offload import swap_stack_names
+
+        cfg = self.hd_config
+        return swap_stack_names(
+            (cfg.double_split, cfg.single_split),
+            ("double_blocks", "single_blocks"),
+        )
 
     def forward(self, params, model_inputs):
         return self.model.apply(params, **model_inputs)

@@ -1069,3 +1069,78 @@ def test_single_stack_family_exact_n_swap(model_type, cfg_attr, stack):
     idx = {m.group(1) for kk in sd
            if (m := re.match(rf"diffusion_model\.{stack}\.(\d+)\.", kk))}
     assert idx == {str(i) for i in range(cfg.num_layers)}, idx
+
+
+def test_hidream_partial_swap_forward_parity_and_keymap():
+    """Exact-N blocks_to_swap for hidream's dual stacks (reference
+    hidream.py:275-295, same N//2 / (N-N//2)*2+1 split as flux/hunyuan)
+    via apply_swap_split — forward parity incl. the per-block llama
+    caption slices, keymap values, LoRA export offsets."""
+    import dataclasses
+
+    from diffusion_pipe_tpu.models.flux import latent_image_ids
+    from diffusion_pipe_tpu.models.keymaps import (
+        export_lora_keymap,
+        keymap_from_flax,
+    )
+    from diffusion_pipe_tpu.training.train_state import (
+        lora_predicate,
+        partition_params,
+    )
+
+    def mk():
+        return get_model_class("hidream")({
+            "save_every_n_epochs": 1,
+            "model": {"type": "hidream", "dtype": "float32", "_tiny": True},
+            "adapter": {"type": "lora", "rank": 4, "alpha": 4,
+                        "dropout": 0.0},
+            "optimizer": {"type": "adamw", "lr": 1e-3},
+        })
+
+    base, part = mk(), mk()
+    part.hd_config = dataclasses.replace(
+        part.hd_config, offload_tail_double=1, offload_tail_single=1)
+    part.model = type(part.model)(part.hd_config)
+    assert part.hd_config.double_split == (1, 1)
+    assert part.host_stack_names() == ("double_blocks_swap",
+                                       "single_blocks_swap")
+
+    params = nn.unbox(base.init_params(jax.random.PRNGKey(0)))
+    p = dict(params)
+    p["params"] = dict(p["params"])
+    for stack in ("double_blocks", "single_blocks"):
+        whole = p["params"][stack]
+        p["params"][stack] = jax.tree.map(lambda x: x[:1], whole)
+        p["params"][stack + "_swap"] = jax.tree.map(lambda x: x[1:], whole)
+    init_split = nn.unbox(part.init_params(jax.random.PRNGKey(0)))
+    assert set(init_split["params"]) == set(p["params"])
+
+    cfg = base.hd_config
+    k = jax.random.PRNGKey(1)
+    mi = (jax.random.normal(k, (1, 16, cfg.in_channels)),
+          latent_image_ids(4, 4),
+          jnp.full((1,), 0.4),
+          jax.random.normal(k, (1, cfg.pooled_dim)),
+          jax.random.normal(k, (1, 8, cfg.t5_dim)),
+          jax.random.normal(k, (1, 2, 8, cfg.llama_dim)))
+    out_base = base.model.apply(params, *mi)
+    out_split = part.model.apply(p, *mi)
+    np.testing.assert_allclose(np.asarray(out_base),
+                               np.asarray(out_split), atol=1e-6)
+
+    sd_base = keymap_from_flax(params, base.keymap(), cfg)
+    sd_split = keymap_from_flax(p, part.keymap(), part.hd_config)
+    assert set(sd_base) == set(sd_split)
+    for kk in sd_base:
+        np.testing.assert_allclose(np.asarray(sd_split[kk]),
+                                   np.asarray(sd_base[kk]), atol=1e-6,
+                                   err_msg=kk)
+
+    trainable, _ = partition_params(p, lora_predicate)
+    sd = export_lora_keymap(trainable, part.keymap(), part.hd_config)
+    import re
+
+    for tstack in ("double_stream_blocks", "single_stream_blocks"):
+        idx = {m.group(1) for kk in sd
+               if (m := re.search(rf"\.{tstack}\.(\d+)\.", kk))}
+        assert idx == {"0", "1"}, (tstack, idx)

@@ -115,7 +115,7 @@ class FluxPipeline(BasePipeline):
                 dbl, sgl = n_layers, n_single
             kwargs["offload_tail_double"] = dbl
             kwargs["offload_tail_single"] = sgl
-        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
+        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", False)
         if adapter.get("type") in ("lora", "lokr"):
             # only adapter factors are trainable in a streamed stack: the
             # prefetch backward skips real grads for frozen base leaves

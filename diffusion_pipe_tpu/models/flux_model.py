@@ -89,10 +89,10 @@ class FluxConfig:
     offload_tail_double: int = 0
     offload_tail_single: int = 0
     # One-block-ahead host->HBM prefetch for streamed stacks (the custom-
-    # VJP scan in parallel/offload.py — same scheme as wan, measured
-    # removing the ~40% use-time dependency stall). True = on for TPU;
-    # "force" also on CPU (tests); requires lora_dropout == 0.
-    stream_prefetch: Any = True
+    # VJP scan in parallel/offload.py). DEFAULT OFF — measured slower
+    # than the nn.scan use-time streaming once the relayout recompile was
+    # fixed (see WanConfig.stream_prefetch); config-selectable.
+    stream_prefetch: Any = False
     # trainable leaf names inside streamed stacks (see WanConfig)
     stream_grad_leaves: Tuple[str, ...] = ()
     # shard activations along the token dim over 'tensor' between attention

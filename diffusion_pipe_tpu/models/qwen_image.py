@@ -72,9 +72,10 @@ class QwenImageConfig:
     # single-collection layout.
     offload_tail: int = 0
     # One-block-ahead host->HBM prefetch for streamed stacks (the custom-
-    # VJP scan in parallel/offload.py; same wiring as wan/flux). True =
-    # on for TPU; "force" also on CPU (tests); needs lora_dropout == 0.
-    stream_prefetch: Any = True
+    # VJP scan in parallel/offload.py; same wiring as wan/flux). DEFAULT
+    # OFF — measured slower than nn.scan use-time streaming once the
+    # relayout recompile was fixed (see WanConfig.stream_prefetch).
+    stream_prefetch: Any = False
     stream_grad_leaves: Any = ()
 
     @property
@@ -259,7 +260,7 @@ class QwenImagePipeline(BasePipeline):
             remat=remat_spec(self.config),
             int8_matmul=mc.get("int8_matmul", False),
             offload_tail=int(self.config.get("blocks_to_swap", 0) or 0),
-            stream_prefetch=self.config.get("stream_prefetch", True),
+            stream_prefetch=self.config.get("stream_prefetch", False),
         )
         if adapter.get("type") in ("lora", "lokr"):
             kwargs["stream_grad_leaves"] = (

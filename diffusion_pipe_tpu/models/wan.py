@@ -155,7 +155,7 @@ class WanPipeline(BasePipeline):
         # default ("offload_attn"); override with
         # swap_activation_checkpointing.
         swap_remat = self.config.get("swap_activation_checkpointing")
-        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", True)
+        kwargs["stream_prefetch"] = self.config.get("stream_prefetch", False)
         if swap_remat is not None and kwargs["stream_prefetch"]:
             # the prefetch scan always full-recomputes with x-only
             # residuals, so a per-stack remat spec cannot apply there

@@ -87,11 +87,16 @@ class WanConfig:
     # analogue of the reference's double-buffered CUDA-stream block swap,
     # utils/offloading.py:69-87): the custom-VJP scan in
     # parallel/offload.py copies block i+1 while block i computes, both
-    # directions. True = on for TPU offloaded runs; "force" additionally
-    # enables it on the CPU backend (tests); False = use-time map_variables
-    # streaming. Requires lora_dropout == 0 (the functional block apply
-    # carries no rng).
-    stream_prefetch: Any = True
+    # directions. DEFAULT OFF: once the hidden relayout recompile was
+    # fixed (trainer.jit_train_step in_shardings), XLA's latency-hiding
+    # scheduler already rides the use-time map_variables streams on the
+    # async stream — measured 14B fp8 256px: nn.scan 5.37 s/step vs
+    # prefetch 5.84 (flux swap=20: 3.89 vs 4.26), because the prefetch
+    # scan's forced full-recompute backward costs more than the stall it
+    # removes. True enables it anyway; "force" additionally enables it on
+    # the CPU backend (tests). Requires lora_dropout == 0 (the functional
+    # block apply carries no rng).
+    stream_prefetch: Any = False
     # Last key-component names of the TRAINABLE leaves inside a streamed
     # stack (e.g. ("lora_a", "lora_b") under a LoRA adapter). The prefetch
     # backward emits real gradients only for these; known-frozen float

@@ -173,7 +173,14 @@ def make_train_step(
         grad_norm = optax.global_norm(grads)
         if gradient_clipping and gradient_clipping > 0:
             scale = jnp.minimum(1.0, gradient_clipping / (grad_norm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
+            # keep the grad dtype: the f32 norm scale would silently
+            # promote bf16 grads (and through them the adamw moments) to
+            # f32 — measured DOUBLING the full-FT optimizer state and
+            # defeating donation aliasing (output state no longer matches
+            # the donated input dtype), which pushed wan-1.3B full FT
+            # past HBM at execution
+            grads = jax.tree.map(
+                lambda g: (g * scale).astype(g.dtype), grads)
 
         updates, opt_state = optimizer.update(grads, src_opt, src_trainable)
         opt_state = _constrain_opt(opt_state)

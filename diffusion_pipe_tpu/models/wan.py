@@ -148,12 +148,8 @@ class WanPipeline(BasePipeline):
         # once the variant's num_layers is known.
         kwargs["offload_tail"] = int(
             self.config.get("blocks_to_swap", 0) or 0)
-        # Partial-swap saved-activation placement: under remat="attn" the
-        # stacked [n_swap, B, H, S, D] flash o/lse buffer caused the 480px
-        # swap=28 HBM OOM (41% fragmentation, BASELINE.md round 3) — route
-        # the SWAPPED blocks' saved attention through pinned host memory by
-        # default ("offload_attn"); override with
-        # swap_activation_checkpointing.
+        # Partial-swap saved-activation placement override
+        # (swap_activation_checkpointing; see the offload_attn NOTE below)
         swap_remat = self.config.get("swap_activation_checkpointing")
         kwargs["stream_prefetch"] = self.config.get("stream_prefetch", False)
         if swap_remat is not None and kwargs["stream_prefetch"]:
@@ -180,8 +176,15 @@ class WanPipeline(BasePipeline):
                     "and ignore the remat spec instead.", stacklevel=2,
                 )
                 kwargs["stream_prefetch"] = False
-        if swap_remat is None and kwargs["remat"] == "attn":
-            swap_remat = "offload_attn"
+        # NOTE: swap_remat used to auto-default to "offload_attn" under
+        # remat="attn" (the round-3 fragmentation fix), but the XLA TPU
+        # host-offload legalizer CRASHES on that program when the nn.scan
+        # streaming path is active (host_offload_utils.cc Check failed:
+        # operand_count() == 1 on a variadic reduce feeding the
+        # host-saved attention buffers) — measured on fp8 swap=28 @480px.
+        # The dial stays available explicitly (it works under
+        # stream_prefetch=true, whose backward ignores it anyway); the
+        # default keeps the main remat spec.
         kwargs["swap_remat"] = str(swap_remat) if swap_remat else ""
         if adapter.get("type") in ("lora", "lokr"):
             # only adapter factors are trainable in a streamed stack: the

@@ -36,6 +36,8 @@ p.add_argument("--swap", type=int, default=0,
                help="blocks_to_swap: stream only the deepest N blocks")
 p.add_argument("--remat", default="full")  # full | dots | attn | unsloth | none
 p.add_argument("--steps", type=int, default=5)
+p.add_argument("--swap_remat", default=None,
+               help="swap_activation_checkpointing override")
 p.add_argument("--no_prefetch", action="store_true",
                help="disable the one-block-ahead prefetch scan (A/B)")
 p.add_argument("--profile_dir", default=None,
@@ -76,6 +78,8 @@ if args.remat != "none":
         config["remat_policy"] = "dots"
 if args.no_prefetch:
     config["stream_prefetch"] = False
+if args.swap_remat:
+    config["swap_activation_checkpointing"] = args.swap_remat
 if args.swap:
     config["blocks_to_swap"] = args.swap
     args.offload = True
